@@ -1,0 +1,29 @@
+"""Query plan registry.
+
+Importing this package populates the registry with every declared query
+(the engine's public surface per SURVEY.md §2). ``__spark_entry__.py``
+re-exports it for the driver.
+"""
+
+from european_public_data_pipeline_spark.plans.registry import (
+    QuerySpec,
+    all_specs,
+    oracle_sql_map,
+    queries_map,
+    register,
+)
+
+# Import for registration side effects — each module registers its QuerySpecs.
+from european_public_data_pipeline_spark.operators import relational  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import dedup  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import similarity  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import text  # noqa: E402,F401
+from european_public_data_pipeline_spark.pipeline import hicp_queries  # noqa: E402,F401
+
+__all__ = [
+    "QuerySpec",
+    "register",
+    "all_specs",
+    "queries_map",
+    "oracle_sql_map",
+]
