@@ -1,1 +1,448 @@
-"""Placeholder — filled in by the corresponding build task."""
+"""Deduplication operators (SURVEY.md §2.12 — the training-data mandate).
+
+Exact dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash, and embedding-
+cosine near-dup over the ``documents`` / ``embeddings`` tables. The exact
+variants generalize the reference's duplicate-key check
+(/root/reference/src/quality/check_hicp_quality.py:69-73) from "count dupes"
+to "resolve dupes at corpus scale".
+
+Determinism contract: all hashing is built on a **portable 28-bit md5
+prefix hash** — ``conv(substr(md5(x),1,7),16,10)`` in Spark equals
+``CAST('0x'||substr(md5(x),1,7) AS BIGINT)`` in DuckDB — so the MinHash /
+SimHash pipelines are bit-reproducible across engines and cluster runs
+(no seed, no JVM-specific hash). Jaccard/hamming outputs are integer
+arithmetic plus a single division: hash-stable.
+
+Scale notes (100 TB):
+- Exact dedup: hash-groupBy on a 128-bit fingerprint — one shuffle keyed on
+  the hash, perfectly parallel, no skew (md5 is uniform).
+- MinHash+LSH: signatures are one groupBy over (doc, shingle) hashes;
+  banding multiplies rows by #bands (4×) not #shingles; the candidate join
+  is keyed on (band_id, band_signature) buckets, so cost scales with bucket
+  occupancy, not corpus². Exact-Jaccard verification touches only candidate
+  pairs. This is the standard web-scale near-dedup layout (Broder '97).
+- SimHash: per-doc 28-bit signature via one aggregation; candidate pairs
+  via pigeonhole banding (hamming ≤ 2 with 4 bands ⇒ ≥1 exact band match),
+  so recall is guaranteed, not probabilistic.
+- Embedding near-dup: the all-pairs form here is the exact oracle baseline;
+  the LSH-bucketed scale path lives in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+# MinHash parameters: k = BANDS * ROWS universal-hash permutations over the
+# 28-bit base hash, mod a Mersenne prime. Constants are arbitrary fixed odd
+# integers (public-knowledge construction, Broder resemblance sketches).
+MINHASH_PRIME = 2147483647
+MINHASH_BANDS = 4
+MINHASH_ROWS = 4
+_AB = [(2 * i + 1, 7919 * (i + 1)) for i in range(MINHASH_BANDS * MINHASH_ROWS)]
+
+SIMHASH_BITS = 28
+SIMHASH_BANDS = 4  # 7 bits per band; hamming <= 2 implies >= 1 band equal
+SIMHASH_MAX_HAMMING = 2
+
+JACCARD_THRESHOLD = 0.8
+COSINE_THRESHOLD = 0.45
+
+_SQL_WORDS = "string_split_regex(trim(text), '\\s+')"
+_SQL_SHINGLES = f"""
+SELECT DISTINCT doc_id,
+       concat_ws(' ', words[i], words[i+1], words[i+2]) AS shingle
+FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+     UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+"""
+
+
+def base_hash28(col: F.Column) -> F.Column:
+    """Portable 28-bit hash: integer value of the first 7 md5 hex chars."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate (d1, d2) pairs given (doc_id, shingle)."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        pairs.join(s1, "d1").join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("isect").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("isect"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "d01_dedup_keep_first",
+    category="dedup",
+    doc="Exact dedup keep-first-per-key: one surviving order per customer "
+    "(earliest orderdate, orderkey tie-break) via row_number — the "
+    "distributed resolve step the reference's duplicate check only counts.",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn = 1
+ORDER BY o_custkey
+""",
+)
+def d01_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "d02_exact_dedup_fingerprint",
+    category="dedup",
+    doc="Exact duplicate resolution by md5 text fingerprint: survivors "
+    "(min doc_id per fingerprint) + duplicate counts. Hash-groupBy on a "
+    "uniform 128-bit key — the skew-free exact-dedup shuffle.",
+    oracle="""
+SELECT md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fingerprint,
+       MIN(doc_id) AS survivor_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY survivor_doc_id
+""",
+)
+def d02_exact_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), " ")
+    return (
+        docs.select(F.md5(norm).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("survivor_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("survivor_doc_id")
+    )
+
+
+@register(
+    "d03_ngram_jaccard_pairs",
+    category="dedup",
+    bench=True,
+    doc="Exact n-gram Jaccard near-duplicate pairs (3-gram shingles, "
+    "jaccard >= 0.8). Self-join keyed on the shingle — the exact baseline "
+    "that MinHash approximates; at 100 TB the shingle join is bounded by "
+    "hot-shingle skew, which is what d04's LSH removes.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    pairs = (
+        s1.join(s2, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.col("isect").cast("double") / (F.col("n1") + F.col("n2") - F.col("isect"))
+    return (
+        pairs.join(F.broadcast(n1), "d1")
+        .join(F.broadcast(n2), "d2")
+        .select("d1", "d2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"MIN(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(_AB)
+    )
+    bands = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band_id, concat_ws(',', {cols}) AS band_sig FROM sig".format(
+            band=band,
+            cols=", ".join(
+                f"m{band * MINHASH_ROWS + r}" for r in range(MINHASH_ROWS)
+            ),
+        )
+        for band in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+h AS (SELECT doc_id, shingle, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS hv FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+              AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.d1, c.d2, COUNT(*) AS isect
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "d04_minhash_lsh_pairs",
+    category="dedup",
+    bench=True,
+    doc="MinHash + LSH near-duplicate detection (k=16 portable universal "
+    "hashes, 4 bands x 4 rows, exact-Jaccard verification of candidates at "
+    ">= 0.8). The candidate join is keyed on (band_id, band_signature) "
+    "buckets — corpus-linear, skew-free, the web-scale dedup layout. The "
+    "oracle runs the identical deterministic algorithm in SQL.",
+    oracle=_minhash_sig_sql(),
+)
+def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    h = sh.withColumn("hv", base_hash28(F.col("shingle")))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+                ).alias("band_sig"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.explode(band_struct).alias("b")
+    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    b1 = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_sig")
+    b2 = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_sig")
+    cand = (
+        b1.join(b2, ["band_id", "band_sig"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    return (
+        _jaccard_on_pairs(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS token FROM documents
+),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(token), 1, 7) AS BIGINT) AS hv FROM tok),
+bitsums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {combine} AS simhash FROM bitsums)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "d05_simhash_pairs",
+    category="dedup",
+    doc="SimHash near-duplicate pairs: 28-bit frequency-weighted signature "
+    "per document (one aggregation), candidates via pigeonhole banding "
+    "(4 bands of 7 bits — hamming <= 2 guarantees an exact band match, so "
+    "recall is 1.0 by construction), exact hamming verification. Oracle "
+    "computes the identical signatures brute-force.",
+    oracle=_simhash_sql(),
+)
+def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+    h = tok.withColumn("hv", base_hash28(F.col("token")))
+    bitsums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        simhash = term if simhash is None else simhash + term
+    sh = bitsums.select("doc_id", simhash.alias("simhash"))
+
+    # Pigeonhole banding: 7-bit slices; hamming <= 2 over 4 bands ==> at
+    # least one band identical, so the band join has guaranteed recall.
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.shiftright(F.col("simhash"), band * band_width)
+                .bitwiseAND((1 << band_width) - 1)
+                .alias("band_val"),
+            )
+            for band in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select("doc_id", "simhash", F.explode(band_arr).alias("b")).select(
+        "doc_id", "simhash", F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val")
+    )
+    b1 = bands.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"), "band_id", "band_val"
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"), "band_id", "band_val"
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return (
+        b1.join(b2, ["band_id", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("d1", "d2")
+    )
+
+
+def _dot64_sql(a: str, b: str) -> str:
+    """Sequential left-fold dot product — identical op order to F.aggregate."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, 64), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "d06_embedding_near_dup",
+    category="dedup",
+    bench=True,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.45), exact "
+    "all-pairs baseline. Dot products are sequential left-folds in double "
+    "precision on both engines — bit-identical, no rounding needed. The "
+    "LSH-bucketed scale path is s02 in operators/similarity.py.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot64_sql('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {_dot64_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_dot64_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+ORDER BY v1, v2
+""",
+)
+def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    e = emb.select("vec_id", dvec.alias("vec"), nrm.alias("nrm"))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cosine = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .orderBy("v1", "v2")
+    )

@@ -1,1 +1,289 @@
-"""Placeholder — filled in by the corresponding build task."""
+"""Text-analysis operators over the ``documents`` table (SURVEY.md §2.12).
+
+The training-data-pipeline surface the reference lacks: token statistics,
+quality scoring, language identification, document fingerprinting, corpus
+term frequencies. Everything is native ``pyspark.sql.functions`` — tokenize
+with ``split``, per-document statistics with higher-order array functions
+(no explode/shuffle for per-row stats), corpus-level stats with one
+explode + groupBy.
+
+Determinism contract (the driver hash-compares against DuckDB): every float
+is either a single division of exact integers or an identically-shaped
+expression on both sides, so results are bit-identical without rounding.
+
+Scale notes (100 TB):
+- Per-document metrics are narrow projections over the text column — no
+  shuffle, whole-stage codegen end to end, trivially partition-parallel.
+- Corpus term frequency is one explode + map-side-combined groupBy on the
+  token key; vocabulary is tiny relative to corpus so the shuffle is small.
+- Language-ID is a stopword-ratio heuristic (the classic cheap LID baseline;
+  fasttext-style models would slot in as a Pandas UDF without changing the
+  plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+# Public, tiny stopword profiles for the heuristic language identifier.
+# Deliberately small and disjoint enough for a deterministic argmax; order
+# of LANGS is the tie-break order (alphabetical).
+STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"],
+    "en": ["the", "a", "an", "and", "of", "to", "in", "is", "it", "that"],
+    "es": ["el", "los", "las", "una", "es", "en", "y", "por", "con", "para"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "dans", "que", "pour"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "就", "不", "人"],
+}
+LANGS = sorted(STOPWORDS)
+
+
+def tokens(col: str = "text") -> F.Column:
+    """Whitespace tokenization of a trimmed text column."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+_SQL_TOKENS = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "t01_token_stats",
+    category="text",
+    doc="Per-document token statistics via higher-order array functions — "
+    "token count, distinct tokens, type-token ratio, mean token length. "
+    "No shuffle: every metric is computed inside the row.",
+    oracle=f"""
+SELECT doc_id,
+       len(w) AS n_tokens,
+       len(list_distinct(w)) AS n_distinct,
+       CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+       CAST(list_reduce(list_transform(w, t -> CAST(len(t) AS BIGINT)), (a, b) -> a + b) AS DOUBLE)
+         / len(w) AS mean_token_len
+FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+ORDER BY doc_id
+""",
+)
+def t01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    n = F.size(w)
+    n_distinct = F.size(F.array_distinct(w))
+    total_len = F.aggregate(
+        F.transform(w, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_distinct.alias("n_distinct"),
+            (n_distinct.cast("double") / n).alias("ttr"),
+            (total_len.cast("double") / n).alias("mean_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "t02_quality_score",
+    category="text",
+    doc="Per-document quality heuristics (length score, stopword ratio, "
+    "repetition ratio, non-alpha ratio) and a weighted composite — the "
+    "standard pre-training corpus filter stack as narrow column ops.",
+    oracle=f"""
+SELECT doc_id,
+       n_tokens,
+       CAST(least(n_tokens, 100) AS DOUBLE) / 100 AS len_score,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+       CAST(max_freq AS DOUBLE) / n_tokens AS repetition_ratio,
+       CAST(n_nonalpha AS DOUBLE) / n_tokens AS nonalpha_ratio,
+       0.25 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
+         + 0.25 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.25 * (1 - CAST(max_freq AS DOUBLE) / n_tokens)
+         + 0.25 * (1 - CAST(n_nonalpha AS DOUBLE) / n_tokens) AS quality_score
+FROM (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(list_filter(w, t -> list_contains({STOPWORDS['en']!r}, t))) AS n_stop,
+         list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS max_freq,
+         len(list_filter(w, t -> NOT regexp_matches(t, '^[A-Za-z]+$'))) AS n_nonalpha
+  FROM (SELECT doc_id, {_SQL_TOKENS} AS w FROM documents)
+)
+ORDER BY doc_id
+""",
+)
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.filter(w, lambda t: F.array_contains(stop, t))).alias("n_stop"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda t: F.size(F.filter(w, lambda x: x == t)),
+            )
+        ).alias("max_freq"),
+        F.size(F.filter(w, lambda t: ~t.rlike("^[A-Za-z]+$"))).alias("n_nonalpha"),
+    )
+    n = F.col("n_tokens")
+    len_score = F.least(n, F.lit(100)).cast("double") / 100
+    stop_ratio = F.col("n_stop").cast("double") / n
+    rep_ratio = F.col("max_freq").cast("double") / n
+    nonalpha_ratio = F.col("n_nonalpha").cast("double") / n
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            len_score.alias("len_score"),
+            stop_ratio.alias("stopword_ratio"),
+            rep_ratio.alias("repetition_ratio"),
+            nonalpha_ratio.alias("nonalpha_ratio"),
+            (
+                0.25 * len_score
+                + 0.25 * stop_ratio
+                + 0.25 * (1 - rep_ratio)
+                + 0.25 * (1 - nonalpha_ratio)
+            ).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lid_case_sql() -> str:
+    """CASE chain implementing argmax with alphabetical tie-break."""
+    arms = []
+    for lang in LANGS:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANGS if other != lang
+        )
+        arms.append(f"WHEN {conds} THEN '{lang}'")
+    greatest = ", ".join(f"s_{lang}" for lang in LANGS)
+    return (
+        f"CASE WHEN greatest({greatest}) = 0 THEN 'und' "
+        + " ".join(arms)
+        + " ELSE 'und' END"
+    )
+
+
+@register(
+    "t03_lang_id",
+    category="text",
+    doc="Heuristic language identification: per-language stopword hit "
+    "ratios + deterministic argmax (ties break alphabetically, all-zero "
+    "scores give 'und'). Validated by parity with an identically-shaped "
+    "SQL computation; on real corpora the stopword profiles do the work.",
+    oracle=f"""
+SELECT doc_id, lang AS labeled_lang, {', '.join(f's_{lang}' for lang in LANGS)},
+       {_lid_case_sql()} AS predicted_lang
+FROM (
+  SELECT doc_id, lang,
+         {', '.join(
+             f"CAST(len(list_filter(w, t -> list_contains({STOPWORDS[lang]!r}, t))) AS DOUBLE) / len(w) AS s_{lang}"
+             for lang in LANGS
+         )}
+  FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+)
+ORDER BY doc_id
+""",
+)
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens()
+    def stop_ratio(lang: str) -> F.Column:
+        arr = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+        return (
+            F.size(F.filter(w, lambda t: F.array_contains(arr, t))).cast("double")
+            / F.size(w)
+        ).alias(f"s_{lang}")
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[stop_ratio(lang) for lang in LANGS],
+    )
+    pred = F.when(F.greatest(*[F.col(f"s_{lang}") for lang in LANGS]) == 0, F.lit("und"))
+    for lang in LANGS:
+        cond = None
+        for other in LANGS:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = pred.when(cond, F.lit(lang))
+    pred = pred.otherwise(F.lit("und"))
+    return scored.withColumn("predicted_lang", pred).orderBy("doc_id")
+
+
+@register(
+    "t04_fingerprint",
+    category="text",
+    doc="Document fingerprinting: md5 over whitespace-normalized lowercased "
+    "text (the exact-dedup key) plus a 60-bit integer prefix hash usable as "
+    "a shard/bucket key at scale.",
+    oracle="""
+SELECT doc_id,
+       md5(norm) AS fingerprint,
+       CAST('0x' || substr(md5(norm), 1, 15) AS BIGINT) AS fingerprint60
+FROM (
+  SELECT doc_id, array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ') AS norm
+  FROM documents
+)
+ORDER BY doc_id
+""",
+)
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), " ")
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fingerprint60"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t05_term_frequency",
+    category="text",
+    bench=True,
+    doc="Corpus term frequency with document frequency and rank — one "
+    "explode + map-side-combined groupBy on the token key; the aggregate "
+    "output is vocabulary-sized, tiny relative to the corpus.",
+    oracle=f"""
+SELECT token, tf, df, rank FROM (
+  SELECT token, tf, df,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+  FROM (
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+    GROUP BY token
+  )
+)
+WHERE rank <= 20
+ORDER BY rank
+""",
+)
+def t05_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    exploded = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = exploded.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .orderBy("rank")
+    )
