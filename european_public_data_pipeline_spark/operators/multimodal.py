@@ -1,0 +1,162 @@
+"""Multimodal column plumbing (SURVEY.md §2.12 — training-data mandate).
+
+Image/audio/video payloads at 100 TB are opaque ``binary`` columns with
+typed metadata; decode / feature-extract / frame-sample run as Arrow-batched
+pandas transforms over ``mapInPandas``. The image/audio codec libraries are
+NOT in this container, so the decode kernel is a clearly-marked
+**deterministic stub** (md5-derived pseudo-dimensions); everything around
+it — schema, binary handling, batch shape, partitioning — is the real
+production plumbing and is oracle-checked end to end.
+
+Swap ``_decode_stub`` for a real decoder (PIL / torchaudio / pyav) by
+replacing ONE function; the Spark plan does not change.
+
+Scale notes:
+- Binary payloads never pass through Python row-at-a-time: ``mapInPandas``
+  moves Arrow record batches; batch size is controlled by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound executor memory
+  against large blobs (the knob that matters when cells are megabytes).
+- Metadata-only queries (mime, size) never touch the payload column —
+  column pruning drops it at the parquet scan.
+- Frame sampling multiplies rows; it's an ``explode`` AFTER the cheap
+  metadata pass so only sampled offsets carry payload slices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("checksum", T.StringType(), True),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Opaque binary payload + typed metadata.
+
+    Stand-in payload = UTF-8 bytes of the text column (real pipelines land
+    actual media bytes here); the schema — ``binary`` payload next to a
+    metadata struct — is the production layout.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, str]:
+    """STUB decoder (no codec libs in this container).
+
+    Deterministic pseudo-decode: dimensions derived from the payload md5.
+    A real implementation returns ``PIL.Image.open(io.BytesIO(b)).size``;
+    only this function changes.
+    """
+    digest = hashlib.md5(payload).hexdigest()
+    width = 64 + int(digest[0:2], 16) % 64
+    height = 64 + int(digest[2:4], 16) % 64
+    return width, height, digest
+
+
+def decode_image_metadata(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched decode over mapInPandas: the hot path for media
+    feature extraction. Batches arrive as pandas DataFrames (zero-copy
+    Arrow for the binary column), the kernel runs per batch, output schema
+    is declared up front."""
+
+    def decode_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            decoded = [_decode_stub(bytes(b)) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": [m["mime"] for m in pdf["media_meta"]],
+                    "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                    "width": [d[0] for d in decoded],
+                    "height": [d[1] for d in decoded],
+                    "checksum": [d[2] for d in decoded],
+                }
+            )
+
+    return with_payload.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
+
+
+def sample_frames(decoded: DataFrame, stride_bytes: int = 64) -> DataFrame:
+    """Frame/offset sampling: one row per sampled offset (video-style).
+    Explodes AFTER the metadata pass so row multiplication never carries
+    the payload."""
+    offsets = F.sequence(
+        F.lit(0).cast("long"),
+        F.col("n_bytes") - 1,
+        F.lit(stride_bytes).cast("long"),
+    )
+    return decoded.select(
+        "doc_id",
+        "n_bytes",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+@register(
+    "m01_media_metadata",
+    category="multimodal",
+    doc="Binary payload + Arrow-batched pseudo-decode over mapInPandas: "
+    "doc_id, mime, size, md5-derived stub dimensions. The oracle recomputes "
+    "the identical metadata in SQL — proving the mapInPandas plumbing "
+    "(schema, batching, binary transport) end to end.",
+    oracle="""
+SELECT doc_id,
+       'image/png' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 64 AS BIGINT) AS width,
+       CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 64 AS BIGINT) AS height,
+       md5(text) AS checksum
+FROM documents
+ORDER BY doc_id
+""",
+)
+def m01_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_metadata(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "m02_frame_sampling",
+    category="multimodal",
+    doc="Offset/frame sampling plumbing: sequence + posexplode per media "
+    "row (stride 64 bytes), metadata-only — the payload never multiplies.",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(k * 64 AS BIGINT) AS byte_offset
+FROM documents,
+     UNNEST(generate_series(0, (octet_length(CAST(text AS BLOB)) - 1) // 64)) AS t(k)
+WHERE doc_id < 50
+ORDER BY doc_id, frame_idx
+""",
+)
+def m02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    decoded = decode_image_metadata(attach_binary_payload(docs))
+    return sample_frames(decoded).orderBy("doc_id", "frame_idx")

@@ -1,0 +1,130 @@
+"""Structured Streaming surface (SURVEY.md §2.11).
+
+The reference is batch-only; its incremental model is "re-run on the latest
+blob" (/root/reference/src/storage/blob.py:55-60). The Spark-native
+incremental model is Structured Streaming: the SAME DataFrame expressions
+run under ``readStream``/``writeStream`` with checkpointed state — so every
+transform below is written against a plain DataFrame and works identically
+in batch and streaming mode (that equivalence is what tests/test_streaming.py
+asserts, and registered queries q22/q23 oracle-check the batch side).
+
+Operators:
+- ``tumbling_agg`` / ``sliding_agg``: event-time window aggregation.
+- ``session_agg``: gap-based session windows (``F.session_window``).
+- ``dedup_stream``: exactly-once event dedup within the watermark horizon.
+- ``read_events_stream``: file-source stream over the events layout.
+
+Scale notes (streaming at production volume):
+- Watermarks bound state: an aggregation without ``withWatermark`` grows
+  state forever; every streaming entry point here takes a watermark.
+- State lives in the state store keyed by (group, window); shuffle is on
+  the group key exactly as in batch — partitioning strategy carries over.
+- ``Trigger.AvailableNow`` gives the reference's "process what's there,
+  then stop" batch-increment mode with streaming exactly-once bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """File-source stream over an events directory (the streaming analog of
+    the reference's poll-the-latest-blob loop, with exactly-once tracking)."""
+    return spark.readStream.format(fmt).schema(EVENTS_SCHEMA).load(path)
+
+
+def tumbling_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per (window, type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "3 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_agg(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session windows per user: a session closes after ``gap``
+    of inactivity (the stateful generalization of q19's lag trick)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event dedup by event_id within the watermark horizon —
+    the streaming form of exact dedup (state is bounded by the watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (Trigger.AvailableNow) into an in-memory table; returns the result as a
+    batch DataFrame. Test/driver helper — production would writeStream to a
+    real sink with a checkpoint location. ``output_mode``: "complete" for
+    aggregations, "append" for watermarked/stateless streams."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -1,0 +1,106 @@
+"""Structured Streaming tests: stream results must equal batch results for
+the same transforms (SURVEY.md §2.11), and the custom stateful operator
+must accumulate across micro-batches.
+
+Strategy: copy a slice of the events table to parquet files in tmp_path,
+run each transform twice — once via readStream + Trigger.AvailableNow into
+a memory sink, once as plain batch — and diff collected rows.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.streaming.stateful import running_user_totals
+from european_public_data_pipeline_spark.streaming.windows import (
+    dedup_stream,
+    read_events_stream,
+    run_available_now,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+from european_public_data_pipeline_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_small, tmp_path_factory):
+    """Events slice as plain parquet files (legal timestamp type, several
+    files so AvailableNow has multiple splits)."""
+    path = str(tmp_path_factory.mktemp("events_stream") / "events")
+    events = load_table(spark, sf_small, "events").filter(F.col("user_id") < 20)
+    events.repartition(4).write.parquet(path)
+    return path
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(tumbling_agg(stream), "t_tumbling")
+    want = tumbling_agg(batch)
+    cols = ["window_start", "window_end", "event_type", "n", "total_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_sliding_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(sliding_agg(stream), "t_sliding")
+    want = sliding_agg(batch)
+    cols = ["window_start", "event_type", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_session_stream_equals_batch(spark, events_dir):
+    batch = spark.read.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(session_agg(stream), "t_session")
+    want = session_agg(batch)
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_dedup_stream_drops_reprocessed_events(spark, events_dir, tmp_path):
+    # Duplicate every event file into the source dir's sibling and stream
+    # over both: dropDuplicates must collapse the copies.
+    dup_dir = str(tmp_path / "events_dup")
+    base = spark.read.parquet(events_dir)
+    base.unionAll(base).repartition(6).write.parquet(dup_dir)
+    stream = read_events_stream(spark, dup_dir)
+    got = run_available_now(
+        dedup_stream(stream), "t_dedup", output_mode="append"
+    )
+    assert got.count() == base.count()
+
+
+def test_stateful_running_totals_accumulates(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        running_user_totals(stream), "t_stateful", output_mode="update"
+    ).orderBy("user_id")
+    batch = spark.read.parquet(events_dir)
+    want = (
+        batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
+    # The memory sink in update mode keeps every emitted row; the LAST row
+    # per user (max n_events) is the final state.
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("last_ts").alias("last_ts"))
+        .orderBy("user_id")
+    )
+    assert _rows(final, ["user_id", "n_events", "last_ts"]) == _rows(
+        want, ["user_id", "n_events", "last_ts"]
+    )
