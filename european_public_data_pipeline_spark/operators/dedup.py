@@ -187,7 +187,9 @@ ORDER BY d1, d2
 )
 def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # The shingle set feeds the self-join twice plus the size aggregate;
+    # cache it so tokenize/explode/distinct runs once, not three times.
+    sh = shingles(docs).cache()
     s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     pairs = (
@@ -265,7 +267,9 @@ ORDER BY d1, d2
 )
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs)
+    # Shingles feed signature building AND candidate verification (twice)
+    # AND the size aggregate — one cached materialization instead of four.
+    sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
     sig = h.groupBy("doc_id").agg(
         *[
@@ -423,26 +427,19 @@ ORDER BY v1, v2
 """,
 )
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.similarity import (
+        exact_cosine_on_pairs,
+        gemm_candidate_pairs,
+        norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(dvec, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
-    e = emb.select("vec_id", dvec.alias("vec"), nrm.alias("nrm"))
-    a = e.select(F.col("vec_id").alias("v1"), F.col("vec").alias("vec_a"), F.col("nrm").alias("nrm_a"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("vec").alias("vec_b"), F.col("nrm").alias("nrm_b"))
-    dot = F.aggregate(
-        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    cosine = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    # e feeds candidate generation and the two rescore joins; cache it so
+    # the 64-term norm expression runs once per vector.
+    e = emb.select("vec_id", "embedding", norm().alias("nrm")).cache()
+    cand = gemm_candidate_pairs(e, COSINE_THRESHOLD)
     return (
-        a.crossJoin(b)
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", cosine.alias("cosine"))
+        exact_cosine_on_pairs(cand, e)
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("v1", "v2")
     )

@@ -11,10 +11,11 @@ Approximate-nearest-neighbor surface for an ``array<float>`` column:
 - s03: kNN label vote — the downstream-consumer shape (classification from
   neighbor labels).
 
-Determinism contract: every dot product is a sequential left-fold in double
-precision with the same operand shapes in Spark (``aggregate``/``zip_with``)
-and DuckDB (``list_reduce``/``list_transform``) — bit-identical cosines, so
-hash comparison works at full float precision.
+Determinism contract: every dot product is a sequential left-associated sum
+in double precision with the same operand order in Spark (``dot64``, an
+explicit codegen-friendly 64-term chain) and DuckDB (``list_reduce``
+sequential fold) — bit-identical cosines, so hash comparison works at full
+float precision.
 
 Scale notes (100 TB):
 - Brute-force is O(|queries| x |corpus|): fine for reranking small candidate
@@ -69,8 +70,133 @@ def fold_sum(arr: F.Column) -> F.Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def dot64(a: F.Column, b: F.Column) -> F.Column:
+    """Dot product as an explicit left-associated 64-term sum.
+
+    Bit-identical to the sequential fold (left association, ``0.0 + x == x``
+    exactly in IEEE double, and the per-element double cast matches the
+    oracle's ``CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)``) but stays
+    inside whole-stage codegen — Spark's higher-order functions are
+    interpreted per element, which at 10^7 pairs x 64 dims is the
+    difference between seconds and half a minute. Elements are cast
+    individually (a no-op on already-double arrays) so callers never need a
+    per-row ``transform`` — an array-rebuilding expression that would
+    otherwise be re-evaluated once per term.
+    """
+    terms = [
+        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        for i in range(1, DIM + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def norm(col: str = "embedding") -> F.Column:
-    return F.sqrt(fold_sum(F.transform(dvec(col), lambda x: x * x)))
+    c = F.col(col)
+    return F.sqrt(dot64(c, c))
+
+
+N_BLOCKS = 8  # GEMM block-pair fan-out for all-pairs candidate generation
+GEMM_MARGIN = 1e-6  # numpy-vs-exact cosine slack in the candidate prefilter
+
+
+def gemm_candidate_pairs(
+    e: DataFrame, threshold: float, group_col: str | None = None
+) -> DataFrame:
+    """All-pairs (or per-group) cosine candidates via blocked matrix multiply.
+
+    The naive quadratic join materializes O(n^2) rows each carrying two
+    64-dim arrays — the memory traffic, not the arithmetic, dominates. This
+    instead packs vectors into blocks (``collect_list``), joins block pairs
+    (a tiny relation), and runs one normalized GEMM per block pair inside
+    ``mapInPandas``, emitting only (v1, v2) ids whose numpy cosine clears
+    ``threshold - GEMM_MARGIN``. Callers MUST rescore candidates with the
+    exact ``dot64`` expression and re-apply the threshold: numpy's BLAS
+    summation order differs from the sequential fold by ~1e-13, so the
+    margin guarantees recall while the rescore restores bit-exactness.
+
+    This is the scale shape for exact all-pairs similarity: block-pair
+    tasks are embarrassingly parallel, each is a dense GEMM (the fastest
+    primitive available), and nothing quadratic is ever shuffled — only
+    packed blocks (n rows total) and surviving candidates move.
+    """
+    group = group_col if group_col is not None else F.lit(0).alias("_g")
+    packed = (
+        e.groupBy((F.abs(F.hash("vec_id")) % N_BLOCKS).alias("blk"), group)
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+    )
+    gname = group_col if group_col is not None else "_g"
+    pa = packed.select(
+        F.col(gname).alias("g"), F.col("blk").alias("bi"), F.col("vs").alias("vs_a")
+    )
+    pb = packed.select(
+        F.col(gname).alias("g"), F.col("blk").alias("bj"), F.col("vs").alias("vs_b")
+    )
+    bp = pa.join(pb, "g").filter(F.col("bi") <= F.col("bj"))
+    cut = threshold - GEMM_MARGIN
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        def unpack(vs):
+            ids = np.fromiter((r["vec_id"] for r in vs), dtype=np.int64, count=len(vs))
+            mat = np.asarray([r["embedding"] for r in vs], dtype=np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            return ids, mat
+
+        for pdf in batches:
+            out_v1, out_v2 = [], []
+            for bi, bj, vs_a, vs_b in zip(pdf["bi"], pdf["bj"], pdf["vs_a"], pdf["vs_b"]):
+                ia, ma = unpack(vs_a)
+                ib, mb = unpack(vs_b)
+                sim = ma @ mb.T
+                ii, jj = np.nonzero(sim >= cut)
+                v1, v2 = ia[ii], ib[jj]
+                if bi == bj:
+                    # same block: matrix holds both (i,j) and (j,i) plus the
+                    # diagonal — keep each unordered pair once
+                    keep = v1 < v2
+                    v1, v2 = v1[keep], v2[keep]
+                else:
+                    # distinct blocks: each unordered pair appears once but
+                    # id order is arbitrary (hash blocks) — canonicalize
+                    v1, v2 = np.minimum(v1, v2), np.maximum(v1, v2)
+                out_v1.append(v1)
+                out_v2.append(v2)
+            yield pd.DataFrame(
+                {
+                    "v1": np.concatenate(out_v1) if out_v1 else [],
+                    "v2": np.concatenate(out_v2) if out_v2 else [],
+                }
+            )
+
+    return bp.mapInPandas(gen, "v1 long, v2 long")
+
+
+def exact_cosine_on_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
+    """Bit-exact cosine for candidate (v1, v2) pairs: broadcast the small
+    candidate set, join embeddings back, evaluate the deterministic dot64."""
+    ea = e.select(
+        F.col("vec_id").alias("v1"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+    )
+    eb = e.select(
+        F.col("vec_id").alias("v2"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
+    )
+    return (
+        F.broadcast(cand)
+        .join(ea, "v1")
+        .join(eb, "v2")
+        .select(
+            "v1",
+            "v2",
+            (dot64(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+                "cosine"
+            ),
+        )
+    )
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -101,7 +227,7 @@ def bucket_expr(vec: F.Column) -> F.Column:
     out = None
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(c) for c in PLANES[p]])
-        proj = fold_sum(F.zip_with(vec, plane, lambda x, y: x * y))
+        proj = dot64(vec, plane)
         term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = term if out is None else out + term
     return out
@@ -147,7 +273,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    dot = fold_sum(F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: x * y))
+    dot = dot64(F.col("qvec"), F.col("cvec"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -193,23 +319,15 @@ def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "vec_id",
-        dvec().alias("vec"),
+        "embedding",
         norm().alias("nrm"),
-        bucket_expr(dvec()).alias("bucket"),
-    )
-    a = e.select(
-        F.col("vec_id").alias("v1"), F.col("vec").alias("vec_a"),
-        F.col("nrm").alias("nrm_a"), "bucket",
-    )
-    b = e.select(
-        F.col("vec_id").alias("v2"), F.col("vec").alias("vec_b"),
-        F.col("nrm").alias("nrm_b"), "bucket",
-    )
-    dot = fold_sum(F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda x, y: x * y))
+        bucket_expr(F.col("embedding")).alias("bucket"),
+    ).cache()  # feeds candidate gen, exact rescore (twice), and bucket lookup
+    cand = gemm_candidate_pairs(e, 0.35, group_col="bucket")
     return (
-        a.join(b, "bucket")
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", "bucket", (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"))
+        exact_cosine_on_pairs(cand, e)
+        .join(F.broadcast(e.select(F.col("vec_id").alias("v1"), "bucket")), "v1")
+        .select("v1", "v2", "bucket", "cosine")
         .filter(F.col("cosine") >= 0.35)
         .orderBy("v1", "v2")
     )
@@ -261,7 +379,7 @@ def s03_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    dot = fold_sum(F.zip_with(F.col("qvec"), F.col("cvec"), lambda x, y: x * y))
+    dot = dot64(F.col("qvec"), F.col("cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     topk = (
         F.broadcast(q)
