@@ -1,0 +1,200 @@
+"""Extended relational surface: string scalar functions, lenient
+arithmetic, sketch aggregates, and classic multi-join analytics
+(SURVEY.md §2.8 F6, §2.12).
+
+Scale notes: q26/q27 are the canonical fact-to-fact join shapes — filters
+are pushed below the join on both sides, the dimension side is broadcast,
+and the final top-k is a sort of an already-aggregated (small) result.
+q25's HLL sketch is THE cardinality path at 100 TB (fixed-size state,
+mergeable across partitions, no shuffle of distinct values); it has no SQL
+oracle because the sketch estimate is implementation-specific — the pytest
+asserts the error bound against the exact count instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.functions.exact import dec, dsum_expr
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+
+@register(
+    "q24_string_functions",
+    category="scalar-functions",
+    doc="String scalar surface (F6): concat_ws, format_string, locate, "
+    "contains, upper/lower, substring, length — the reference's f-string "
+    "path building as native column expressions.",
+    oracle="""
+SELECT c_custkey,
+       concat_ws('/', 'raw', c_mktsegment, c_name) AS blob_path,
+       printf('cust-%07d', c_custkey) AS padded_key,
+       upper(c_mktsegment) AS seg_upper,
+       substr(c_name, 1, 9) AS name_prefix,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       CASE WHEN contains(c_name, '00') THEN 1 ELSE 0 END AS has_00,
+       CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos
+FROM customer
+WHERE c_custkey <= 100
+ORDER BY c_custkey
+""",
+)
+def q24_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.concat_ws("/", F.lit("raw"), F.col("c_mktsegment"), F.col("c_name")).alias(
+                "blob_path"
+            ),
+            F.format_string("cust-%07d", F.col("c_custkey")).alias("padded_key"),
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.substring("c_name", 1, 9).alias("name_prefix"),
+            F.length("c_name").alias("name_len"),
+            F.when(F.col("c_name").contains("00"), 1).otherwise(0).alias("has_00"),
+            F.locate("#", F.col("c_name")).alias("hash_pos"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q25_approx_distinct",
+    category="aggregation",
+    doc="HyperLogLog cardinality sketches (approx_count_distinct) next to "
+    "a fixed-size quantile sketch (percentile_approx) — the 100 TB scale "
+    "path for distinct counts and percentiles: constant memory, mergeable, "
+    "one pass. No SQL oracle (sketch estimates are implementation-"
+    "specific); tests assert the documented error bounds vs exact.",
+    oracle=None,
+)
+def q25_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.countDistinct("l_orderkey").alias("exact_orders"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "q26_shipping_priority",
+    category="join",
+    bench=True,
+    doc="TPC-H Q3 shape: segment-filtered customer (broadcast) joined to "
+    "date-filtered orders and lineitem, revenue per order, top-10. Both "
+    "filters reach the scans before the joins.",
+    oracle="""
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < DATE '1995-03-15'
+  AND l.l_shipdate > DATE '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.to_date(F.lit("1995-03-15"))
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.to_date(F.lit("1995-03-15"))
+    )
+    return (
+        F.broadcast(c)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum_expr(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q27_late_delivery_semi",
+    category="join",
+    doc="TPC-H Q4 shape: orders with at least one late line item "
+    "(shipped >90 days after the order date — a correlated non-equi "
+    "predicate spanning both sides of the EXISTS) counted per priority; "
+    "semi join with a composite join condition.",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q27_late_delivery_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_date(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_date(F.lit("1996-04-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.date_add(o.o_orderdate, 90)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q28_try_arithmetic",
+    category="scalar-functions",
+    doc="Lenient arithmetic (F2 generalized): try_divide / nullable "
+    "division semantics — NULL on divide-by-zero instead of error or inf, "
+    "the distributed analog of errors='coerce'.",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN NULL
+            ELSE CAST(l_extendedprice AS DOUBLE) / CAST(l_discount AS DOUBLE) END
+         AS price_per_discount,
+       CASE WHEN (l_quantity - 25) = 0 THEN NULL
+            ELSE CAST(l_extendedprice AS DOUBLE) / (l_quantity - 25) END
+         AS price_per_qty_offset
+FROM lineitem
+WHERE l_orderkey <= 1000
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def q28_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"), F.col("l_discount").cast("double")
+        ).alias("price_per_discount"),
+        F.try_divide(
+            F.col("l_extendedprice").cast("double"), F.col("l_quantity") - 25
+        ).alias("price_per_qty_offset"),
+    ).orderBy("l_orderkey", "l_linenumber")

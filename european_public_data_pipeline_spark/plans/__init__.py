@@ -15,6 +15,7 @@ from european_public_data_pipeline_spark.plans.registry import (
 
 # Import for registration side effects — each module registers its QuerySpecs.
 from european_public_data_pipeline_spark.operators import relational  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import relational_ext  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import dedup  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import similarity  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import text  # noqa: E402,F401
