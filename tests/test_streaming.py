@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from european_public_data_pipeline_spark.streaming.stateful import running_user_totals
 from european_public_data_pipeline_spark.streaming.windows import (
     dedup_stream,
+    interval_join,
     read_events_stream,
     run_available_now,
     session_agg,
@@ -78,6 +79,22 @@ def test_dedup_stream_drops_reprocessed_events(spark, events_dir, tmp_path):
         dedup_stream(stream), "t_dedup", output_mode="append"
     )
     assert got.count() == base.count()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    def split(df):
+        views = df.filter(F.col("event_type") == "view")
+        purchases = df.filter(F.col("event_type") == "purchase")
+        return views, purchases
+
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        interval_join(*split(stream)), "t_ssjoin", output_mode="append"
+    )
+    want = interval_join(*split(spark.read.parquet(events_dir)))
+    cols = ["view_id", "user_id", "view_ts", "purchase_id", "purchase_ts", "purchase_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
 
 
 def test_stateful_running_totals_accumulates(spark, events_dir):
