@@ -22,6 +22,7 @@ from european_public_data_pipeline_spark.operators import text  # noqa: E402,F40
 from european_public_data_pipeline_spark.operators import event_windows  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import multimodal  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import reshape  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import argmax_sql  # noqa: E402,F401
 from european_public_data_pipeline_spark.pipeline import hicp_queries  # noqa: E402,F401
 
 __all__ = [
