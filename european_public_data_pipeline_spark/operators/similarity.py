@@ -66,10 +66,6 @@ def dvec(col: str = "embedding") -> F.Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def fold_sum(arr: F.Column) -> F.Column:
-    return F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
-
-
 def dot64(a: F.Column, b: F.Column) -> F.Column:
     """Dot product as an explicit left-associated 64-term sum.
 
