@@ -1,0 +1,91 @@
+"""Plan-level tests for the cluster-scale join strategies: bucketed joins
+must produce NO shuffle exchange; salted joins must return exactly the
+plain join's rows while spreading the hot key."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.operators.scale_joins import (
+    bucketed_join,
+    salted_join,
+    write_bucketed,
+)
+from european_public_data_pipeline_spark.tables import load_table
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_small, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("bucketed")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=8)
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_small, bucketed_tables):
+    left, right = bucketed_tables
+    joined = bucketed_join(spark, left, right, "o_orderkey")
+    plan = physical_plan(joined)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan  # co-located: zero shuffle
+
+    # identical result to the plain (shuffling) join
+    orders = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    assert joined.count() == orders.join(li, "o_orderkey").count()
+
+
+def test_plain_join_on_unbucketed_data_does_shuffle(spark, sf_small):
+    # control: the same join without bucketing plans an Exchange (or a
+    # broadcast at this tiny scale) — proving the bucketed variant's plan
+    # difference is real
+    orders = load_table(spark, sf_small, "orders")
+    li = load_table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    plan = physical_plan(orders.join(li.hint("merge"), "o_orderkey"))
+    assert "Exchange" in plan
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    events = load_table(spark, sf_small, "events")
+    # fabricate skew: map half the users onto one hot key
+    skewed = events.withColumn(
+        "user_id", F.when(F.col("user_id") % 2 == 0, 0).otherwise(F.col("user_id"))
+    )
+    dim = (
+        skewed.select("user_id").distinct().withColumn("segment", F.col("user_id") % 5)
+    )
+    plain = skewed.join(dim, "user_id")
+    salted = salted_join(skewed, dim, "user_id", n_salts=8, salt_source="event_id")
+    assert salted.count() == plain.count()
+    a = sorted(tuple(r) for r in salted.select("event_id", "user_id", "segment").collect())
+    b = sorted(tuple(r) for r in plain.select("event_id", "user_id", "segment").collect())
+    assert a == b
+
+
+def test_salt_actually_spreads_hot_key(spark, sf_small):
+    events = load_table(spark, sf_small, "events")
+    skewed = events.withColumn("user_id", F.lit(0))  # everything one key
+    salted = skewed.withColumn(
+        "_salt", (F.abs(F.hash(F.col("event_id"))) % 8).cast("int")
+    )
+    counts = salted.groupBy("_salt").count().collect()
+    assert len(counts) == 8  # all salt buckets populated
+    n = sum(r["count"] for r in counts)
+    assert max(r["count"] for r in counts) < 0.3 * n  # no single straggler
