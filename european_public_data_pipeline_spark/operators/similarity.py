@@ -12,10 +12,9 @@ Approximate-nearest-neighbor surface for an ``array<float>`` column:
   neighbor labels).
 
 Determinism contract: every dot product is a sequential left-associated sum
-in double precision with the same operand order in Spark (``dot64``, an
-explicit codegen-friendly 64-term chain) and DuckDB (``list_reduce``
-sequential fold) — bit-identical cosines, so hash comparison works at full
-float precision.
+in double precision with the same operand order in Spark (``dot_fold``) and
+DuckDB (``list_reduce`` sequential fold) — bit-identical cosines, so hash
+comparison works at full float precision.
 
 Scale notes (100 TB):
 - Brute-force is O(|queries| x |corpus|): fine for reranking small candidate
@@ -66,32 +65,28 @@ def dvec(col: str = "embedding") -> F.Column:
     return F.transform(F.col(col), lambda x: x.cast("double"))
 
 
-def dot64(a: F.Column, b: F.Column) -> F.Column:
-    """Dot product as an explicit left-associated 64-term sum.
+def dot_fold(a: F.Column, b: F.Column) -> F.Column:
+    """Sequential-fold dot product: per-element double casts, multiply,
+    left fold from 0.0 — the exact op order of the oracle's ``list_reduce``
+    (``0.0 + x == x`` in IEEE double, so the explicit init changes nothing).
 
-    Bit-identical to the sequential fold (left association, ``0.0 + x == x``
-    exactly in IEEE double, and the per-element double cast matches the
-    oracle's ``CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)``) but stays
-    inside whole-stage codegen — Spark's higher-order functions are
-    interpreted per element, which at 10^7 pairs x 64 dims is the
-    difference between seconds and half a minute. Elements are cast
-    individually (a no-op on already-double arrays) so callers never need a
-    per-row ``transform`` — an array-rebuilding expression that would
-    otherwise be re-evaluated once per term.
+    Implementation note: higher-order functions are interpreted, which is
+    FASTER here than an unrolled 64-term codegen chain — every distinct
+    unrolled expression costs seconds of Janino compilation, while all
+    high-row-count dot products go through the blocked-GEMM candidate path
+    (gemm_candidate_pairs) anyway. Folds only ever run on corpus-sized
+    projections and candidate-sized rescores.
     """
-    terms = [
-        F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-        for i in range(1, DIM + 1)
-    ]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def norm(col: str = "embedding") -> F.Column:
     c = F.col(col)
-    return F.sqrt(dot64(c, c))
+    return F.sqrt(dot_fold(c, c))
 
 
 N_BLOCKS = 8  # GEMM block-pair fan-out for all-pairs candidate generation
@@ -109,7 +104,7 @@ def gemm_candidate_pairs(
     (a tiny relation), and runs one normalized GEMM per block pair inside
     ``mapInPandas``, emitting only (v1, v2) ids whose numpy cosine clears
     ``threshold - GEMM_MARGIN``. Callers MUST rescore candidates with the
-    exact ``dot64`` expression and re-apply the threshold: numpy's BLAS
+    exact ``dot_fold`` expression and re-apply the threshold: numpy's BLAS
     summation order differs from the sequential fold by ~1e-13, so the
     margin guarantees recall while the rescore restores bit-exactness.
 
@@ -174,7 +169,7 @@ def gemm_candidate_pairs(
 
 def exact_cosine_on_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
     """Bit-exact cosine for candidate (v1, v2) pairs: broadcast the small
-    candidate set, join embeddings back, evaluate the deterministic dot64."""
+    candidate set, join embeddings back, evaluate the deterministic dot_fold."""
     ea = e.select(
         F.col("vec_id").alias("v1"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
     )
@@ -188,7 +183,7 @@ def exact_cosine_on_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
         .select(
             "v1",
             "v2",
-            (dot64(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
+            (dot_fold(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
                 "cosine"
             ),
         )
@@ -223,7 +218,7 @@ def bucket_expr(vec: F.Column) -> F.Column:
     out = None
     for p in range(N_PLANES):
         plane = F.array(*[F.lit(c) for c in PLANES[p]])
-        proj = dot64(vec, plane)
+        proj = dot_fold(vec, plane)
         term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = term if out is None else out + term
     return out
@@ -269,7 +264,7 @@ def s01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    dot = dot64(F.col("qvec"), F.col("cvec"))
+    dot = dot_fold(F.col("qvec"), F.col("cvec"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -375,7 +370,7 @@ def s03_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec").alias("cvec"),
         F.col("nrm").alias("cnrm"),
     )
-    dot = dot64(F.col("qvec"), F.col("cvec"))
+    dot = dot_fold(F.col("qvec"), F.col("cvec"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     topk = (
         F.broadcast(q)
