@@ -41,18 +41,23 @@ def main() -> None:
     for spec in specs:
         spec.builder(spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for spec in specs:
+    def run_once(spec) -> float:
         t0 = time.perf_counter()
         df = spec.builder(spark, sf_dir)
         # Execute fully: small aggregate outputs are collected, wide outputs
         # are counted (forces full evaluation without driver transfer).
-        n_cols = len(df.columns)
-        if n_cols <= 16:
+        if len(df.columns) <= 16:
             df.collect()
         else:
             df.count()
-        timings[spec.name] = round(time.perf_counter() - t0, 4)
+        return time.perf_counter() - t0
+
+    # Two timed passes, report the min: steady-state throughput without
+    # one-off JIT/cache-population noise polluting individual queries.
+    timings: dict[str, float] = {}
+    for spec in specs:
+        first = run_once(spec)
+        timings[spec.name] = round(min(first, run_once(spec)), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -324,6 +324,113 @@ def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 8  # IVF cells (centroids = first N_CELLS vectors, deterministic)
+N_PROBE = 2  # cells probed per query
+IVF_TOP_K = 3
+
+
+@register(
+    "s04_ivf_topk",
+    category="similarity",
+    doc="IVF-style ANN: corpus vectors assigned to their nearest of 8 "
+    "centroid cells (centroids = the first 8 vectors — deterministic, "
+    "training-free seeding), each query probes its 2 nearest cells and "
+    "ranks only those cells' members — the inverted-file index shape "
+    "(search cost = probed fraction of corpus). Approximate by design; "
+    "the oracle runs the identical algorithm, so parity checks the "
+    "construction. At scale, centroids come from a sampled k-means and "
+    "the assignment becomes the partitioning key of the vector table.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < {N_CELLS}),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dot('e.embedding', 'c.cemb')} / (e.nrm * c.cnrm) DESC, c.cid
+           ) AS rn
+    FROM e, c
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_dot('e.embedding', 'c.cemb')} / (e.nrm * c.cnrm) DESC, c.cid
+           ) AS rn
+    FROM e, c
+    WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY {_sql_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) DESC, a.vec_id
+         ) AS rank
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = a.vec_id
+) WHERE rank <= {IVF_TOP_K}
+ORDER BY query_id, rank
+""",
+)
+def s04_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm().alias("nrm")).cache()
+    c = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cell_cos = dot_fold(F.col("embedding"), F.col("cemb")) / (F.col("nrm") * F.col("cnrm"))
+    scored_cells = e.crossJoin(F.broadcast(c)).select(
+        "vec_id", "cid", cell_cos.alias("ccos")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(w_cell))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", F.col("cid").alias("cell"))
+    probe = (
+        ranked.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= N_PROBE))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probe)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nemb"),
+        F.col("nrm").alias("nnrm"),
+    )
+    cosine = dot_fold(F.col("qemb"), F.col("nemb")) / (F.col("qnrm") * F.col("nnrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        F.broadcast(cand)
+        .join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
 @register(
     "s03_knn_label_vote",
     category="similarity",
