@@ -66,7 +66,13 @@ def base_hash28(col: F.Column) -> F.Column:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per document: (doc_id, shingle).
+
+    Dedup happens INSIDE the row (``array_distinct`` before the explode):
+    doc_id is part of the set key, so a global ``.distinct()`` would only
+    ever remove within-document repeats — doing it row-local removes the
+    full-relation shuffle entirely.
+    """
     words = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - n),
@@ -74,10 +80,7 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
