@@ -132,3 +132,25 @@ def latest_payload_path(root: str, prefix: str = "") -> str | None:
     if not files:
         return None
     return str(max(files, key=lambda p: (p.stat().st_mtime_ns, str(p))))
+
+
+def latest_payload_per_partition(root: str, dataset: str) -> list[str]:
+    """S6 at series granularity: the newest ``ts=*.json`` in EACH
+    ``geo=*/coicop=*`` partition directory — the reference's
+    latest-blob-only incremental model (each run supersedes the previous
+    landing for its series; history stays on disk for audit/replay).
+
+    The ``ts=`` filename key sorts lexicographically by fetch time, so
+    "newest" is the max filename — deterministic even when mtimes collide.
+    """
+    base = Path(root) / "raw" / dataset
+    if not base.exists():
+        return []
+    out = []
+    for part_dir in sorted(base.glob("geo=*/coicop=*")):
+        if not part_dir.is_dir():
+            continue
+        files = [p for p in part_dir.glob("ts=*.json") if p.is_file()]
+        if files:
+            out.append(str(max(files, key=lambda p: p.name)))
+    return out

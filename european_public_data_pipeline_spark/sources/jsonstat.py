@@ -197,7 +197,7 @@ def _iter_rows(
 
 def read_jsonstat_files(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     dims: tuple[str, ...],
     value_column: str = "value",
 ) -> DataFrame:
@@ -216,7 +216,8 @@ def read_jsonstat_files(
             T.StructField("src_path", T.StringType(), True),
         ]
     )
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    paths = [path] if isinstance(path, str) else list(path)
+    files = spark.read.format("binaryFile").load(paths).select("path", "content")
 
     def parse_batch(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
