@@ -251,6 +251,75 @@ def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BPE-ish pre-tokenization pattern (letters / digits / single punctuation),
+# the classic GPT-2-style split shape; compatible Java-regex / RE2 subset.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ROLL_BASE = 257
+ROLL_PRIME = 1_000_000_007
+
+
+@register(
+    "t06_bpe_token_count",
+    category="text",
+    doc="BPE-ish token counting: regex pre-tokenization (letter runs / "
+    "digit runs / single punctuation — the GPT-2 split shape) next to the "
+    "whitespace count, plus the sub-token expansion ratio used for "
+    "token-budget estimation in training pipelines.",
+    oracle=f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS DOUBLE)
+         / len(string_split_regex(trim(text), '\\s+')) AS expansion_ratio
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t06_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokens())
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        (bpe.cast("double") / ws).alias("expansion_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "t07_rolling_hash_fingerprint",
+    category="text",
+    doc="Rolling polynomial hash fingerprint (Rabin-Karp over the token "
+    "stream, base 257 mod 1e9+7) — order-sensitive unlike the md5 set "
+    "fingerprint (t04), so reordered documents get different prints; "
+    "identical sequential fold on both engines.",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_transform(string_split_regex(trim(text), '\\s+'),
+                        t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)),
+         (a, b) -> (a * {ROLL_BASE} + b) % {ROLL_PRIME}
+       ) AS rolling_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t07_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = F.transform(
+        tokens(),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint"),
+    )
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda a, b: (a * ROLL_BASE + b) % ROLL_PRIME,
+    )
+    return docs.select("doc_id", fp.alias("rolling_fp")).orderBy("doc_id")
+
+
 @register(
     "t05_term_frequency",
     category="text",
