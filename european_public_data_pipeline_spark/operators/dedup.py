@@ -407,6 +407,42 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "d07_ml_minhash_lsh",
+    category="dedup",
+    doc="Stock pyspark.ml MinHashLSH near-dup pairs (HashingTF shingle "
+    "features, 8 hash tables, fixed seed, approxSimilarityJoin with exact "
+    "Jaccard-distance verification <= 0.2). Same planted pairs as the "
+    "hand-rolled d03/d04 (asserted in tests/test_ml_lsh.py); no SQL oracle "
+    "because the JVM murmur3/LSH internals aren't reproducible in DuckDB — "
+    "which is exactly why d04 builds its MinHash from portable hashes.",
+    oracle=None,
+)
+def d07_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_arrays = (
+        shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    tf = HashingTF(inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh_arrays)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=20260813)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.2, distCol="jaccard_dist")
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            (1 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .orderBy("d1", "d2")
+    )
+
+
 def _dot64_sql(a: str, b: str) -> str:
     """Sequential left-fold dot product — identical op order to F.aggregate."""
     return (
