@@ -1,0 +1,53 @@
+"""Exactly-once streaming sink via foreachBatch + checkpointing
+(SURVEY.md §2.11 / §4 "incremental processing").
+
+The reference's incremental model is "re-run on the newest blob"
+(/root/reference/src/storage/blob.py:55-60) with idempotency by
+delete-then-append (load_hicp_to_sql.py:54-62). The Spark-native form is a
+checkpointed stream with an idempotent batch writer:
+
+- the checkpoint records which source files/offsets are committed — a
+  restarted query resumes AFTER them (nothing reprocessed, nothing lost);
+- ``foreachBatch`` writes each micro-batch to a ``batch_id=N`` partition
+  with overwrite, so a batch retried after a mid-write crash replaces its
+  own partial output instead of duplicating it (idempotence at batch
+  granularity = exactly-once end-to-end for a deterministic batch).
+
+This is the production landing pattern for any file/warehouse sink that
+lacks transactions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_stream_exactly_once(
+    stream_df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Run the stream over all available input (Trigger.AvailableNow) into
+    a parquet sink with exactly-once semantics. Returns the query handle.
+
+    Re-invoking with the same checkpoint processes ONLY new input; a batch
+    retried after a failure overwrites its own ``batch_id`` partition.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{sink_path}/batch_id={batch_id}"
+            )
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

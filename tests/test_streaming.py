@@ -97,6 +97,32 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     assert len(_rows(got, cols)) > 0
 
 
+def test_exactly_once_sink_resumes_from_checkpoint(spark, events_dir, tmp_path):
+    from european_public_data_pipeline_spark.streaming.sinks import (
+        write_stream_exactly_once,
+    )
+
+    # test-local source copy: the delta-arrival phase mutates it
+    src = str(tmp_path / "src")
+    spark.read.parquet(events_dir).write.parquet(src)
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    source_rows = spark.read.parquet(src).count()
+
+    write_stream_exactly_once(read_events_stream(spark, src), sink, ckpt)
+    assert spark.read.parquet(sink).count() == source_rows
+
+    # Same checkpoint, no new input: the restarted query must commit
+    # NOTHING new — exactly-once, not at-least-once.
+    write_stream_exactly_once(read_events_stream(spark, src), sink, ckpt)
+    assert spark.read.parquet(sink).count() == source_rows
+
+    # New input arrives: only the delta lands after resume.
+    spark.read.parquet(src).limit(100).write.mode("append").parquet(src)
+    write_stream_exactly_once(read_events_stream(spark, src), sink, ckpt)
+    assert spark.read.parquet(sink).count() == source_rows + 100
+
+
 def test_stateful_running_totals_accumulates(spark, events_dir):
     stream = read_events_stream(spark, events_dir)
     got = run_available_now(
