@@ -150,13 +150,18 @@ LIMIT 20
 """,
 )
 def q04_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Aggregate-then-join rewrite: revenue per order is computable from
+    # lineitem alone (one narrow bigint group key), the top-20 is taken on
+    # that aggregate, and orders/customer attach to just 20 rows — instead
+    # of shuffling every joined row under a wide (orderkey, name, segment)
+    # key. Same result (one customer per order); at 100 TB this is the
+    # difference between shuffling the fact table once on a long vs.
+    # carrying dimension strings through the aggregation.
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
-    return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .groupBy("o_orderkey", "c_name", "c_mktsegment")
+    per_order = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
             dsum_expr(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
                 "revenue"
@@ -164,6 +169,13 @@ def q04_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(20)
+    )
+    return (
+        F.broadcast(per_order)
+        .join(orders, "o_orderkey")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("o_orderkey", "c_name", "c_mktsegment", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
     )
 
 
