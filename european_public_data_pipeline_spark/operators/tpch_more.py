@@ -1,0 +1,235 @@
+"""Classic analytic join/aggregation shapes (SURVEY.md §2.4/§2.5/§2.9
+depth): multi-hop star join, conditional aggregation, HAVING-on-aggregate
+semi join, range-frame windows, correlated-average filters.
+
+Scale notes: q36 is the canonical "co-located dimension chain" — both fact
+sides reach the nation key through broadcast dims, so the only big shuffle
+is the final aggregation; q38 filters a fact by an aggregate of another
+fact (broadcast the small aggregate result, never re-join row-level);
+q39's range frame is bounded by the frame width, not partition size; q40's
+per-group average comparison uses one window pass instead of a correlated
+re-scan per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.functions.exact import dec, dsum, dsum_expr
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+
+@register(
+    "q36_local_supplier_volume",
+    category="join",
+    bench=True,
+    doc="TPC-H Q5 shape: revenue from lineitems where the customer's and "
+    "supplier's nation coincide, per nation within one region and year — "
+    "a 6-table star with every dimension broadcast; the fact shuffles "
+    "once, for the aggregation.",
+    oracle="""
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def q36_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_date(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum_expr(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q37_conditional_agg",
+    category="aggregation",
+    doc="TPC-H Q12 shape: CASE-based conditional aggregation — per ship "
+    "year, how many lineitems belong to urgent/high vs other priority "
+    "orders. One join, one pass, both counts from the same rows.",
+    oracle="""
+SELECT CAST(date_part('year', l.l_shipdate) AS BIGINT) AS ship_year,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+ORDER BY ship_year
+""",
+)
+def q37_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+@register(
+    "q38_large_volume_customers",
+    category="join",
+    doc="TPC-H Q18 shape: orders whose total quantity exceeds a threshold "
+    "(HAVING on an aggregate) joined back to customer detail — the "
+    "aggregate-filter result is broadcast; the fact is never re-joined "
+    "row-level.",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 180
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""",
+)
+def q38_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 180)
+        .select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+    return (
+        F.broadcast(big)
+        .join(o, "o_orderkey")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@register(
+    "q39_range_frame_trailing",
+    category="window",
+    doc="RANGE-frame window (value-based, not row-based): trailing 30-day "
+    "revenue per order priority over daily aggregates — frame membership "
+    "by day distance, so gaps in the calendar are handled correctly "
+    "(rowsBetween would be wrong here).",
+    oracle="""
+WITH daily AS (
+  SELECT o_orderpriority,
+         date_diff('day', DATE '1990-01-01', o_orderdate) AS day_num,
+         o_orderdate,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders
+  GROUP BY 1, 2, 3
+)
+SELECT o_orderpriority, o_orderdate,
+       CAST(rev_dec AS DOUBLE) AS day_revenue,
+       CAST(SUM(rev_dec) OVER (
+         PARTITION BY o_orderpriority ORDER BY day_num
+         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_revenue
+FROM daily
+ORDER BY o_orderpriority, o_orderdate
+""",
+)
+def q39_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.datediff(F.col("o_orderdate"), F.to_date(F.lit("1990-01-01"))).alias("day_num"),
+        "o_orderdate",
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day_num")
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return (
+        daily.select(
+            "o_orderpriority",
+            "o_orderdate",
+            F.col("rev_dec").cast("double").alias("day_revenue"),
+            F.sum("rev_dec").over(w).cast("double").alias("trailing_30d_revenue"),
+        )
+        .orderBy("o_orderpriority", "o_orderdate")
+    )
+
+
+@register(
+    "q40_below_average_parts",
+    category="aggregation",
+    doc="TPC-H Q17 shape: lineitems below 20% of their part's average "
+    "quantity (correlated-average filter) — one window pass over the fact "
+    "instead of a per-row correlated re-scan; result is the total "
+    "foregone revenue.",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM (
+  SELECT l_extendedprice,
+         l_quantity,
+         AVG(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+  FROM lineitem
+)
+WHERE l_quantity < 0.2 * avg_qty
+""",
+)
+def q40_below_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.select(
+            "l_extendedprice",
+            "l_quantity",
+            F.avg("l_quantity").over(w).alias("avg_qty"),
+        )
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
