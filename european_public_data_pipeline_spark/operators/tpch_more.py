@@ -204,6 +204,47 @@ def q39_range_frame_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q41_promo_revenue_share",
+    category="join",
+    doc="TPC-H Q14 shape: share of revenue from promotional part types in "
+    "one month — broadcast part dimension, CASE numerator and plain "
+    "denominator from the same aggregation pass; one exact division at "
+    "the end.",
+    oracle="""
+SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type IN ('PROMO', 'ECONOMY')
+             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+             ELSE 0 END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= DATE '1996-03-01' AND l.l_shipdate < DATE '1996-04-01'
+""",
+)
+def q41_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_date(F.lit("1996-03-01")))
+        & (F.col("l_shipdate") < F.to_date(F.lit("1996-04-01")))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    promo = F.when(F.col("p_type").isin("PROMO", "ECONOMY"), rev).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
     "q40_below_average_parts",
     category="aggregation",
     doc="TPC-H Q17 shape: lineitems below 20% of their part's average "
