@@ -461,6 +461,116 @@ def d07_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    vertices: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label propagation connected components: (id) x (src, dst) -> (id, component).
+
+    Each iteration: every vertex takes the minimum of its own label and its
+    neighbors' labels — one shuffle join + one aggregation. Iteration count
+    is bounded by the component diameter, which for near-duplicate graphs is
+    tiny (LSH-verified clusters are clique-like); ``localCheckpoint`` after
+    every round truncates the lineage so the plan doesn't grow by two joins
+    per iteration (on a real cluster, ``checkpoint`` to durable storage for
+    fault tolerance). For adversarial long-chain graphs the alternating
+    large-star/small-star variant (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") converges in O(log n) rounds with the same
+    per-round shape; the propagation step below is its building block.
+    Convergence is detected by counting changed labels (one action per
+    round) and the loop exits early — the ``max_iter`` cap only guards
+    pathological inputs.
+    """
+    sym = edges.select(F.col("src"), F.col("dst")).union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = vertices.select("id", F.col("id").alias("component")).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_min", "component")).alias(
+                    "component"
+                ),
+                (F.coalesce("nbr_min", "component") < F.col("component")).alias(
+                    "changed"
+                ),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@register(
+    "d08_dup_clusters",
+    category="dedup",
+    doc="Near-duplicate cluster assignment: connected components over the "
+    "exact-Jaccard pair graph (d03's edges) via iterative min-label "
+    "propagation, cluster id = min doc_id in the component, survivor = "
+    "that doc. This is the resolve step after pair generation in a "
+    "web-scale dedup pipeline: pairs alone over-count (A~B~C is one "
+    "cluster, two pairs). Oracle computes the identical transitive "
+    "closure with a recursive CTE.",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       CAST(doc_id = cluster_id AS INT) AS is_survivor
+FROM comp
+ORDER BY doc_id
+""",
+)
+def d08_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = d03_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    )
+    comp = connected_components(
+        docs.select(F.col("doc_id").alias("id")), pairs
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+        )
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "is_survivor", (F.col("doc_id") == F.col("cluster_id")).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _dot64_sql(a: str, b: str) -> str:
     """Sequential left-fold dot product — identical op order to F.aggregate."""
     return (

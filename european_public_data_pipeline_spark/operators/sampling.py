@@ -1,0 +1,109 @@
+"""Corpus sampling operators (SURVEY.md §2.12 — the training-data mandate).
+
+Training-data pipelines rebalance corpus composition before training:
+up/down-sample languages and sources to hit a target mix, or cap each
+stratum at an exact document budget. Both shapes are here, and both are
+**deterministic** — sampling decisions are pure functions of the row key
+via the portable 28-bit md5 hash (operators/dedup.py base_hash28), never
+an RNG. Deterministic sampling is what makes a 100 TB sample reproducible
+across reruns, resumable after failure, and oracle-checkable: Spark's
+``df.sample``/``sampleBy`` use seeded per-partition RNGs whose draw order
+depends on partitioning, so results change when the cluster layout does.
+
+Scale notes (100 TB):
+- Rate-based sampling (sm01) is a pure narrow filter — zero shuffle, runs
+  inside the scan's whole-stage codegen, trivially partition-parallel.
+  This is THE way to cut a reproducible slice of a petabyte corpus.
+- Exact-budget sampling (sm02) needs a per-stratum top-k: one shuffle keyed
+  on the stratum. Hash-ordering within the stratum makes the chosen set a
+  uniform pseudo-random subset, and keys are language codes (bounded
+  cardinality) — with heavy skew, replace row_number with the two-phase
+  "sample rank threshold per stratum, then filter" trick; at this k the
+  single window is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.operators.dedup import base_hash28
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+# Target corpus mix: per-language keep rates in basis points (of 10000).
+# en is downsampled (over-represented in the raw crawl), low-resource
+# languages are kept in full — the standard rebalancing move.
+STRATUM_RATES_BP = {"en": 5000, "de": 10000, "fr": 10000, "es": 7500, "zh": 2500}
+
+# Exact per-stratum document budget for sm02.
+STRATUM_BUDGET = 20
+
+_HASH_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)"
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {bp}" for lang, bp in sorted(STRATUM_RATES_BP.items())
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "sm01_stratified_sample",
+    category="sampling",
+    doc="Deterministic stratified sample: keep a document iff "
+    "portable_hash(doc_id) mod 10000 < its language's rate in basis "
+    "points. A pure narrow filter (no shuffle, no RNG) — reproducible "
+    "across reruns and cluster layouts, unlike df.sampleBy whose seeded "
+    "per-partition draws move with the partitioning.",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {_HASH_SQL} % 10000 < ({_rate_case_sql()})
+ORDER BY doc_id
+""",
+)
+def sm01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, bp in sorted(STRATUM_RATES_BP.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(bp)).otherwise(rate)
+    keep = base_hash28(F.col("doc_id").cast("string")) % 10000 < rate
+    return (
+        docs.filter(keep)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sm02_per_stratum_budget",
+    category="sampling",
+    doc="Exact-budget stratified sample: the first N documents per "
+    "language in portable-hash order (doc_id tie-break) — a deterministic "
+    "'reservoir' that yields an exact per-stratum count where sm01's "
+    "rate filter yields an expected one. One shuffle keyed on the "
+    "stratum; hash-ordering makes the kept set pseudo-uniform.",
+    oracle=f"""
+SELECT lang, doc_id, hv
+FROM (
+  SELECT lang, doc_id, {_HASH_SQL} AS hv,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_HASH_SQL}, doc_id) AS rn
+  FROM documents
+)
+WHERE rn <= {STRATUM_BUDGET}
+ORDER BY lang, hv, doc_id
+""",
+)
+def sm02_per_stratum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hv = base_hash28(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy("hv", "doc_id")
+    return (
+        docs.select("lang", "doc_id", hv.alias("hv"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= STRATUM_BUDGET)
+        .select("lang", "doc_id", "hv")
+        .orderBy("lang", "hv", "doc_id")
+    )

@@ -356,3 +356,52 @@ def t05_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+CHUNK_TOKENS = 50
+CHUNK_STRIDE = 25
+
+
+@register(
+    "t08_chunk_windows",
+    category="text",
+    doc="Overlapping token-window chunking (50-token windows, stride 25) — "
+    "the sequence-prep step that turns documents into training samples. "
+    "Chunk boundaries come from a per-row `sequence` + `posexplode` (no "
+    "UDF, no shuffle: row-local fan-out inside the scan stage); chunks are "
+    "emitted as md5 content hashes so the output is join-able for chunk-"
+    "level dedup without shipping the text twice.",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_TOKENS} AS words FROM documents),
+s AS (
+  SELECT doc_id, words, i AS start,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS chunk_idx
+  FROM w, UNNEST(generate_series(1, greatest(1, len(words) - {CHUNK_TOKENS - 1}), {CHUNK_STRIDE})) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       len(words[start : start + {CHUNK_TOKENS - 1}]) AS n_tokens,
+       md5(array_to_string(words[start : start + {CHUNK_TOKENS - 1}], ' ')) AS chunk_hash
+FROM s
+ORDER BY doc_id, chunk_idx
+""",
+)
+def t08_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.col("w"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), n - (CHUNK_TOKENS - 1)),
+        F.lit(CHUNK_STRIDE),
+    )
+    chunk = F.slice(F.col("w"), F.col("start"), CHUNK_TOKENS)
+    return (
+        docs.select("doc_id", tokens().alias("w"))
+        .select("doc_id", "w", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
