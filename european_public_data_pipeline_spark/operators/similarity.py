@@ -498,3 +498,53 @@ def s03_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("n_label").alias("predicted_label"), "votes")
         .orderBy("query_id")
     )
+
+
+@register(
+    "s05_lang_centroids",
+    category="similarity",
+    doc="Per-language embedding centroids: broadcast-join embeddings to "
+    "document metadata, posexplode the vector, one grouped aggregation on "
+    "(lang, position). The cluster-center primitive behind embedding-based "
+    "quality filtering and SemDedup-style semantic dedup. Elements are "
+    "accumulated fixed-point — floor(x * 1e6) summed as exact DECIMAL(38,0) "
+    "— so the aggregation is partition-order invariant AND cross-engine "
+    "exact (decimal rounding of raw doubles ties differently between "
+    "engines: Spark rounds half-up, DuckDB half-even; floor of the same "
+    "double never does). The mean is a single double division of the exact "
+    "sum. At scale the explode is row-local and partial aggregation "
+    "shrinks the shuffle to num_partitions x (langs x dims) rows.",
+    oracle=f"""
+SELECT d.lang, i AS pos,
+       CAST(SUM(CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_val,
+       COUNT(*) AS n_vecs
+FROM embeddings e
+JOIN documents d ON d.doc_id = e.vec_id,
+UNNEST(generate_series(1, len(e.embedding))) AS t(i)
+GROUP BY 1, 2
+ORDER BY lang, pos
+""",
+)
+def s05_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    ex = emb.join(F.broadcast(docs), "vec_id").select(
+        "lang", F.posexplode("embedding").alias("pos0", "e")
+    )
+    return (
+        ex.groupBy("lang", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("e").cast("double") * 1000000.0).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("mean_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("lang", "pos")
+    )
