@@ -405,3 +405,59 @@ def t08_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+_SQL_SCORED_WITH_LANG = f"""
+SELECT doc_id, lang,
+       0.25 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
+         + 0.25 * (CAST(n_stop AS DOUBLE) / n_tokens)
+         + 0.25 * (1 - CAST(max_freq AS DOUBLE) / n_tokens)
+         + 0.25 * (1 - CAST(n_nonalpha AS DOUBLE) / n_tokens) AS quality_score
+FROM (
+  SELECT doc_id, lang,
+         len(w) AS n_tokens,
+         len(list_filter(w, t -> list_contains({STOPWORDS['en']!r}, t))) AS n_stop,
+         list_max(list_transform(list_distinct(w),
+                  t -> len(list_filter(w, x -> x = t)))) AS max_freq,
+         len(list_filter(w, t -> NOT regexp_matches(t, '^[A-Za-z]+$'))) AS n_nonalpha
+  FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+)
+"""
+
+
+@register(
+    "t09_quality_percentile_filter",
+    category="text",
+    doc="Per-language quality gate: keep documents whose t02 composite "
+    "score is strictly above the language's 25th percentile — the "
+    "'drop the worst quartile per stratum' corpus filter. Shape: score "
+    "(narrow, shuffle-free) -> tiny per-stratum quantile aggregate -> "
+    "broadcast join back -> filter. Parity-safe without rounding: scores "
+    "are bit-identical (t02), and a strict comparison against an "
+    "interpolated threshold cannot flip because no data point lies "
+    "strictly between adjacent order statistics.",
+    oracle=f"""
+WITH scored AS ({_SQL_SCORED_WITH_LANG}),
+thr AS (
+  SELECT lang, quantile_cont(quality_score, 0.25) AS lang_p25
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.quality_score, t.lang_p25
+FROM scored s JOIN thr t USING (lang)
+WHERE s.quality_score > t.lang_p25
+ORDER BY s.doc_id
+""",
+)
+def t09_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    s = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    thr = s.groupBy("lang").agg(
+        F.percentile("quality_score", F.lit(0.25)).alias("lang_p25")
+    )
+    return (
+        s.join(F.broadcast(thr), "lang")
+        .filter(F.col("quality_score") > F.col("lang_p25"))
+        .select("doc_id", "lang", "quality_score", "lang_p25")
+        .orderBy("doc_id")
+    )
