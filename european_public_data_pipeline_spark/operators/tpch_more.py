@@ -274,3 +274,44 @@ def q40_below_average_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
+
+
+@register(
+    "q42_grouping_sets",
+    category="aggregation",
+    doc="Explicit GROUPING SETS ((returnflag), (linestatus), ()) with a "
+    "grouping-id disambiguator — the general form that q12's CUBE and "
+    "q29's ROLLUP specialize. One pass over the fact; Spark expands the "
+    "sets map-side so the shuffle stays one aggregation exchange. The id "
+    "is built explicitly as 2*grouping(a)+grouping(b) so the bit layout "
+    "is engine-independent.",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+""",
+)
+def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    gid = (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")).cast("int")
+    return (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+            gid.alias("gid"),
+        )
+        .orderBy(
+            "gid",
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+        )
+    )
