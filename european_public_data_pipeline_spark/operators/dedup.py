@@ -617,3 +617,64 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("v1", "v2")
     )
+
+
+# Incremental-dedup corpus split: these sources are the "new crawl batch";
+# everything else is the already-deduplicated reference corpus.
+BATCH_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+@register(
+    "d09_incremental_dedup",
+    category="dedup",
+    doc="Incremental exact dedup: a new crawl batch survives only if its "
+    "text fingerprint (a) wins keep-first within the batch and (b) does "
+    "not already exist in the reference corpus — resolved with one "
+    "window + one left-anti join, both keyed on the uniform md5 "
+    "fingerprint (skew-free). This is the production shape at 100 TB: "
+    "the corpus side is a pre-built fingerprint index you bucket on fp "
+    "(operators/scale_joins.py) and reuse across batches, so each "
+    "increment costs one co-located anti join, never a re-cluster of "
+    "the world.",
+    oracle=f"""
+WITH f AS (
+  SELECT doc_id, source,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fingerprint
+  FROM documents
+),
+batch AS (SELECT * FROM f WHERE source IN {BATCH_SOURCES!r}),
+corpus AS (SELECT DISTINCT fingerprint FROM f WHERE source NOT IN {BATCH_SOURCES!r}),
+keep_first AS (
+  SELECT doc_id, source, fingerprint
+  FROM (SELECT doc_id, source, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM batch)
+  WHERE rn = 1
+)
+SELECT k.doc_id, k.source, k.fingerprint
+FROM keep_first k
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fingerprint = k.fingerprint)
+ORDER BY k.doc_id
+""",
+)
+def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.array_join(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), " ")
+    f = docs.select("doc_id", "source", F.md5(norm).alias("fingerprint"))
+    batch = f.filter(F.col("source").isin(*BATCH_SOURCES))
+    corpus = (
+        f.filter(~F.col("source").isin(*BATCH_SOURCES))
+        .select("fingerprint")
+        .distinct()
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    keep_first = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        keep_first.join(corpus, "fingerprint", "left_anti")
+        .select("doc_id", "source", "fingerprint")
+        .orderBy("doc_id")
+    )
