@@ -27,7 +27,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from european_public_data_pipeline_spark.operators.dedup import base_hash28
 from european_public_data_pipeline_spark.plans.registry import register
 from european_public_data_pipeline_spark.tables import load_table
 
@@ -65,6 +64,11 @@ ORDER BY doc_id
 """,
 )
 def sm01_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Imported here, not at module top: operators.dedup itself imports the
+    # plans package (whose __init__ imports this module), so a top-level
+    # import breaks when dedup is the first module loaded.
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
     docs = load_table(spark, sf_dir, "documents")
     rate = F.lit(0)
     for lang, bp in sorted(STRATUM_RATES_BP.items()):
@@ -97,6 +101,8 @@ ORDER BY lang, hv, doc_id
 """,
 )
 def sm02_per_stratum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
     docs = load_table(spark, sf_dir, "documents")
     hv = base_hash28(F.col("doc_id").cast("string"))
     w = Window.partitionBy("lang").orderBy("hv", "doc_id")
