@@ -678,3 +678,87 @@ def d09_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "fingerprint")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d10: train/benchmark contamination check
+
+# Pseudo benchmark split: portable_hash(doc_id) % CONTAM_MOD == 0 marks a
+# document as "held-out benchmark" (~5% of the corpus, deterministic).
+CONTAM_MOD = 20
+CONTAM_NGRAM = 5
+CONTAM_THRESHOLD = 0.5
+
+_HASH_DOC_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)"
+
+_SQL_SHINGLES5 = f"""
+SELECT DISTINCT doc_id,
+       concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]) AS shingle
+FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+     UNNEST(generate_series(1, len(words) - {CONTAM_NGRAM - 1})) AS t(i)
+"""
+
+
+@register(
+    "d10_contamination_check",
+    category="dedup",
+    doc="Benchmark-contamination detection: mark ~5% of documents as a "
+    "held-out benchmark split (portable_hash(doc_id) % 20 == 0), build the "
+    "set of distinct 5-token n-grams they contain, and score every "
+    "training document by the fraction of its distinct 5-grams that appear "
+    "in that benchmark set — the standard test-set-overlap decontamination "
+    "pass (as in GPT-3/PaLM data cleaning). Shape: per-doc distinct "
+    "shingles (Arrow-batched mapInPandas, row-local), benchmark set "
+    "broadcast to the probe side (it is a few percent of the corpus; at "
+    "100 TB swap the broadcast for a shuffle join on the shingle key or a "
+    "bloom-filter prefilter), one map-side-combined groupBy per doc. "
+    "Ratios are single divisions of exact integers — bit-exact parity.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES5}),
+split AS (SELECT doc_id, {_HASH_DOC_SQL} % {CONTAM_MOD} = 0 AS is_bench FROM documents),
+bench AS (
+  SELECT DISTINCT shingle FROM sh JOIN split USING (doc_id) WHERE is_bench
+),
+train AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN split USING (doc_id) WHERE NOT is_bench
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(b.shingle) AS n_matched,
+       CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS contamination_rate,
+       CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) > {CONTAM_THRESHOLD}
+         AS contaminated
+FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def d10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs, n=CONTAM_NGRAM)
+    is_bench = base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0
+    split = docs.select("doc_id", is_bench.alias("is_bench"))
+    sh = sh.join(F.broadcast(split), "doc_id")
+    bench = (
+        sh.filter(F.col("is_bench")).select("shingle").distinct()
+    )
+    train = sh.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    matched = train.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "shingle", "left"
+    )
+    rate = F.col("n_matched").cast("double") / F.col("n_shingles")
+    return (
+        matched.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_matched"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_matched",
+            rate.alias("contamination_rate"),
+            (rate > CONTAM_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )

@@ -38,6 +38,9 @@ STRATUM_RATES_BP = {"en": 5000, "de": 10000, "fr": 10000, "es": 7500, "zh": 2500
 # Exact per-stratum document budget for sm02.
 STRATUM_BUDGET = 20
 
+# Token capacity of one training block for sm03 (GPT-style packing).
+PACK_CAPACITY = 512
+
 _HASH_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)"
 
 
@@ -112,4 +115,76 @@ def sm02_per_stratum_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= STRATUM_BUDGET)
         .select("lang", "doc_id", "hv")
         .orderBy("lang", "hv", "doc_id")
+    )
+
+
+@register(
+    "sm03_sequence_packing",
+    category="sampling",
+    doc="Concat-and-chunk sequence packing: per language, documents are "
+    "concatenated in deterministic portable-hash order and the token "
+    f"stream is cut into fixed {PACK_CAPACITY}-token training blocks "
+    "(the GPT-style pack-then-split model). Each document's placement — "
+    "its token offset, first/last block, and how many blocks it spans — "
+    "falls out of one windowed cumulative sum of exact integer token "
+    "counts: one shuffle on the language key, no sequential driver loop, "
+    "and bit-exact parity for free. At 100 TB the window partitions by "
+    "(lang, shard) where shard = hash-bucket of doc_id, keeping each "
+    "cumsum partition bounded while preserving determinism.",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         {_HASH_SQL} AS hv
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY hv, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+  FROM d
+)
+SELECT doc_id, lang, n_tokens, token_offset,
+       token_offset // {PACK_CAPACITY} AS first_block,
+       (token_offset + n_tokens - 1) // {PACK_CAPACITY} AS last_block,
+       (token_offset + n_tokens - 1) // {PACK_CAPACITY}
+         - token_offset // {PACK_CAPACITY} + 1 AS blocks_spanned
+FROM c
+ORDER BY doc_id
+""",
+)
+def sm03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+        base_hash28(F.col("doc_id").cast("string")).alias("hv"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint")
+    first = F.floor(F.col("token_offset") / PACK_CAPACITY).cast("bigint")
+    last = F.floor(
+        (F.col("token_offset") + F.col("n_tokens") - 1) / PACK_CAPACITY
+    ).cast("bigint")
+    return (
+        base.withColumn("token_offset", offset)
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "token_offset",
+            first.alias("first_block"),
+            last.alias("last_block"),
+            (last - first + 1).alias("blocks_spanned"),
+        )
+        .orderBy("doc_id")
     )

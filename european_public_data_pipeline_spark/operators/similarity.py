@@ -548,3 +548,109 @@ def s05_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# s06: int8 embedding quantization
+
+QUANT_LEVELS = 127  # symmetric int8 range
+
+
+@register(
+    "s06_int8_quantization",
+    category="similarity",
+    doc="Symmetric int8 embedding quantization with reconstruction-error "
+    "audit: per vector, scale = max|x|, q_i = floor(x_i/scale*127 + 0.5), "
+    "then per-label aggregates of the reconstruction MSE and scale — the "
+    "compression pass (and its quality check) that shrinks an ANN index "
+    "4x before serving. All per-vector math is row-local higher-order "
+    "array functions (no shuffle); the per-label rollup accumulates "
+    "fixed-point floor(x*1e12) as exact DECIMAL(38,0) so the float "
+    "aggregation is partition-order invariant and cross-engine exact "
+    "(same recipe as s05). Squares are written as explicit self-products, "
+    "not pow(), whose libm rounding may differ across engines.",
+    oracle=f"""
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax,
+         embedding
+  FROM embeddings
+),
+qv AS (
+  SELECT label, absmax, embedding,
+         list_transform(embedding,
+           x -> CASE WHEN absmax = 0 THEN 0.0
+                     ELSE floor(CAST(x AS DOUBLE) / absmax * {QUANT_LEVELS} + 0.5)
+                END) AS qvec
+  FROM q
+),
+e AS (
+  SELECT label, absmax,
+         list_reduce(
+           list_transform(generate_series(1, len(embedding)),
+             i -> (CAST(embedding[i] AS DOUBLE) - qvec[i] * absmax / {QUANT_LEVELS})
+                * (CAST(embedding[i] AS DOUBLE) - qvec[i] * absmax / {QUANT_LEVELS})),
+           (a, b) -> a + b) / len(embedding) AS mse,
+         CAST(list_reduce(qvec, (a, b) -> a + b) AS BIGINT) AS q_sum
+  FROM qv
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(absmax * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_absmax,
+       CAST(SUM(CAST(floor(mse * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000000000.0 / COUNT(*) AS mean_mse,
+       CAST(SUM(q_sum) AS BIGINT) AS total_q_sum
+FROM e
+GROUP BY label
+ORDER BY label
+""",
+)
+def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    )
+    base = emb.select("label", "embedding", absmax.alias("absmax"))
+    am = F.col("absmax")
+    qvec = F.transform(
+        "embedding",
+        lambda x: F.when(am == 0, F.lit(0.0)).otherwise(
+            F.floor(x.cast("double") / am * QUANT_LEVELS + 0.5).cast("double")
+        ),
+    )
+    step2 = base.select("label", "absmax", "embedding", qvec.alias("qvec"))
+
+    def err(x: F.Column, q: F.Column) -> F.Column:
+        d = x.cast("double") - q * F.col("absmax") / QUANT_LEVELS
+        return d * d
+
+    sse = F.aggregate(
+        F.zip_with("embedding", "qvec", err), F.lit(0.0), lambda a, b: a + b
+    )
+    per_vec = step2.select(
+        "label",
+        "absmax",
+        (sse / F.size("embedding")).alias("mse"),
+        F.aggregate("qvec", F.lit(0.0), lambda a, b: a + b)
+        .cast("bigint")
+        .alias("q_sum"),
+    )
+
+    def fixed_mean(col: str, scale: float) -> F.Column:
+        return (
+            F.sum(F.floor(F.col(col) * scale).cast("decimal(38,0)")).cast("double")
+            / F.lit(scale)
+            / F.count(F.lit(1))
+        )
+
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            fixed_mean("absmax", 1e6).alias("mean_absmax"),
+            fixed_mean("mse", 1e12).alias("mean_mse"),
+            F.sum("q_sum").alias("total_q_sum"),
+        )
+        .orderBy("label")
+    )

@@ -407,6 +407,107 @@ def t08_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t10_repetition_signals",
+    category="text",
+    doc="Gopher-style repetition signals per document: duplicate bigram / "
+    "trigram fractions (share of n-gram occurrences that repeat an earlier "
+    "one), top-bigram fraction (mass of the single most frequent bigram), "
+    "and the longest consecutive run of one token. All computed row-locally "
+    "with higher-order array functions — no explode, no shuffle; every "
+    "ratio is one division of exact integers so parity needs no rounding. "
+    "The run length uses change-point positions: tokens w[i] != w[i-1] "
+    "mark boundaries, and the max gap between consecutive boundaries is "
+    "the longest run — O(n) instead of a per-row sequential fold.",
+    oracle="""
+SELECT doc_id,
+       n_tokens,
+       CAST(n_bg - n_bg_distinct AS DOUBLE) / n_bg AS dup_bigram_frac,
+       CAST(top_bg AS DOUBLE) / n_bg AS top_bigram_frac,
+       CAST(n_tg - n_tg_distinct AS DOUBLE) / n_tg AS dup_trigram_frac,
+       CAST(max_run AS BIGINT) AS max_token_run
+FROM (
+  SELECT doc_id,
+         len(w) AS n_tokens,
+         len(bg) AS n_bg,
+         len(list_distinct(bg)) AS n_bg_distinct,
+         list_max(list_transform(list_distinct(bg),
+                  t -> len(list_filter(bg, x -> x = t)))) AS top_bg,
+         len(tg) AS n_tg,
+         len(list_distinct(tg)) AS n_tg_distinct,
+         CASE WHEN len(w) < 2 THEN len(w) ELSE (
+           SELECT max(b[k+1] - b[k])
+           FROM (SELECT [1] || list_filter(generate_series(2, len(w)),
+                                           i -> w[i] != w[i-1])
+                        || [len(w) + 1] AS b),
+                UNNEST(generate_series(1, len(b) - 1)) AS t(k)
+         ) END AS max_run
+  FROM (
+    SELECT doc_id, w,
+           list_transform(generate_series(1, len(w) - 1),
+                          i -> concat_ws(' ', w[i], w[i+1])) AS bg,
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS tg
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+          FROM documents)
+  )
+)
+ORDER BY doc_id
+""",
+)
+def t10_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.col("w")
+    n = F.size(w)
+
+    def grams(k: int) -> F.Column:
+        return F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(k)]
+            ),
+        )
+
+    base = docs.select("doc_id", tokens().alias("w")).select(
+        "doc_id", "w", grams(2).alias("bg"), grams(3).alias("tg")
+    )
+    bg, tg = F.col("bg"), F.col("tg")
+    top_bg = F.array_max(
+        F.transform(
+            F.array_distinct(bg), lambda t: F.size(F.filter(bg, lambda x: x == t))
+        )
+    )
+    # Change-point positions i (1-indexed, 2..n) where w[i] != w[i-1];
+    # padded with 1 and n+1, consecutive gaps are the run lengths.
+    boundaries = F.concat(
+        F.array(F.lit(1)),
+        F.filter(
+            F.sequence(F.lit(2), n),
+            lambda i: F.element_at(w, i) != F.element_at(w, i - 1),
+        ),
+        F.array(n + 1),
+    )
+    max_run = F.array_max(
+        F.transform(
+            F.sequence(F.lit(1), F.size(boundaries) - 1),
+            lambda k: F.element_at(boundaries, k + 1) - F.element_at(boundaries, k),
+        )
+    )
+    n_bg, n_tg = F.size(bg), F.size(tg)
+    return base.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ((n_bg - F.size(F.array_distinct(bg))).cast("double") / n_bg).alias(
+            "dup_bigram_frac"
+        ),
+        (top_bg.cast("double") / n_bg).alias("top_bigram_frac"),
+        ((n_tg - F.size(F.array_distinct(tg))).cast("double") / n_tg).alias(
+            "dup_trigram_frac"
+        ),
+        F.when(n < 2, n).otherwise(max_run).cast("bigint").alias("max_token_run"),
+    ).orderBy("doc_id")
+
+
 _SQL_SCORED_WITH_LANG = f"""
 SELECT doc_id, lang,
        0.25 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
