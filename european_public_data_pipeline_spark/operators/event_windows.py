@@ -72,3 +72,26 @@ ORDER BY window_start, event_type
 def q23_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return sliding_agg(events).orderBy("window_start", "event_type")
+
+
+@register(
+    "q43_stream_enrichment",
+    category="streaming",
+    doc="Stream-static enrichment join (streaming/windows.py enrich_stream) "
+    "run in batch mode: every event decorated with its customer dimension "
+    "row through a broadcast hash join — the stateless lookup-join pattern "
+    "that keeps a production event stream shuffle-free. The streaming side "
+    "is asserted equal in tests/test_streaming.py.",
+    oracle="""
+SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+       c.c_name, c.c_nationkey, c.c_mktsegment
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+""",
+)
+def q43_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.streaming.windows import enrich_stream
+
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    return enrich_stream(events, customers).orderBy("event_id")

@@ -111,6 +111,37 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def enrich_stream(
+    events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-static enrichment: decorate each event with its customer
+    dimension row via a broadcast hash join on the key. The static side is
+    re-read per micro-batch (so slowly-changing dims pick up updates), the
+    join is stateless — no watermark-bounded buffering, append-mode safe —
+    and the broadcast keeps the stream side shuffle-free, exactly the plan
+    wanted at production volume where the stream is huge and the dim small.
+    Works identically on batch DataFrames.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(
+            F.broadcast(customers),
+            events["user_id"] == customers["c_custkey"],
+            "left",
+        )
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            "event_type",
+            "value",
+            "c_name",
+            "c_nationkey",
+            "c_mktsegment",
+        )
+    )
+
+
 def interval_join(
     views: DataFrame,
     purchases: DataFrame,

@@ -18,6 +18,7 @@ from european_public_data_pipeline_spark.streaming.stateful import (
 )
 from european_public_data_pipeline_spark.streaming.windows import (
     dedup_stream,
+    enrich_stream,
     interval_join,
     read_events_stream,
     run_available_now,
@@ -96,6 +97,18 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
     )
     want = interval_join(*split(spark.read.parquet(events_dir)))
     cols = ["view_id", "user_id", "view_ts", "purchase_id", "purchase_ts", "purchase_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_small, events_dir):
+    customers = load_table(spark, sf_small, "customer")
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(
+        enrich_stream(stream, customers), "t_enrich", output_mode="append"
+    )
+    want = enrich_stream(spark.read.parquet(events_dir), customers)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "c_name", "c_nationkey", "c_mktsegment"]
     assert _rows(got, cols) == _rows(want, cols)
     assert len(_rows(got, cols)) > 0
 
