@@ -1,0 +1,86 @@
+"""Physical-plan regression guards (SURVEY.md §4).
+
+The 100 TB design properties — filters reaching the parquet scan, column
+pruning, dimension broadcast, bounded shuffle counts — are asserted on the
+actual optimized plans so a refactor cannot silently regress them. PLANS.md
+holds the human-readable excerpts; these tests pin the load-bearing facts.
+"""
+
+from __future__ import annotations
+
+import re
+
+from european_public_data_pipeline_spark import plans
+
+SPECS = plans.all_specs()
+
+
+def _formatted_plan(spark, name: str, sf_dir: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    qe = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return qe.explainString(mode)
+
+
+def _shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes (excludes BroadcastExchange)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def _broadcasts(plan: str) -> int:
+    return len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+
+
+def test_q02_pushdown_and_pruning(spark, sf_small):
+    plan = _formatted_plan(spark, "q02_filter_project", sf_small)
+    assert "LessThan(l_quantity,24.0)" in plan  # predicate reached the scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    cols = {c.split(":")[0] for c in read.split(",")}
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    }  # 5 of 11 lineitem columns read
+
+
+def test_q05_star_join_is_all_broadcast(spark, sf_small):
+    plan = _formatted_plan(spark, "q05_region_customer_rollup", sf_small)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # Fact side never shuffles for the joins: only the agg + orderBy shuffle.
+    assert _shuffles(plan) <= 2
+
+
+def test_t10_row_local_signals_no_data_shuffle(spark, sf_small):
+    plan = _formatted_plan(spark, "t10_repetition_signals", sf_small)
+    # The single Exchange is the comparator-only orderBy (range partitioning).
+    assert _shuffles(plan) == 1
+    assert "rangepartitioning" in plan
+    read = re.search(r"ReadSchema: struct<([^>]*)>", plan).group(1)
+    assert "text" in read and "source" not in read  # 2 of 5 columns read
+
+
+def test_sm03_packing_single_stratum_shuffle(spark, sf_small):
+    plan = _formatted_plan(spark, "sm03_sequence_packing", sf_small)
+    # One hash shuffle on the stratum key + the comparator orderBy.
+    assert _shuffles(plan) == 2
+    assert "hashpartitioning(lang" in plan
+
+
+def test_s06_quantization_rollup_shuffles_only_label_rows(spark, sf_small):
+    plan = _formatted_plan(spark, "s06_int8_quantization", sf_small)
+    assert _shuffles(plan) == 2  # partial->final agg + orderBy
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_q43_stream_side_never_shuffled_for_join(spark, sf_small):
+    plan = _formatted_plan(spark, "q43_stream_enrichment", sf_small)
+    assert "BroadcastHashJoin" in plan
+    assert _broadcasts(plan) == 1  # customer dim
+    assert _shuffles(plan) == 1  # comparator orderBy only
