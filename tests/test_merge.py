@@ -1,0 +1,102 @@
+"""Row-level MERGE emulation: upsert semantics + partition-scoped rewrite."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.pipeline.merge import merge_by_key
+
+
+def _rows(spark, path):
+    return {
+        (r["k"], r["lang"]): r["v"]
+        for r in spark.read.parquet(path).collect()
+    }
+
+
+def _seed(spark, path):
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, "de", "d")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+    return df
+
+
+def test_merge_updates_inserts_and_preserves(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "en", "B2"), (9, "en", "new"), (7, "fr", "x")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    assert _rows(spark, path) == {
+        (1, "en"): "a",
+        (2, "en"): "B2",  # updated
+        (3, "de"): "c",  # untouched partition preserved
+        (4, "de"): "d",
+        (9, "en"): "new",  # inserted into existing partition
+        (7, "fr"): "x",  # new partition created
+    }
+
+
+def test_merge_is_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "en", "B2")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    once = _rows(spark, path)
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    assert _rows(spark, path) == once
+
+
+def test_merge_does_not_rewrite_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    de_dir = os.path.join(path, "lang=de")
+    before = {
+        f: os.path.getmtime(os.path.join(de_dir, f))
+        for f in os.listdir(de_dir)
+        if f.endswith(".parquet")
+    }
+    updates = spark.createDataFrame(
+        [(2, "en", "B2")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    after = {
+        f: os.path.getmtime(os.path.join(de_dir, f))
+        for f in os.listdir(de_dir)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # de partition files physically untouched
+
+
+def test_merge_unpartitioned_table(spark, tmp_path):
+    path = str(tmp_path / "u")
+    base = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "b")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, base, keys=["k"])
+    updates = spark.createDataFrame(
+        [(2, "x", "B"), (3, "x", "c")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k"])
+    assert _rows(spark, path) == {(1, "x"): "a", (2, "x"): "B", (3, "x"): "c"}
+
+
+def test_merge_multi_column_key(spark, tmp_path):
+    path = str(tmp_path / "m")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (1, "de", "b")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, base, keys=["k", "lang"], partition_col="lang")
+    updates = spark.createDataFrame(
+        [(1, "en", "A")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k", "lang"], partition_col="lang")
+    assert _rows(spark, path) == {(1, "en"): "A", (1, "de"): "b"}
