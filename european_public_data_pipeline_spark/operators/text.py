@@ -562,3 +562,69 @@ def t09_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "lang", "quality_score", "lang_p25")
         .orderBy("doc_id")
     )
+
+
+TFIDF_TOPK = 5
+
+
+@register(
+    "t11_tfidf_topk",
+    category="text",
+    doc="Top-5 characteristic terms per document by TF-IDF. The idf is the "
+    "rational form N/df (not log(N/df)): libm log differs in the last ulp "
+    "across engines, a ratio of exact integers does not, and the induced "
+    "ranking for a fixed corpus is monotone-equivalent. Shape: one explode "
+    "+ two-level aggregation for (tf, df), a broadcast of the "
+    "vocabulary-sized df table back onto the term stream, one window "
+    "top-k per document. At 100 TB the df table is still vocabulary-sized "
+    "(tiny), so the broadcast holds; the window partitions by doc_id, "
+    "which is the natural high-cardinality key — no skew.",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, df, tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_TOPK}
+ORDER BY doc_id, tfidf DESC, token
+""",
+)
+def t11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tok = tok.cache()  # feeds both the tf and df aggregations
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        ((F.col("tf") * n_docs).cast("double") / F.col("df")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .drop("rk")
+        .orderBy("doc_id", F.desc("tfidf"), "token")
+    )

@@ -1,0 +1,137 @@
+"""Slowly-changing-dimension Type 2 history on plain parquet (SURVEY.md §2.7).
+
+The reference's warehouse load keeps only the latest state of each series
+(delete-then-append, /root/reference/src/db/load_hicp_to_sql.py:54-62).
+SCD2 keeps every state with validity intervals — the standard dimension
+history every warehouse grows into: rows carry ``valid_from``/``valid_to``
+(NULL = still current) and an ``is_current`` flag, and point-in-time
+queries reconstruct any past snapshot.
+
+Storage layout is chosen for scale: the table is partitioned by
+``is_current``. Applying a batch then costs:
+
+- **append** new files into the ``is_current=false`` partition (rows being
+  closed) — the history partition is append-only, never rewritten, so it
+  can grow without bound at O(batch) write cost;
+- **dynamic partition overwrite** of the ``is_current=true`` partition —
+  sized as the live dimension (small relative to history).
+
+The change detection is one left join of the update batch against the
+current snapshot on the business key with null-safe attribute comparison;
+within a batch, the latest row per key wins (window keep-last on the
+effective timestamp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def read_scd2(spark: SparkSession, path: str) -> DataFrame:
+    """Read the SCD2 table with ``is_current`` restored to boolean
+    (partition-value inference does not cover booleans)."""
+    tbl = spark.read.parquet(path)
+    return tbl.withColumn("is_current", F.col("is_current").cast("boolean"))
+
+
+def _write(df: DataFrame, path: str, mode: str) -> None:
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.partitionBy("is_current").mode(mode).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def scd2_apply(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    effective_col: str = "effective_ts",
+) -> None:
+    """Apply an update batch to the SCD2 table at ``path``.
+
+    ``updates`` carries the business key, the tracked attributes, and an
+    effective timestamp. Keys whose attributes changed get their current
+    row closed (``valid_to`` = new effective time) and a new current row;
+    unseen keys are inserted; unchanged keys are untouched.
+    """
+    # Latest row per key within the batch wins.
+    w = Window.partitionBy(*key_cols).orderBy(F.desc(effective_col))
+    batch = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    fresh = batch.select(
+        *key_cols,
+        *attr_cols,
+        F.col(effective_col).alias("valid_from"),
+        F.lit(None).cast(batch.schema[effective_col].dataType).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+    try:
+        tbl = read_scd2(spark, path)
+    except AnalysisException:
+        _write(fresh, path, "overwrite")
+        return
+
+    current = tbl.filter(F.col("is_current"))
+    u = batch.alias("u")
+    c = current.alias("c")
+    joined = u.join(c, key_cols, "left")
+
+    changed = F.lit(False)
+    for a in attr_cols:
+        changed = changed | ~F.col(f"u.{a}").eqNullSafe(F.col(f"c.{a}"))
+    is_new = F.col("c.valid_from").isNull()
+
+    # Rows to close: existing current rows whose attributes changed.
+    closed = (
+        joined.filter(~is_new & changed)
+        .select(
+            *key_cols,
+            *[F.col(f"c.{a}").alias(a) for a in attr_cols],
+            F.col("c.valid_from").alias("valid_from"),
+            F.col(f"u.{effective_col}").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # New current rows: changed keys + brand-new keys.
+    opened = (
+        joined.filter(is_new | changed)
+        .select(
+            *key_cols,
+            *[F.col(f"u.{a}").alias(a) for a in attr_cols],
+            F.col(f"u.{effective_col}").alias("valid_from"),
+            F.lit(None)
+            .cast(batch.schema[effective_col].dataType)
+            .alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+    )
+    untouched = current.join(closed.select(*key_cols), key_cols, "left_anti")
+
+    # Materialize both outputs before mutating the files they read from.
+    current_out = untouched.unionByName(opened).localCheckpoint(eager=True)
+    closed_out = closed.localCheckpoint(eager=True)
+
+    # History partition: append-only. Current partition: replaced.
+    if closed_out.count() > 0:
+        _write(closed_out, path, "append")
+    _write(current_out, path, "overwrite")
+
+
+def snapshot_at(spark: SparkSession, path: str, ts) -> DataFrame:
+    """Point-in-time reconstruction: the dimension as of ``ts``."""
+    tbl = read_scd2(spark, path)
+    return tbl.filter(
+        (F.col("valid_from") <= F.lit(ts))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
+    ).drop("is_current")
