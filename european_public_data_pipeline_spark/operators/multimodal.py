@@ -160,3 +160,102 @@ def m02_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     decoded = decode_image_metadata(attach_binary_payload(docs))
     return sample_frames(decoded).orderBy("doc_id", "frame_idx")
+
+
+FEAT_DIM = 8
+
+
+def extract_features(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched pseudo feature extraction: payload -> fixed-size
+    float vector (md5-chunk derived — a real model embedding plugs in by
+    replacing the kernel body; schema and batch shape are production)."""
+
+    def feat_batches(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        def feat(b: bytes) -> list[float]:
+            digest = hashlib.md5(b).hexdigest()
+            return [
+                int(digest[4 * i : 4 * i + 4], 16) / 65535.0
+                for i in range(FEAT_DIM)
+            ]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "feature": [feat(bytes(b)) for b in pdf["payload"]],
+                }
+            )
+
+    return with_payload.select("doc_id", "payload").mapInPandas(
+        feat_batches, schema="doc_id long, feature array<double>"
+    )
+
+
+THUMB_MAX = 64
+
+
+def thumbnail_dims(decoded: DataFrame) -> DataFrame:
+    """Aspect-fit resize planning: the dimension math every thumbnail
+    pipeline runs before the pixel kernel (which would slot into the same
+    mapInPandas pass as the decode)."""
+    scale = THUMB_MAX / F.greatest(F.col("width"), F.col("height")).cast("double")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        scale.alias("scale"),
+        F.greatest(F.lit(1), F.floor(F.col("width") * scale)).cast("long").alias("thumb_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * scale)).cast("long").alias("thumb_h"),
+    )
+
+
+@register(
+    "m03_feature_extraction",
+    category="multimodal",
+    doc="Payload -> fixed-size float feature vector over Arrow-batched "
+    "mapInPandas (md5-chunk stub standing in for a model embedding; the "
+    "kernel body is the only thing a real model changes). The oracle "
+    "recomputes the identical vector in SQL — float elements are single "
+    "divisions of exact integers, so the array hash-matches bit-exact.",
+    oracle=f"""
+SELECT doc_id,
+       list_transform(generate_series(0, {FEAT_DIM - 1}),
+         i -> CAST('0x' || substr(md5(text), 1 + i * 4, 4) AS BIGINT) / 65535.0)
+         AS feature
+FROM documents
+ORDER BY doc_id
+""",
+)
+def m03_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
+
+
+@register(
+    "m04_thumbnail_resize",
+    category="multimodal",
+    doc="Aspect-fit thumbnail planning on decoded media metadata: "
+    "scale = 64/max(w,h), floor-scaled target dims clamped to >= 1 — the "
+    "resize math that precedes any pixel kernel, computed on the "
+    "metadata-only projection (payload column pruned at the scan).",
+    oracle=f"""
+WITH meta AS (
+  SELECT doc_id,
+         CAST(64 + CAST('0x' || substr(md5(text), 1, 2) AS BIGINT) % 64 AS BIGINT) AS width,
+         CAST(64 + CAST('0x' || substr(md5(text), 3, 2) AS BIGINT) % 64 AS BIGINT) AS height
+  FROM documents
+)
+SELECT doc_id, width, height,
+       {THUMB_MAX} / CAST(greatest(width, height) AS DOUBLE) AS scale,
+       greatest(1, CAST(floor(width * ({THUMB_MAX} / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT)) AS thumb_w,
+       greatest(1, CAST(floor(height * ({THUMB_MAX} / CAST(greatest(width, height) AS DOUBLE))) AS BIGINT)) AS thumb_h
+FROM meta
+ORDER BY doc_id
+""",
+)
+def m04_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    decoded = decode_image_metadata(attach_binary_payload(docs))
+    return thumbnail_dims(decoded).orderBy("doc_id")

@@ -198,3 +198,72 @@ def q28_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("double"), F.col("l_quantity") - 25
         ).alias("price_per_qty_offset"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+N_HIST_BINS = 20
+
+
+@register(
+    "q44_price_histogram",
+    category="aggregation",
+    doc="Equi-width histogram of l_extendedprice in 20 bins — the classic "
+    "two-pass OLAP histogram: pass 1 computes exact decimal min/max "
+    "(tiny 1-row aggregate), pass 2 broadcasts the bounds onto the fact "
+    "scan and bins row-locally, one map-side-combined groupBy on the bin "
+    "id. Bin edges and sums go through exact decimals so the float "
+    "arithmetic ((x-lo)/width, lo + bin*width) is an identical op "
+    "sequence on both engines — no rounding needed. At 100 TB pass 1 is "
+    "a full scan but aggregates to one row per partition before the "
+    "(single-row) shuffle; pass 2 is the same scan again — fuse with any "
+    "other full-table aggregate, or replace pass 1 with catalog-level "
+    "column statistics when available.",
+    oracle=f"""
+WITH b AS (
+  SELECT min(CAST(l_extendedprice AS DECIMAL(18,2))) AS lo,
+         max(CAST(l_extendedprice AS DECIMAL(18,2))) AS hi
+  FROM lineitem
+),
+j AS (
+  SELECT CAST(l.l_extendedprice AS DECIMAL(18,2)) AS x, b.lo, b.hi
+  FROM lineitem l CROSS JOIN b
+),
+binned AS (
+  SELECT least(CAST(floor(CAST(x - lo AS DOUBLE)
+                          / (CAST(hi - lo AS DOUBLE) / {N_HIST_BINS})) AS BIGINT),
+               {N_HIST_BINS - 1}) AS bin,
+         x, lo, hi
+  FROM j
+)
+SELECT bin,
+       CAST(lo AS DOUBLE) + bin * (CAST(hi - lo AS DOUBLE) / {N_HIST_BINS}) AS bin_lo,
+       COUNT(*) AS n,
+       CAST(SUM(x) AS DOUBLE) AS sum_price
+FROM binned
+GROUP BY bin, lo, hi
+ORDER BY bin
+""",
+)
+def q44_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec("l_extendedprice")
+    bounds = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
+    j = li.select(x.alias("x")).crossJoin(F.broadcast(bounds))
+    width = (F.col("hi") - F.col("lo")).cast("double") / N_HIST_BINS
+    bin_ = F.least(
+        F.floor((F.col("x") - F.col("lo")).cast("double") / width),
+        F.lit(N_HIST_BINS - 1),
+    )
+    return (
+        j.select(bin_.alias("bin"), "x", "lo", "hi")
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"), dsum_expr(F.col("x")).alias("sum_price"))
+        .select(
+            "bin",
+            (
+                F.col("lo").cast("double") + F.col("bin") * width
+            ).alias("bin_lo"),
+            "n",
+            "sum_price",
+        )
+        .orderBy("bin")
+    )
