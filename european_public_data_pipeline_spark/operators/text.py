@@ -610,9 +610,11 @@ def t11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
-    tok = tok.cache()  # feeds both the tf and df aggregations
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # df falls out of tf: distinct docs per token == rows per token in the
+    # already-aggregated tf relation — one pass over the exploded tokens,
+    # the second aggregate runs on the (much smaller) tf output.
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.count()
     scored = tf.join(F.broadcast(df), "token").select(
         "doc_id",
