@@ -95,3 +95,113 @@ def q43_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     customers = load_table(spark, sf_dir, "customer")
     return enrich_stream(events, customers).orderBy("event_id")
+
+
+@register(
+    "q45_funnel_conversion",
+    category="event-analytics",
+    doc="View-to-purchase funnel: per user, the first view and the first "
+    "purchase strictly after it, with the conversion lag — one grouped "
+    "min per event type and a conditional min for the ordered step "
+    "(min(purchase_ts where ts > first_view)), i.e. two aggregation "
+    "passes on the user key with no self-join: the fact table is "
+    "scanned once, shuffled once on user_id. The classic product-"
+    "analytics funnel, expressed so it scales linearly.",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, p.first_purchase,
+       CAST(date_diff('second', v.first_view, p.first_purchase) AS BIGINT)
+         AS lag_seconds,
+       p.first_purchase IS NOT NULL AS converted
+FROM v LEFT JOIN p ON v.user_id = p.user_id
+ORDER BY v.user_id
+""",
+)
+def q45_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_purchase",
+            (F.col("first_purchase").cast("long") - F.col("first_view").cast("long")).alias(
+                "lag_seconds"
+            ),
+            F.col("first_purchase").isNotNull().alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q46_retention_cohorts",
+    category="event-analytics",
+    doc="Weekly retention cohorts: users grouped by first-activity week, "
+    "counted per subsequent activity week offset — the standard cohort "
+    "triangle. Shape: one aggregate for cohort assignment (small, one "
+    "row per user), broadcast back onto the distinct (user, week) "
+    "activity pairs, final rollup on (cohort_week, offset). The event "
+    "scan shuffles once on user_id; everything after is "
+    "cardinality-of-users sized.",
+    oracle="""
+WITH first_week AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('week', f.cohort_week, a.activity_week) AS BIGINT)
+         AS week_offset,
+       COUNT(*) AS n_users
+FROM activity a JOIN first_week f ON a.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+ORDER BY f.cohort_week, week_offset
+""",
+)
+def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_week), "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
