@@ -74,3 +74,72 @@ def salted_join(
     )
     out = salted_left.join(replicated_right, [key, "_salt"])
     return out.drop("_salt")
+
+
+N_SALTS = 16
+
+_FIXED = "CAST(floor(value * 1000000.0) AS DECIMAL(38,0))"
+
+
+def _register_salted_agg():
+    # Local import: this module is imported by the plans package, and
+    # registry/load_table import from plans-adjacent modules.
+    from european_public_data_pipeline_spark.plans.registry import register
+    from european_public_data_pipeline_spark.tables import load_table
+
+    @register(
+        "q47_salted_skew_agg",
+        category="scale",
+        doc="Two-phase salted aggregation over a low-cardinality skewed "
+        "key (event_type: a handful of values over the whole fact "
+        "table): phase 1 aggregates on (key, salt16) — spreading each "
+        "hot key over 16 reducers — phase 2 merges the 16 partials per "
+        "key. Value sums accumulate fixed-point floor(v*1e6) DECIMAL("
+        "38,0), so the two-phase result is bit-identical to the "
+        "oracle's single GROUP BY: associativity of integer sums is "
+        "what makes salting semantically free. Salt is a deterministic "
+        "portable hash of event_id, never an RNG. (Spark's partial "
+        "aggregation does this automatically for plain aggregates; "
+        "explicit salting is the pattern for when the aggregate state "
+        "itself is heavy — collect_list/percentile state — or for "
+        "salted joins.)",
+        oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(CAST(SUM({_FIXED}) AS DOUBLE) / 1000000.0 AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    )
+    def q47_salted_skew_agg(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        salt = (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 7), 16, 10
+            ).cast("bigint")
+            % N_SALTS
+        )
+        partial = (
+            events.withColumn("salt", salt)
+            .groupBy("event_type", "salt")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(
+                    F.floor(F.col("value") * 1000000.0).cast("decimal(38,0)")
+                ).alias("pv"),
+            )
+        )
+        return (
+            partial.groupBy("event_type")
+            .agg(
+                F.sum("pn").alias("n"),
+                (F.sum("pv").cast("double") / F.lit(1000000.0)).alias("total_value"),
+            )
+            .orderBy("event_type")
+        )
+
+    return q47_salted_skew_agg
+
+
+q47_salted_skew_agg = _register_salted_agg()
