@@ -654,3 +654,125 @@ def s06_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# s07: deterministic k-means (2 unrolled iterations)
+
+KMEANS_K = 8
+KMEANS_DIM = 64
+
+
+def _sqdist_sql(v: str, c: str) -> str:
+    """Sequential-fold squared distance — identical op order to the Spark
+    zip_with/aggregate fold."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {KMEANS_DIM}), "
+        f"i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])), (x, y) -> x + y)"
+    )
+
+
+_KM_ASSIGN_SQL = """
+  SELECT vec_id, v, cid, dist FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT e.vec_id, e.v, s.cid, {dist} AS dist FROM {e} e CROSS JOIN {c} s)
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "s07_kmeans_assignments",
+    category="similarity",
+    doc="Deterministic k-means over the embedding table, two unrolled "
+    "Lloyd iterations: seeds are the 8 vectors with the smallest portable "
+    "hash (no RNG), assignment is an argmin over a broadcast centroid "
+    "table (squared distance as the same sequential fold both engines "
+    "run), and the centroid update accumulates fixed-point floor(x*1e6) "
+    "DECIMAL sums per (cluster, dimension) — partition-order invariant, "
+    "so the means (and therefore the second iteration's assignments) are "
+    "bit-identical to the oracle's unrolled SQL. The iterative-ML loop "
+    "shape at scale: per iteration one broadcast of K*dim doubles out, "
+    "one map-side-combined shuffle of K*dim partial sums back; rows "
+    "never shuffle. d08 (connected components) is the same loop class "
+    "with a data-dependent iteration count.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS cid, v AS c
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY hv, vec_id) <= {KMEANS_K}
+),
+a1 AS ({_KM_ASSIGN_SQL.format(dist=_sqdist_sql('e.v', 's.c'), e='e', c='seeds')}),
+c1m AS (
+  SELECT cid, i AS pos,
+         CAST(SUM(CAST(floor(v[i] * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1000000.0 / COUNT(*) AS mval
+  FROM a1, UNNEST(generate_series(1, {KMEANS_DIM})) AS t(i)
+  GROUP BY cid, i
+),
+c1 AS (SELECT cid, list(mval ORDER BY pos) AS c FROM c1m GROUP BY cid),
+a2 AS ({_KM_ASSIGN_SQL.format(dist=_sqdist_sql('e.v', 's.c'), e='e', c='c1')})
+SELECT vec_id, cid, dist AS sq_dist FROM a2 ORDER BY vec_id
+""",
+)
+def s07_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    hv = F.conv(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10
+    ).cast("bigint")
+    e = emb.select("vec_id", dvec().alias("v"), hv.alias("hv"))
+
+    w_seed = Window.orderBy("hv", "vec_id")
+    cent0 = (
+        e.withColumn("rn", F.row_number().over(w_seed))
+        .filter(F.col("rn") <= KMEANS_K)
+        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("c"))
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        dist = F.aggregate(
+            F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            e.crossJoin(F.broadcast(cent))
+            .withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cid", "dist")
+        )
+
+    def update(assigned: DataFrame) -> DataFrame:
+        means = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("val") * 1000000.0).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(1000000.0)
+                    / F.count(F.lit(1))
+                ).alias("mval")
+            )
+        )
+        return means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("c")
+        )
+
+    cent1 = update(assign(cent0))
+    final = assign(cent1)
+    return final.select(
+        "vec_id", "cid", F.col("dist").alias("sq_dist")
+    ).orderBy("vec_id")
