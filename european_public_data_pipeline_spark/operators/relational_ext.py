@@ -267,3 +267,72 @@ def q44_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "q48_winsorized_mean",
+    category="aggregation",
+    doc="Winsorized price statistics per return flag: clamp "
+    "l_extendedprice into its group's [p05, p95] band, compare the raw "
+    "and winsorized means — the robust-statistics pass that keeps tail "
+    "outliers from dominating a metric. Shape: tiny per-group percentile "
+    "aggregate, broadcast back, clamp row-locally, re-aggregate. The "
+    "interpolated thresholds are bit-identical across engines (same "
+    "order statistics, same lerp); clamped values are no longer "
+    "2-decimal, so the winsorized mean accumulates fixed-point "
+    "floor(x*1e6) instead of DECIMAL(18,2) casts.",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS x
+  FROM lineitem
+),
+thr AS (
+  SELECT flag,
+         quantile_cont(x, 0.05) AS lo,
+         quantile_cont(x, 0.95) AS hi
+  FROM base GROUP BY flag
+)
+SELECT b.flag,
+       COUNT(*) AS n,
+       t.lo, t.hi,
+       CAST(SUM(CAST(b.x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_raw,
+       CAST(SUM(CAST(floor(least(greatest(b.x, t.lo), t.hi) * 1000000.0)
+                     AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000.0 / COUNT(*) AS mean_winsorized
+FROM base b JOIN thr t USING (flag)
+GROUP BY b.flag, t.lo, t.hi
+ORDER BY b.flag
+""",
+)
+def q48_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_returnflag").alias("flag"),
+        dec("l_extendedprice").cast("double").alias("x"),
+    )
+    thr = base.groupBy("flag").agg(
+        F.percentile("x", F.lit(0.05)).alias("lo"),
+        F.percentile("x", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi"))
+    return (
+        base.join(F.broadcast(thr), "flag")
+        .groupBy("flag", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("x").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_raw"),
+            (
+                F.sum(
+                    F.floor(clamped * 1000000.0).cast("decimal(38,0)")
+                ).cast("double")
+                / F.lit(1000000.0)
+                / F.count(F.lit(1))
+            ).alias("mean_winsorized"),
+        )
+        .select("flag", "n", "lo", "hi", "mean_raw", "mean_winsorized")
+        .orderBy("flag")
+    )
