@@ -160,11 +160,13 @@ def q45_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="event-analytics",
     doc="Weekly retention cohorts: users grouped by first-activity week, "
     "counted per subsequent activity week offset — the standard cohort "
-    "triangle. Shape: one aggregate for cohort assignment (small, one "
-    "row per user), broadcast back onto the distinct (user, week) "
-    "activity pairs, final rollup on (cohort_week, offset). The event "
-    "scan shuffles once on user_id; everything after is "
-    "cardinality-of-users sized.",
+    "triangle. Shape: one aggregate for cohort assignment (one row per "
+    "user), joined back onto the distinct (user, week) activity pairs, "
+    "final rollup on (cohort_week, offset). Both join inputs derive from "
+    "the same events scan shuffled on user_id, so the join reuses that "
+    "partitioning; the side is user-cardinality, so the join strategy is "
+    "left to AQE (broadcast at test scale, sort-merge at 100 TB) rather "
+    "than forced.",
     oracle="""
 WITH first_week AS (
   SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
@@ -192,7 +194,7 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
     ).distinct()
     return (
-        activity.join(F.broadcast(first_week), "user_id")
+        activity.join(first_week, "user_id")
         .select(
             "cohort_week",
             (
