@@ -735,12 +735,17 @@ ORDER BY t.doc_id
 )
 def d10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    is_bench = base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0
-    split = docs.select("doc_id", is_bench.alias("is_bench"))
+    # The benchmark flag is a pure function of doc_id — computed inline on
+    # the shingle relation, no corpus-cardinality join or broadcast.
     # Cache: both the benchmark-set branch and the training probe branch
     # scan the shingle relation — without this the mapInPandas shingle
     # generation runs twice (seen in the physical plan).
-    sh = shingles(docs, n=CONTAM_NGRAM).join(F.broadcast(split), "doc_id").cache()
+    is_bench = base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0
+    sh = (
+        shingles(docs, n=CONTAM_NGRAM)
+        .withColumn("is_bench", is_bench)
+        .cache()
+    )
     bench = (
         sh.filter(F.col("is_bench")).select("shingle").distinct()
     )
