@@ -120,9 +120,12 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     )
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
+    # n1/n2 are corpus-cardinality — join strategy left to AQE: broadcast
+    # at test scale, shuffle join against the (already small) candidate
+    # pair set at 100 TB.
     return (
-        inter.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+        inter.join(n1, "d1")
+        .join(n2, "d2")
         .select(
             "d1",
             "d2",
