@@ -234,8 +234,10 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("isect").cast("double") / (F.col("n1") + F.col("n2") - F.col("isect"))
     return (
-        pairs.join(F.broadcast(n1), "d1")
-        .join(F.broadcast(n2), "d2")
+        # n1/n2 are corpus-cardinality: strategy left to AQE (broadcast at
+        # test scale, shuffle join against the small pair set at 100 TB).
+        pairs.join(n1, "d1")
+        .join(n2, "d2")
         .select("d1", "d2", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("d1", "d2")

@@ -173,7 +173,10 @@ def q04_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(per_order)
         .join(orders, "o_orderkey")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # after the 20-row broadcast join the left side is tiny — AQE
+        # broadcasts IT into customer; hinting customer would push the
+        # linearly-growing side into every executor at scale
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .select("o_orderkey", "c_name", "c_mktsegment", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
     )

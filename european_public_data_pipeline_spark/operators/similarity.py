@@ -317,7 +317,7 @@ def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = gemm_candidate_pairs(e, 0.35, group_col="bucket")
     return (
         exact_cosine_on_pairs(cand, e)
-        .join(F.broadcast(e.select(F.col("vec_id").alias("v1"), "bucket")), "v1")
+        .join(e.select(F.col("vec_id").alias("v1"), "bucket"), "v1")
         .select("v1", "v2", "bucket", "cosine")
         .filter(F.col("cosine") >= 0.35)
         .orderBy("v1", "v2")
@@ -531,7 +531,8 @@ def s05_lang_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "lang"
     )
-    ex = emb.join(F.broadcast(docs), "vec_id").select(
+    # corpus-cardinality metadata side: strategy left to AQE
+    ex = emb.join(docs, "vec_id").select(
         "lang", F.posexplode("embedding").alias("pos0", "e")
     )
     return (

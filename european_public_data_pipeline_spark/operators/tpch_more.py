@@ -141,7 +141,9 @@ def q38_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(big)
         .join(o, "o_orderkey")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # left side is already the selective aggregate — AQE broadcasts it
+        # into customer rather than shipping customer everywhere
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_name",
             "o_orderkey",
