@@ -9,22 +9,32 @@ existing rows survive, new keys are inserted.
 
 Algorithm (Spark-first, no driver-side row handling):
 
-1. Scope the read: when the target is partitioned, only partitions that
-   appear in ``updates`` are read (partition pruning) and rewritten
-   (dynamic partition overwrite) — untouched partitions are never opened.
+1. Scope the read: when the target is partitioned, the rewrite set is the
+   partitions present in ``updates`` PLUS any partition holding an updated
+   key (found with one column-pruned key scan + left-semi join) — the
+   latter is what makes partition-value changes correct: a key that moves
+   from ``lang=en`` to ``lang=de`` must have its old row deleted from
+   ``en``, which a naive replaceWhere-style merge silently skips. All
+   other partitions are never opened.
 2. ``updates UNION ALL scoped-target`` with a source-precedence literal,
    then one window (`row_number` per key, updates first) keeps the winner —
    the standard "latest wins" merge as a single shuffle on the merge key.
 3. ``localCheckpoint`` materializes the merged rows before the overwrite —
-   Spark cannot overwrite files it is still lazily reading from. A
-   production deployment on a transactional format (Delta/Iceberg MERGE)
-   replaces step 3 with the format's own commit protocol; on raw parquet
-   the checkpoint is the price of self-overwrite.
+   Spark cannot overwrite files it is still lazily reading from. Dynamic
+   partition overwrite only replaces partitions PRESENT in the output, so
+   a touched partition that the merge emptied is deleted explicitly via
+   the Hadoop FS API (works on any supported filesystem). A production
+   deployment on a transactional format (Delta/Iceberg MERGE) replaces
+   step 3 with the format's own commit protocol; on raw parquet this is
+   the price of self-overwrite.
 
-Scale notes: cost is one shuffle over (updates + touched partitions), not
-the whole table. Partition the target on the natural update-locality key
-(ingest date, tenant, geo) so a merge touches few partitions. Skewed merge
-keys behave like any skewed shuffle — AQE skew handling applies.
+Scale notes: cost is one shuffle over (updates + touched partitions) plus
+one column-pruned key scan for moved-key detection (skippable via the
+``keys_stay_in_partition`` flag when the partition column is a function of
+the key — ingest date of an immutable record, tenant id). Partition the
+target on the natural update-locality key so a merge touches few
+partitions. Skewed merge keys behave like any skewed shuffle — AQE skew
+handling applies.
 """
 
 from __future__ import annotations
@@ -34,18 +44,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 
+def _delete_partition_dir(spark: SparkSession, target_path: str, part_dir: str) -> None:
+    """Remove one emptied partition directory through the Hadoop FS API."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    path = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{part_dir}")
+    fs = path.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def merge_by_key(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
     keys: list[str],
     partition_col: str | None = None,
+    keys_stay_in_partition: bool = False,
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``target_path``.
 
-    Rows whose ``keys`` match an existing row replace it; new keys are
-    appended; all other existing rows are preserved. When ``partition_col``
-    is given, only partitions present in ``updates`` are read or rewritten.
+    Rows whose ``keys`` match an existing row replace it (even when the
+    update moves the row to a different partition); new keys are appended;
+    all other existing rows are preserved. ``keys_stay_in_partition=True``
+    skips the moved-key scan when the partition value is known to be a
+    function of the key.
     """
     try:
         target = spark.read.parquet(target_path)
@@ -61,9 +84,19 @@ def merge_by_key(
         return
 
     if partition_col:
-        touched = [
-            r[0] for r in updates.select(partition_col).distinct().collect()
-        ]
+        upd_parts = updates.select(partition_col).distinct()
+        if keys_stay_in_partition:
+            touched_df = upd_parts
+        else:
+            # Partitions holding an updated key (column-pruned key scan):
+            # catches rows whose new partition value differs from the old.
+            moved_parts = (
+                target.join(updates.select(*keys).distinct(), keys, "left_semi")
+                .select(partition_col)
+                .distinct()
+            )
+            touched_df = upd_parts.union(moved_parts).distinct()
+        touched = [r[0] for r in touched_df.collect()]
         scoped = target.filter(F.col(partition_col).isin(touched))
     else:
         scoped = target
@@ -93,5 +126,15 @@ def merge_by_key(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        # Dynamic overwrite never touches partitions absent from the
+        # output — delete any touched partition the merge emptied.
+        out_parts = {
+            r[0] for r in merged.select(partition_col).distinct().collect()
+        }
+        for p in touched:
+            if p not in out_parts:
+                _delete_partition_dir(
+                    spark, target_path, f"{partition_col}={p}"
+                )
     else:
         merged.write.mode("overwrite").parquet(target_path)

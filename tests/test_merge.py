@@ -100,3 +100,36 @@ def test_merge_multi_column_key(spark, tmp_path):
     )
     merge_by_key(spark, path, updates, keys=["k", "lang"], partition_col="lang")
     assert _rows(spark, path) == {(1, "en"): "A", (1, "de"): "b"}
+
+
+def test_merge_key_moving_between_partitions(spark, tmp_path):
+    # Found by hypothesis: an update that changes the partition value must
+    # delete the old row from its previous partition.
+    path = str(tmp_path / "t")
+    _seed(spark, path)  # (1 en a) (2 en b) (3 de c) (4 de d)
+    updates = spark.createDataFrame(
+        [(1, "fr", "moved")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    assert _rows(spark, path) == {
+        (1, "fr"): "moved",
+        (2, "en"): "b",
+        (3, "de"): "c",
+        (4, "de"): "d",
+    }
+
+
+def test_merge_emptied_partition_is_removed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (2, "de", "b")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, base, keys=["k"], partition_col="lang")
+    # Move the only en row to de: the en partition is now empty and must
+    # not survive as a stale directory.
+    updates = spark.createDataFrame(
+        [(1, "de", "A")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    assert _rows(spark, path) == {(1, "de"): "A", (2, "de"): "b"}
+    assert not os.path.exists(os.path.join(path, "lang=en"))
