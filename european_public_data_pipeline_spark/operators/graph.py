@@ -1,0 +1,121 @@
+"""Graph analytics (SURVEY.md §2.12 extension class).
+
+PageRank over the customer-supplier purchase graph — the third member of
+the iterative-loop family here (d08 connected components: data-dependent
+iteration count; s07 k-means: fixed Lloyd iterations; g01 PageRank: fixed
+power iterations). The reference has no graph surface at all.
+
+Graph: distinct (customer, supplier) purchase relationships from
+orders ⋈ lineitem, made undirected (both edge directions), node ids
+disambiguated by parity (2*custkey / 2*suppkey+1).
+
+Determinism: per-iteration contributions pr(src)/outdeg(src) are IEEE
+doubles computed identically in both engines; their per-node sums
+accumulate fixed-point floor(c*1e12) as exact DECIMAL(38,0), so the rank
+vector after every iteration is bit-identical to the oracle's unrolled
+SQL regardless of partitioning.
+
+Scale notes: each iteration is one shuffle of edge contributions keyed on
+dst (map-side combined to one row per (partition, node)) plus a join of
+the rank vector to the edge list — the standard Pregel-style layout. The
+rank vector is node-cardinality; the join strategy is left to AQE. At
+web scale, add block partitioning of the edge list by src so the rank
+join co-partitions with the contribution shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+DAMPING = 0.85
+PR_SCALE = 1_000_000_000_000.0  # 1e12 fixed-point contribution accumulator
+
+_SQL_EDGES = """
+SELECT src, dst FROM (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+UNION ALL
+SELECT dst AS src, src AS dst FROM (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+)
+"""
+
+# One power iteration in SQL: ranks {r} -> new ranks, given edges/outdeg/nn.
+_SQL_ITER = f"""
+  SELECT g.dst AS node,
+         0.15 / (SELECT n FROM nn)
+           + {DAMPING} * (CAST(SUM(CAST(floor(r.pr / g.outdeg * {PR_SCALE})
+                                        AS DECIMAL(38,0))) AS DOUBLE)
+                          / {PR_SCALE}) AS pr
+  FROM (SELECT e.src, e.dst, o.outdeg FROM edges e
+        JOIN outdeg o ON o.src = e.src) g
+  JOIN {{r}} r ON r.node = g.src
+  GROUP BY g.dst
+"""
+
+
+@register(
+    "g01_pagerank",
+    category="graph",
+    doc="Two unrolled PageRank power iterations (damping 0.85) over the "
+    "undirected customer-supplier purchase graph, uniform init 1/N. "
+    "Contribution sums are fixed-point DECIMAL(38,0) accumulations of "
+    "floor(pr/outdeg * 1e12) — partition-order invariant and cross-"
+    "engine bit-exact, so the oracle (identical unrolled SQL) matches "
+    "without rounding.",
+    oracle=f"""
+WITH edges AS ({_SQL_EDGES}),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+r0 AS (SELECT DISTINCT src AS node,
+              1.0 / (SELECT n FROM nn) AS pr
+       FROM edges),
+r1 AS ({_SQL_ITER.format(r='r0')}),
+r2 AS ({_SQL_ITER.format(r='r1')})
+SELECT node, pr FROM r2 ORDER BY node
+""",
+)
+def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    directed = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()  # feeds outdeg, node set, and both iterations
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n_nodes = edges.select("src").distinct().count()
+    ranks = edges.select("src").distinct().select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.lit(n_nodes)).alias("pr")
+    )
+    g = edges.join(outdeg, "src")
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = F.floor(
+            F.col("pr") / F.col("outdeg") * F.lit(PR_SCALE)
+        ).cast("decimal(38,0)")
+        return (
+            g.join(r, g["src"] == r["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit(0.15) / F.lit(n_nodes)
+                    + F.lit(DAMPING)
+                    * (F.sum(contrib).cast("double") / F.lit(PR_SCALE))
+                ).alias("pr")
+            )
+        )
+
+    return step(step(ranks)).orderBy("node")
