@@ -317,3 +317,65 @@ def q42_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.asc_nulls_first("l_linestatus"),
         )
     )
+
+
+@register(
+    "q49_nation_pair_volume",
+    category="join",
+    doc="TPC-H Q7-shaped trade-volume query: revenue between distinct "
+    "(customer nation, supplier nation) pairs per ship year. Five-table "
+    "join where only the two fact tables are large: nation joins stay "
+    "broadcast (25 rows, bounded by the world), the lineitem-orders join "
+    "is the one real shuffle, and the (nation, nation, year) rollup is "
+    "tiny. Year extraction stays on the shipdate column so the scan range "
+    "filter pushes down.",
+    oracle="""
+SELECT cn.n_name AS cust_nation,
+       sn.n_name AS supp_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS volume
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+WHERE cn.n_nationkey <> sn.n_nationkey
+GROUP BY cn.n_name, sn.n_name, ship_year
+ORDER BY cust_nation, supp_nation, ship_year
+""",
+)
+def q49_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(sn), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("c_nk") != F.col("s_nk"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum_expr(volume).alias("volume"),
+        )
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
