@@ -84,3 +84,14 @@ def test_q43_stream_side_never_shuffled_for_join(spark, sf_small):
     assert "BroadcastHashJoin" in plan
     assert _broadcasts(plan) == 1  # customer dim
     assert _shuffles(plan) == 1  # comparator orderBy only
+
+
+def test_q49_nation_joins_broadcast_fact_join_shuffles_once(spark, sf_small):
+    plan = _formatted_plan(spark, "q49_nation_pair_volume", sf_small)
+    # Bounded dims (nation x2) broadcast; growing sides are left to AQE.
+    assert _broadcasts(plan) >= 2
+    # Filters and pruning reach the scans.
+    assert "PushedFilters" in plan
+    read = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [r for r in read if "l_extendedprice" in r]
+    assert li and "l_comment" not in li[0]
