@@ -336,3 +336,46 @@ def q48_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("flag", "n", "lo", "hi", "mean_raw", "mean_winsorized")
         .orderBy("flag")
     )
+
+
+@register(
+    "q50_revenue_share",
+    category="window",
+    doc="Percent-of-total (ratio-to-report): each return flag's revenue "
+    "share of the corpus total via a window sum over an empty partition "
+    "— computed on the already-aggregated per-flag rows, so the "
+    "global-total window sees a handful of rows, never the fact table. "
+    "Shares are single divisions of exact decimal sums: bit-exact, and "
+    "they sum to 1 exactly when the total is.",
+    oracle="""
+WITH per_flag AS (
+  SELECT l_returnflag AS flag,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT flag,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE)
+         AS revenue_share
+FROM per_flag
+ORDER BY flag
+""",
+)
+def q50_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(dec("l_extendedprice")).alias("rev_dec")
+    )
+    total = F.sum("rev_dec").over(Window.partitionBy())
+    return (
+        per_flag.select(
+            "flag",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            (F.col("rev_dec").cast("double") / total.cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("flag")
+    )

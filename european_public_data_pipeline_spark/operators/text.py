@@ -630,3 +630,74 @@ def t11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("doc_id", F.desc("tfidf"), "token")
     )
+
+
+@register(
+    "t12_corpus_head_mass",
+    category="text",
+    doc="Corpus frequency-concentration report (the Zipf head check run "
+    "before vocabulary decisions): vocabulary size, total token count, "
+    "share of all occurrences covered by the top-10 and the top-1% of "
+    "vocabulary, and the singleton (hapax) share. One explode + groupBy "
+    "to vocabulary size, one global window rank over the (tiny) "
+    "vocabulary relation, one final single-row aggregate — every ratio "
+    "is a division of exact integers. The 1% cutoff uses integer "
+    "ceiling ((v+99) div 100), identical in both engines.",
+    oracle=f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS tf
+  FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+r AS (
+  SELECT tf,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rk,
+         COUNT(*) OVER () AS vocab
+  FROM tf
+)
+SELECT CAST(MAX(vocab) AS BIGINT) AS vocab_size,
+       CAST(SUM(tf) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN rk <= 10 THEN tf ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(tf) AS BIGINT) AS top10_mass,
+       CAST(SUM(CASE WHEN rk <= (vocab + 99) // 100 THEN tf ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(tf) AS BIGINT) AS top1pct_mass,
+       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(MAX(vocab) AS BIGINT) AS singleton_share
+FROM r
+""",
+)
+def t12_corpus_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    r = tf.select(
+        "tf",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("vocab"),
+    )
+    total = F.sum("tf")
+    cutoff = F.expr("(vocab + 99) div 100")
+    return r.agg(
+        F.max("vocab").cast("bigint").alias("vocab_size"),
+        total.cast("bigint").alias("total_tokens"),
+        (
+            F.sum(F.when(F.col("rk") <= 10, F.col("tf")).otherwise(0)).cast("double")
+            / total
+        ).alias("top10_mass"),
+        (
+            F.sum(
+                F.when(F.col("rk") <= cutoff, F.col("tf")).otherwise(0)
+            ).cast("double")
+            / total
+        ).alias("top1pct_mass"),
+        (
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("double")
+            / F.max("vocab")
+        ).alias("singleton_share"),
+    )
