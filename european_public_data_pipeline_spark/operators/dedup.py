@@ -774,3 +774,68 @@ def d10_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d11: chunk-level containment (copied-passage detection)
+
+CONTAIN_MIN_SHARED = 3
+
+CONTAIN_CHUNK = 10  # tokens per chunk (stride half) — passage granularity
+_SQL_CHUNK_HASHES = f"""
+SELECT DISTINCT doc_id,
+       md5(array_to_string(words[i : i + {CONTAIN_CHUNK - 1}], ' ')) AS chunk_hash
+FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+     UNNEST(generate_series(1, greatest(1, len(words) - {CONTAIN_CHUNK - 1}), {CONTAIN_CHUNK // 2})) AS t(i)
+"""
+
+
+@register(
+    "d11_chunk_containment",
+    category="dedup",
+    doc="Containment detection: document pairs sharing >= 3 identical "
+    "10-token chunks (stride 5) — catches copied "
+    "passages inside otherwise-different documents, which whole-document "
+    "fingerprints (d02) and full-text similarity (d03/d04) both miss "
+    "when the surrounding text differs. Shape: row-local chunk hashing, "
+    "one self-join keyed on the chunk hash (bucket-local, like LSH "
+    "banding), per-pair count filter. Quadratic only within identical-"
+    "chunk buckets — exactly where true positives live.",
+    oracle=f"""
+WITH ch AS ({_SQL_CHUNK_HASHES})
+SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared_chunks
+FROM ch a JOIN ch b ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+GROUP BY d1, d2
+HAVING COUNT(*) >= {CONTAIN_MIN_SHARED}
+ORDER BY d1, d2
+""",
+)
+def d11_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size(F.col("w")) - (CONTAIN_CHUNK - 1)),
+        F.lit(CONTAIN_CHUNK // 2),
+    )
+    ch = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), CONTAIN_CHUNK))
+            ).alias("chunk_hash"),
+        )
+        .distinct()
+    )
+    a = ch.select(F.col("doc_id").alias("d1"), "chunk_hash")
+    b = ch.select(F.col("doc_id").alias("d2"), "chunk_hash")
+    return (
+        a.join(b, "chunk_hash")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= CONTAIN_MIN_SHARED)
+        .orderBy("d1", "d2")
+    )

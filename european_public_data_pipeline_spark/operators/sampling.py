@@ -188,3 +188,61 @@ def sm03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+MIX_UNIFORM_WEIGHT = 0.5  # interpolation toward the uniform source mix
+
+
+@register(
+    "sm04_source_mixture_weights",
+    category="sampling",
+    doc="Source-rebalancing weights: per-source sampling weight as a "
+    "linear interpolation between the corpus's natural source mix and "
+    "the uniform mix (alpha = 0.5) — the standard 'flatten the source "
+    "distribution' reweighting used to keep majority sources from "
+    "dominating a training run, with the expected post-mix document "
+    "count per source. A linear mixture (not a temperature power) keeps "
+    "every float a ratio of exact integers — bit-exact with no libm. "
+    "Shape: one source-keyed aggregate (tiny), one global window over "
+    "the source-cardinality relation.",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs,
+         CAST(SUM(n_docs) OVER () AS BIGINT) AS total,
+         COUNT(*) OVER () AS n_sources
+  FROM per_source
+)
+SELECT source, n_docs,
+       CAST(n_docs AS DOUBLE) / total AS natural_share,
+       {MIX_UNIFORM_WEIGHT} * (CAST(n_docs AS DOUBLE) / total)
+         + {1 - MIX_UNIFORM_WEIGHT} * (1.0 / n_sources) AS mixed_share,
+       ({MIX_UNIFORM_WEIGHT} * (CAST(n_docs AS DOUBLE) / total)
+         + {1 - MIX_UNIFORM_WEIGHT} * (1.0 / n_sources))
+         / (CAST(n_docs AS DOUBLE) / total) AS weight
+FROM tot
+ORDER BY source
+""",
+)
+def sm04_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w).cast("bigint")
+    n_sources = F.count(F.lit(1)).over(w)
+    tot = per_source.select(
+        "source", "n_docs", total.alias("total"), n_sources.alias("n_sources")
+    )
+    natural = F.col("n_docs").cast("double") / F.col("total")
+    mixed = MIX_UNIFORM_WEIGHT * natural + (1 - MIX_UNIFORM_WEIGHT) * (
+        F.lit(1.0) / F.col("n_sources")
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        natural.alias("natural_share"),
+        mixed.alias("mixed_share"),
+        (mixed / natural).alias("weight"),
+    ).orderBy("source")
