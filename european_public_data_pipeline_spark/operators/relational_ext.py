@@ -379,3 +379,128 @@ def q50_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+GAP_MOD = 5  # hash(flag,month) % GAP_MOD == 0 -> month withheld (~20% gaps)
+
+
+@register(
+    "q51_gap_fill_interpolate",
+    category="time-series",
+    doc="Monthly-series gap filling by linear interpolation — the "
+    "completion of the reference's gap *detection* (its quality check "
+    "only reports missing months; this reconstructs them). A ~20% subset "
+    "of months is withheld deterministically (portable hash of "
+    "(series, month)), the complete month grid is regenerated with "
+    "sequence+explode from each series' observed min/max, and every "
+    "missing month is filled from its nearest observed neighbors with "
+    "last/first IGNORE NULLS windows — two window passes, no self-join, "
+    "no driver loop. The interpolation weight is a ratio of exact month "
+    "counts, so filled values are bit-identical across engines.",
+    oracle=f"""
+WITH monthly AS (
+  SELECT l_returnflag AS flag,
+         CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM lineitem GROUP BY 1, 2
+),
+obs AS (
+  SELECT * FROM monthly
+  WHERE CAST('0x' || substr(md5(flag || CAST(month AS VARCHAR)), 1, 7) AS BIGINT)
+          % {GAP_MOD} != 0
+),
+grid AS (
+  SELECT flag, CAST(m AS TIMESTAMP) AS month
+  FROM (SELECT flag, MIN(month) AS lo, MAX(month) AS hi FROM obs GROUP BY flag),
+       UNNEST(generate_series(lo, hi, INTERVAL 1 MONTH)) AS t(m)
+),
+j AS (
+  SELECT g.flag, g.month, o.revenue
+  FROM grid g LEFT JOIN obs o ON o.flag = g.flag AND o.month = g.month
+),
+w AS (
+  SELECT flag, month, revenue,
+         LAST_VALUE(revenue IGNORE NULLS) OVER (
+           PARTITION BY flag ORDER BY month
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+         LAST_VALUE(CASE WHEN revenue IS NOT NULL THEN month END IGNORE NULLS)
+           OVER (PARTITION BY flag ORDER BY month
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_month,
+         FIRST_VALUE(revenue IGNORE NULLS) OVER (
+           PARTITION BY flag ORDER BY month
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+         FIRST_VALUE(CASE WHEN revenue IS NOT NULL THEN month END IGNORE NULLS)
+           OVER (PARTITION BY flag ORDER BY month
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_month
+  FROM j
+)
+SELECT flag, month,
+       CASE WHEN revenue IS NOT NULL THEN revenue
+            ELSE prev_val + (next_val - prev_val)
+                 * (CAST(date_diff('month', prev_month, month) AS DOUBLE)
+                    / CAST(date_diff('month', prev_month, next_month) AS DOUBLE))
+       END AS revenue_filled,
+       revenue IS NULL AS interpolated
+FROM w
+ORDER BY flag, month
+""",
+)
+def q51_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.date_trunc("month", F.col("l_shipdate")).alias("month"),
+    ).agg(F.sum(dec("l_extendedprice")).cast("double").alias("revenue"))
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("flag"), F.col("month").cast("string"))), 1, 7
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    obs = monthly.filter(hv % GAP_MOD != 0)
+    grid = (
+        obs.groupBy("flag")
+        .agg(F.min("month").alias("lo"), F.max("month").alias("hi"))
+        .select(
+            "flag",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 MONTH"))
+            ).alias("month"),
+        )
+    )
+    j = grid.join(obs, ["flag", "month"], "left")
+    back = (
+        Window.partitionBy("flag")
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("flag")
+        .orderBy("month")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_month = F.when(F.col("revenue").isNotNull(), F.col("month"))
+    w = j.select(
+        "flag",
+        "month",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(back).alias("prev_val"),
+        F.last(obs_month, ignorenulls=True).over(back).alias("prev_month"),
+        F.first("revenue", ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(obs_month, ignorenulls=True).over(fwd).alias("next_month"),
+    )
+    frac = F.months_between(F.col("month"), F.col("prev_month")) / F.months_between(
+        F.col("next_month"), F.col("prev_month")
+    )
+    filled = F.when(F.col("revenue").isNotNull(), F.col("revenue")).otherwise(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    )
+    return w.select(
+        "flag",
+        "month",
+        filled.alias("revenue_filled"),
+        F.col("revenue").isNull().alias("interpolated"),
+    ).orderBy("flag", "month")
