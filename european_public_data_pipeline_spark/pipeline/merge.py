@@ -61,6 +61,7 @@ def merge_by_key(
     keys: list[str],
     partition_col: str | None = None,
     keys_stay_in_partition: bool = False,
+    allow_schema_evolution: bool = False,
 ) -> None:
     """Upsert ``updates`` into the parquet table at ``target_path``.
 
@@ -68,7 +69,11 @@ def merge_by_key(
     update moves the row to a different partition); new keys are appended;
     all other existing rows are preserved. ``keys_stay_in_partition=True``
     skips the moved-key scan when the partition value is known to be a
-    function of the key.
+    function of the key. ``allow_schema_evolution=True`` permits updates
+    to carry columns the target lacks (and vice versa) — missing columns
+    fill with NULL on either side, the Delta-style additive evolution.
+    After an evolving merge, untouched partitions keep their old file
+    schema: readers must set ``mergeSchema=true`` (tested).
     """
     try:
         target = spark.read.parquet(target_path)
@@ -103,7 +108,10 @@ def merge_by_key(
 
     merged = (
         updates.withColumn("_src", F.lit(0))
-        .unionByName(scoped.withColumn("_src", F.lit(1)))
+        .unionByName(
+            scoped.withColumn("_src", F.lit(1)),
+            allowMissingColumns=allow_schema_evolution,
+        )
         .withColumn(
             "_rn",
             F.row_number().over(

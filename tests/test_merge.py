@@ -133,3 +133,35 @@ def test_merge_emptied_partition_is_removed(spark, tmp_path):
     merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
     assert _rows(spark, path) == {(1, "de"): "A", (2, "de"): "b"}
     assert not os.path.exists(os.path.join(path, "lang=en"))
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    # Updates carry a new column; old rows get NULL for it.
+    updates = spark.createDataFrame(
+        [(2, "en", "B2", "extra")], "k long, lang string, v string, note string"
+    )
+    merge_by_key(
+        spark, path, updates, keys=["k"], partition_col="lang",
+        allow_schema_evolution=True,
+    )
+    # Untouched partitions keep the old file schema — readers of an
+    # evolved table need mergeSchema (same contract as Delta's columnMapping-less evolution).
+    tbl = spark.read.option("mergeSchema", "true").parquet(path)
+    rows = {r["k"]: (r["v"], r["note"]) for r in tbl.collect()}
+    assert rows[2] == ("B2", "extra")
+    assert rows[1] == ("a", None)
+    assert set(rows) == {1, 2, 3, 4}
+
+
+def test_merge_schema_mismatch_rejected_by_default(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    updates = spark.createDataFrame(
+        [(2, "en", "B2", "extra")], "k long, lang string, v string, note string"
+    )
+    with _pytest.raises(Exception):
+        merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
