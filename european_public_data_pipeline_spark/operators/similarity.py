@@ -777,3 +777,105 @@ def s07_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "vec_id", "cid", F.col("dist").alias("sq_dist")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# d12: SemDedup-style semantic dedup within k-means clusters
+
+SEMDEDUP_COSINE = 0.45
+
+_SQL_NORM_E = f"""
+  SELECT vec_id, embedding,
+         sqrt(list_reduce(list_transform(generate_series(1, {KMEANS_DIM}),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+           (x, y) -> x + y)) AS nrm
+  FROM embeddings
+"""
+
+_SQL_PAIR_COS = (
+    f"list_reduce(list_transform(generate_series(1, {KMEANS_DIM}), "
+    f"i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), "
+    f"(x, y) -> x + y) / (ea.nrm * eb.nrm)"
+)
+
+
+@register(
+    "d12_semantic_dedup",
+    category="dedup",
+    doc="SemDedup-style semantic deduplication (Abbas et al. 2023, the "
+    "published method): cluster the embedding space (the s07 k-means), "
+    "then within each cluster drop every vector that has a lower-id "
+    "neighbor with cosine >= 0.45 — pairwise comparison happens ONLY "
+    "inside clusters, which is the trick that makes semantic dedup "
+    "feasible at corpus scale (all-pairs work is bounded by cluster "
+    "size, and clusters shard across executors). Output: every vector "
+    "with its cluster and keep/drop verdict. The oracle re-runs the "
+    "full composition — seeds, two Lloyd iterations, within-cluster "
+    "pair scan — in unrolled SQL, bit-exact.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+  FROM embeddings
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY hv, vec_id) - 1 AS cid, v AS c
+  FROM e QUALIFY ROW_NUMBER() OVER (ORDER BY hv, vec_id) <= {KMEANS_K}
+),
+a1 AS ({_KM_ASSIGN_SQL.format(dist=_sqdist_sql('e.v', 's.c'), e='e', c='seeds')}),
+c1m AS (
+  SELECT cid, i AS pos,
+         CAST(SUM(CAST(floor(v[i] * 1000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1000000.0 / COUNT(*) AS mval
+  FROM a1, UNNEST(generate_series(1, {KMEANS_DIM})) AS t(i)
+  GROUP BY cid, i
+),
+c1 AS (SELECT cid, list(mval ORDER BY pos) AS c FROM c1m GROUP BY cid),
+a2 AS ({_KM_ASSIGN_SQL.format(dist=_sqdist_sql('e.v', 's.c'), e='e', c='c1')}),
+en AS ({_SQL_NORM_E}),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM a2 a
+  JOIN a2 b ON b.cid = a.cid AND b.vec_id < a.vec_id
+  JOIN en ea ON ea.vec_id = a.vec_id
+  JOIN en eb ON eb.vec_id = b.vec_id
+  WHERE {_SQL_PAIR_COS} >= {SEMDEDUP_COSINE}
+)
+SELECT a2.vec_id, a2.cid, d.vec_id IS NULL AS is_kept
+FROM a2 LEFT JOIN dropped d ON d.vec_id = a2.vec_id
+ORDER BY a2.vec_id
+""",
+)
+def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = s07_kmeans_assignments(spark, sf_dir).select("vec_id", "cid")
+    en = emb.select("vec_id", "embedding", norm().alias("nrm"))
+    m = assigned.join(en, "vec_id").cache()  # both sides of the pair join
+    a = m.select(
+        F.col("vec_id").alias("va"),
+        F.col("cid").alias("cid_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = m.select(
+        F.col("vec_id").alias("vb"),
+        F.col("cid").alias("cid_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = dot_fold(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & (F.col("vb") < F.col("va")))
+        .filter(cos >= SEMDEDUP_COSINE)
+        .select(F.col("va").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.col("_dropped").isNull().alias("is_kept")
+        )
+        .orderBy("vec_id")
+    )
