@@ -2,7 +2,8 @@
 (SURVEY.md §2.3, §2.12).
 
 - q29 ROLLUP: hierarchical subtotals in one pass (complements q12's CUBE).
-- q30 unpivot/melt: the INVERSE of the JSON-stat unpivot (R1) — wide
+- q30 unpivot/melt: the INVERSE of the JSON-stat unpivot (R1,
+  /root/reference/src/ingestion/process_hicp_silver.py:65-118) — wide
   measure columns to tidy (key, measure, value) rows via ``df.unpivot``,
   Spark's native Expand, no shuffle.
 - q31 as-of join: each 'view' event joined to the user's most recent
