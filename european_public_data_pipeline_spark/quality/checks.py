@@ -87,6 +87,29 @@ class CheckSuite:
             f"parseable_time:{col}", F.col(col).isNotNull() & parsed.isNull()
         )
 
+    def expect_fresh(
+        self, time_col: str, max_age: str, as_of: "object | None" = None
+    ) -> "CheckSuite":
+        """Freshness: the newest ``time_col`` must lie within ``max_age``
+        (an INTERVAL string, e.g. ``'45 days'``) of ``as_of``. The check
+        the reference's gate lacks but every scheduled pipeline needs —
+        a stale-but-internally-consistent snapshot passes all six
+        reference checks while silently serving old data. ``as_of``
+        defaults to the current timestamp; pass an explicit timestamp for
+        deterministic tests and backfills. Violations = 1 when stale (or
+        when the table is empty), 0 when fresh — folded into the same
+        single-pass aggregate as the row-level checks via a max().
+        """
+        ref = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
+        stale = F.max(F.col(time_col)) < ref - F.expr(f"INTERVAL {max_age}")
+        self._scalar_checks.append(
+            (
+                f"fresh:{time_col}:{max_age}",
+                F.coalesce(stale.cast("long"), F.lit(1)),
+            )
+        )
+        return self
+
     def expect_unique_key(self, keys: list[str]) -> "CheckSuite":
         """Duplicate rows beyond the first per key
         (check_hicp_quality.py:69-73)."""

@@ -149,3 +149,35 @@ def test_quality_gated_write_blocks_bad_data(spark, tmp_path):
     checks = quality_gated_write(good, full_suite(good), path, ["geo"])
     assert read_partitioned(spark, path).count() == 6
     assert all(r["passed"] for r in checks.collect())
+
+
+def test_freshness_check(spark):
+    import datetime as dt
+
+    from european_public_data_pipeline_spark.quality.checks import CheckSuite
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 1)), (2, dt.datetime(2026, 3, 1))],
+        "id long, ts timestamp",
+    )
+
+    def result(as_of):
+        checks = (
+            CheckSuite(df).expect_fresh("ts", "45 days", as_of=as_of)
+            .to_dataframe(spark)
+            .collect()
+        )
+        assert len(checks) == 1
+        return checks[0]["passed"], checks[0]["violations"]
+
+    assert result(dt.datetime(2026, 3, 20)) == (True, 0)   # 19 days old
+    assert result(dt.datetime(2026, 6, 1)) == (False, 1)   # 92 days old
+
+    empty = df.filter("id < 0")
+    row = (
+        CheckSuite(empty)
+        .expect_fresh("ts", "45 days", as_of=dt.datetime(2026, 3, 20))
+        .to_dataframe(spark)
+        .collect()[0]
+    )
+    assert row["passed"] is False  # empty table is never fresh
