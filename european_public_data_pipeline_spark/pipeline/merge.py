@@ -62,7 +62,7 @@ def merge_by_key(
     partition_col: str | None = None,
     keys_stay_in_partition: bool = False,
     allow_schema_evolution: bool = False,
-) -> None:
+) -> dict[str, int]:
     """Upsert ``updates`` into the parquet table at ``target_path``.
 
     Rows whose ``keys`` match an existing row replace it (even when the
@@ -74,6 +74,12 @@ def merge_by_key(
     fill with NULL on either side, the Delta-style additive evolution.
     After an evolving merge, untouched partitions keep their old file
     schema: readers must set ``mergeSchema=true`` (tested).
+
+    Returns merge statistics — ``{"inserted": n, "updated": n,
+    "unchanged_in_scope": n}`` — the accounting a transactional MERGE
+    reports, computed from three key counts (updates, scoped target —
+    column-pruned — and merged output, which is already checkpointed);
+    "updated" means key-matched, whether or not any attribute changed.
     """
     try:
         target = spark.read.parquet(target_path)
@@ -86,7 +92,11 @@ def merge_by_key(
         if partition_col:
             writer = writer.partitionBy(partition_col)
         writer.parquet(target_path)
-        return
+        return {
+            "inserted": updates.count(),
+            "updated": 0,
+            "unchanged_in_scope": 0,
+        }
 
     if partition_col:
         upd_parts = updates.select(partition_col).distinct()
@@ -106,6 +116,7 @@ def merge_by_key(
     else:
         scoped = target
 
+    scoped_keys_count = scoped.select(*keys).distinct().count()
     merged = (
         updates.withColumn("_src", F.lit(0))
         .unionByName(
@@ -146,3 +157,13 @@ def merge_by_key(
                 )
     else:
         merged.write.mode("overwrite").parquet(target_path)
+
+    n_updates = updates.select(*keys).distinct().count()
+    n_scoped = scoped_keys_count
+    n_merged = merged.count()
+    updated = n_updates + n_scoped - n_merged
+    return {
+        "inserted": n_updates - updated,
+        "updated": updated,
+        "unchanged_in_scope": n_scoped - updated,
+    }

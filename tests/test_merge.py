@@ -165,3 +165,20 @@ def test_merge_schema_mismatch_rejected_by_default(spark, tmp_path):
     )
     with _pytest.raises(Exception):
         merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+
+
+def test_merge_returns_change_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b")], "k long, lang string, v string"
+    )
+    stats0 = merge_by_key(spark, path, base, keys=["k"], partition_col="lang")
+    assert stats0 == {"inserted": 2, "updated": 0, "unchanged_in_scope": 0}
+
+    updates = spark.createDataFrame(
+        [(2, "en", "B"), (3, "en", "c"), (4, "fr", "d")],
+        "k long, lang string, v string",
+    )
+    stats = merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
+    # k=2 matched, k=3/k=4 inserted, k=1 preserved in the rewritten scope.
+    assert stats == {"inserted": 2, "updated": 1, "unchanged_in_scope": 1}
