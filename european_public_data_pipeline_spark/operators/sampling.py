@@ -246,3 +246,57 @@ def sm04_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed.alias("mixed_share"),
         (mixed / natural).alias("weight"),
     ).orderBy("source")
+
+
+# Train/val/test split in basis points of 10000 (sums to 10000).
+SPLIT_BP = {"train": 9000, "val": 500, "test": 500}
+
+
+@register(
+    "sm05_train_val_test_split",
+    category="sampling",
+    doc="Deterministic train/val/test split (90/5/5): the split label is "
+    "a pure function of portable_hash(doc_id) mod 10000 against "
+    "cumulative basis-point boundaries — reproducible across reruns, "
+    "engines, and cluster layouts, and stable under corpus growth (a "
+    "document never changes split when others are added, the property "
+    "random splits lack). Zero shuffle: the label is a narrow projected "
+    "expression; the per-split rollup is a 3-row aggregate.",
+    oracle=f"""
+WITH labeled AS (
+  SELECT doc_id, lang,
+         CASE WHEN {_HASH_SQL} % 10000 < {SPLIT_BP['train']} THEN 'train'
+              WHEN {_HASH_SQL} % 10000 < {SPLIT_BP['train'] + SPLIT_BP['val']} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs,
+       CAST(COUNT(*) AS DOUBLE)
+         / (SELECT COUNT(*) FROM documents) AS share
+FROM labeled
+GROUP BY split
+ORDER BY split
+""",
+)
+def sm05_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = base_hash28(F.col("doc_id").cast("string")) % 10000
+    split = (
+        F.when(bucket < SPLIT_BP["train"], F.lit("train"))
+        .when(bucket < SPLIT_BP["train"] + SPLIT_BP["val"], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    total = docs.count()
+    return (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "split",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.lit(total)).alias("share"),
+        )
+        .orderBy("split")
+    )
