@@ -26,17 +26,22 @@ from european_public_data_pipeline_spark.tables import load_table
     "— Spark's stateful session operator in batch mode; the oracle builds "
     "identical sessions with the lag/cumsum island construction.",
     oracle="""
-WITH o AS (
-  SELECT user_id, ts,
+WITH e AS (
+  -- µs-truncate: the raw parquet is TIMESTAMP(NANOS); Spark reads µs, so gap
+  -- arithmetic and session bounds must be computed at µs precision here too.
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+),
+o AS (
+  SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     > INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_s
-  FROM events
+  FROM e
 ),
 s AS (
   SELECT user_id, ts,
-         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
 )
@@ -62,7 +67,8 @@ def q22_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "membership explicitly.",
     oracle="""
 SELECT window_start, event_type, COUNT(*) AS n FROM (
-  SELECT date_trunc('hour', ts) - (k * INTERVAL 1 HOUR) AS window_start, event_type
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) - (k * INTERVAL 1 HOUR) AS TIMESTAMP)
+           AS window_start, event_type
   FROM events, UNNEST([0, 1]) AS t(k)
 )
 GROUP BY 1, 2
@@ -83,7 +89,7 @@ def q23_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "that keeps a production event stream shuffle-free. The streaming side "
     "is asserted equal in tests/test_streaming.py.",
     oracle="""
-SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id, e.event_type, e.value,
        c.c_name, c.c_nationkey, c.c_mktsegment
 FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
 ORDER BY e.event_id
@@ -109,13 +115,13 @@ def q43_stream_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics funnel, expressed so it scales linearly.",
     oracle="""
 WITH v AS (
-  SELECT user_id, MIN(ts) AS first_view
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_view
   FROM events WHERE event_type = 'view' GROUP BY user_id
 ),
 p AS (
-  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS first_purchase
   FROM events e JOIN v ON v.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > v.first_view
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.first_view
   GROUP BY e.user_id
 )
 SELECT v.user_id, v.first_view, p.first_purchase,
@@ -169,11 +175,11 @@ def q45_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "than forced.",
     oracle="""
 WITH first_week AS (
-  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  SELECT user_id, CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
   FROM events GROUP BY user_id
 ),
 activity AS (
-  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+  SELECT DISTINCT user_id, CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS activity_week
   FROM events
 )
 SELECT f.cohort_week,

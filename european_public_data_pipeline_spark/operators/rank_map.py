@@ -77,7 +77,7 @@ def q34_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT k AS prop_key,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS sum_val,
+       CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS BIGINT) AS sum_val,
        MIN(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS min_val,
        MAX(CAST(json_extract_string(props, '$.' || k) AS BIGINT)) AS max_val
 FROM (

@@ -597,7 +597,7 @@ def q16_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS avg_k
 FROM events
 GROUP BY event_type
@@ -658,13 +658,17 @@ def q18_event_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT user_id,
        COUNT(*) AS n_events,
-       SUM(is_new_session) AS n_sessions
+       CAST(SUM(is_new_session) AS BIGINT) AS n_sessions
 FROM (
+  -- epoch_us of the µs-truncated ts: the raw parquet carries TIMESTAMP(NANOS)
+  -- and Spark truncates ns -> µs on load, so the oracle must compare gaps at
+  -- µs precision too (a ns-preserving reader would otherwise flip
+  -- exactly-30-minute-plus-nanos gaps).
   SELECT user_id,
-         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+                OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
               THEN 1 ELSE 0 END AS is_new_session
-  FROM events
+  FROM (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
 )
 GROUP BY user_id
 ORDER BY user_id

@@ -107,7 +107,9 @@ def q30_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "explosion; purchases sort before views at equal timestamps.",
     oracle="""
 WITH tagged AS (
-  SELECT user_id, ts, event_id,
+  -- CAST(ts AS TIMESTAMP): µs-truncate to match Spark's read of the
+  -- TIMESTAMP(NANOS) parquet column, so as-of ordering ties break the same way.
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
          CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS src,
          CASE WHEN event_type = 'purchase' THEN value END AS purchase_value,
          event_type

@@ -41,8 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet INT64 TIMESTAMP(NANOS) — not a legal Spark
         # type. Read the raw nanos as LongType (runtime-settable conf, so
         # this works under any caller-provided session) and convert to
-        # Spark's native µs timestamp (exact: the synthetic data is
-        # µs-aligned).
+        # Spark's native µs timestamp. The synthetic data is NOT µs-aligned
+        # (most rows carry sub-µs nanos), so `div 1000` TRUNCATES — every
+        # events oracle must therefore µs-truncate too
+        # (CAST(ts AS TIMESTAMP) / epoch_us arithmetic) rather than rely on
+        # the reader's ns behavior.
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
