@@ -60,13 +60,60 @@ def register(
     return wrap
 
 
+# Queries that already have a green row in CORRECTNESS_r01.json. The
+# correctness driver verifies queries in dict-iteration order and only
+# reaches ~50 per round, so ``queries_map`` yields the names WITHOUT a
+# round-1 verdict first (then the two round-1 hash-failures, now fixed, so
+# they get re-checked), and the already-green names last. Over two rounds
+# every registered query gets a driver row.
+_R1_DRIVER_GREEN = frozenset({
+    "q01_pricing_summary", "q02_filter_project", "q03_revenue_forecast",
+    "q04_top_revenue_orders", "q05_region_customer_rollup",
+    "q06_priority_exists_semi", "q07_segment_anti", "q08_monthly_revenue_mom",
+    "q09_rolling_3m_revenue", "q10_top3_orders_per_customer",
+    "q11_nation_setops", "q12_cube_qty", "q13_pivot_linestatus",
+    "q14_quantiles_by_flag", "q15_moments_exact", "q16_distinct_counts",
+    "q18_event_hourly_windows", "q20_time_code_roundtrip",
+    "q21_orders_gap_profile", "q24_string_functions", "q25_approx_distinct",
+    "q26_shipping_priority", "q27_late_delivery_semi", "q28_try_arithmetic",
+    "q44_price_histogram", "q48_winsorized_mean", "q50_revenue_share",
+    "q51_gap_fill_interpolate",
+    "d01_dedup_keep_first", "d02_exact_dedup_fingerprint",
+    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs", "d05_simhash_pairs",
+    "d06_embedding_near_dup", "d07_ml_minhash_lsh", "d08_dup_clusters",
+    "d09_incremental_dedup", "d10_contamination_check", "d11_chunk_containment",
+    "d12_semantic_dedup",
+    "s01_cosine_topk", "s02_lsh_bucket_pairs", "s03_knn_label_vote",
+    "s04_ivf_topk", "s05_lang_centroids", "s06_int8_quantization",
+    "s07_kmeans_assignments", "t01_token_stats",
+})
+
+# Round-1 driver rows that exist but hash-failed (oracle typing, fixed in
+# round 2) — re-check these right after the never-checked names.
+_R1_DRIVER_RED = ("q17_events_json_extract", "q19_sessionization")
+
+
+def _driver_order() -> list[str]:
+    names = list(_REGISTRY)
+    unchecked = [
+        n for n in names if n not in _R1_DRIVER_GREEN and n not in _R1_DRIVER_RED
+    ]
+    red = [n for n in _R1_DRIVER_RED if n in _REGISTRY]
+    green = [n for n in names if n in _R1_DRIVER_GREEN]
+    return unchecked + red + green
+
+
 def all_specs() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
 def queries_map() -> dict[str, Builder]:
-    return {name: spec.builder for name, spec in _REGISTRY.items()}
+    return {name: _REGISTRY[name].builder for name in _driver_order()}
 
 
 def oracle_sql_map() -> dict[str, str]:
-    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle}
+    return {
+        name: _REGISTRY[name].oracle
+        for name in _driver_order()
+        if _REGISTRY[name].oracle
+    }
