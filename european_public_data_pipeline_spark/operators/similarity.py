@@ -729,11 +729,17 @@ def s07_kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     e = emb.select("vec_id", dvec().alias("v"), hv.alias("hv"))
 
-    w_seed = Window.orderBy("hv", "vec_id")
+    # Seed selection without a global window: orderBy().limit(K) is a
+    # distributed TakeOrderedAndProject (per-partition top-K, driver merge) —
+    # the full corpus never single-partition-sorts. cid = position in the
+    # K-row sorted result, derived via sort_array + posexplode (no WindowExec).
+    seed_rows = e.orderBy("hv", "vec_id").limit(KMEANS_K)
     cent0 = (
-        e.withColumn("rn", F.row_number().over(w_seed))
-        .filter(F.col("rn") <= KMEANS_K)
-        .select((F.col("rn") - 1).alias("cid"), F.col("v").alias("c"))
+        seed_rows.agg(
+            F.sort_array(F.collect_list(F.struct("hv", "vec_id", "v"))).alias("a")
+        )
+        .select(F.posexplode("a").alias("cid", "s"))
+        .select(F.col("cid"), F.col("s.v").alias("c"))
     )
 
     def assign(cent: DataFrame) -> DataFrame:

@@ -342,18 +342,36 @@ ORDER BY rank
 """,
 )
 def t05_term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     exploded = docs.select("doc_id", F.explode(tokens()).alias("token"))
     freq = exploded.groupBy("token").agg(
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct("doc_id").alias("df"),
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    # Top-k WITHOUT a global window: orderBy().limit(k) compiles to a
+    # distributed TakeOrderedAndProject (per-partition top-k, driver merge) —
+    # a 100 TB vocabulary never single-partition-sorts. Rank is then derived
+    # on the k-row result by sorting a collected struct array (no WindowExec).
+    top = freq.orderBy(F.desc("tf"), F.asc("token")).limit(20)
+    arr = F.sort_array(
+        F.collect_list(
+            F.struct(
+                (-F.col("tf")).alias("neg_tf"),
+                F.col("token"),
+                F.col("tf"),
+                F.col("df"),
+            )
+        )
+    )
     return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.agg(arr.alias("a"))
+        .select(F.posexplode("a").alias("pos", "s"))
+        .select(
+            F.col("s.token").alias("token"),
+            F.col("s.tf").alias("tf"),
+            F.col("s.df").alias("df"),
+            (F.col("pos") + 1).cast("long").alias("rank"),
+        )
         .orderBy("rank")
     )
 
@@ -574,11 +592,12 @@ TFIDF_TOPK = 5
     "rational form N/df (not log(N/df)): libm log differs in the last ulp "
     "across engines, a ratio of exact integers does not, and the induced "
     "ranking for a fixed corpus is monotone-equivalent. Shape: one explode "
-    "+ two-level aggregation for (tf, df), a broadcast of the "
-    "vocabulary-sized df table back onto the term stream, one window "
-    "top-k per document. At 100 TB the df table is still vocabulary-sized "
-    "(tiny), so the broadcast holds; the window partitions by doc_id, "
-    "which is the natural high-cardinality key — no skew.",
+    "+ one (doc, token) aggregation; df then falls out of the aggregated "
+    "tf relation itself as a token-partitioned window count (distinct docs "
+    "per token == rows per token in tf), so the corpus is scanned and "
+    "exploded exactly ONCE — the df shuffle moves only the vocabulary-"
+    "compressed tf relation, never raw tokens. Final window top-k "
+    "partitions by doc_id, the natural high-cardinality key — no skew.",
     oracle=f"""
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
@@ -612,17 +631,18 @@ def t11_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # df falls out of tf: distinct docs per token == rows per token in the
-    # already-aggregated tf relation — one pass over the exploded tokens,
-    # the second aggregate runs on the (much smaller) tf output.
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # already-aggregated tf relation, computed as a token-partitioned window
+    # count so the exploded corpus is scanned exactly once (a separate
+    # groupBy-derived df would re-scan and re-explode: the two agg exchanges
+    # prune differently and are not reuse-eligible).
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "token").select(
+    w_tok = Window.partitionBy("token")
+    scored = tf.select(
         "doc_id",
         "token",
         "tf",
-        "df",
-        ((F.col("tf") * n_docs).cast("double") / F.col("df")).alias("tfidf"),
-    )
+        F.count(F.lit(1)).over(w_tok).alias("df"),
+    ).withColumn("tfidf", (F.col("tf") * n_docs).cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -667,37 +687,71 @@ FROM r
 """,
 )
 def t12_corpus_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Scale shape: head MASS only depends on tf VALUES, never on token
+    # identity (every token in a tied-tf group contributes exactly tf), so
+    # the global rank window of the naive form is unnecessary. Aggregate the
+    # vocabulary down to the distinct-frequency relation (Zipf: |distinct tf|
+    # ≪ vocab), collect THAT as one sorted array, and fold cumulative head
+    # sums with higher-order functions — no WindowExec, no single-partition
+    # sort of a 100 TB vocabulary anywhere in the plan.
     docs = load_table(spark, sf_dir, "documents")
     tf = (
         docs.select(F.explode(tokens()).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    w = Window.orderBy(F.desc("tf"), F.asc("token"))
-    r = tf.select(
-        "tf",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("vocab"),
+    tfcnt = tf.groupBy("tf").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    arr = tfcnt.agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("tf"), F.col("n"))), asc=False
+        ).alias("a")
     )
-    total = F.sum("tf")
+
+    def head_mass(cutoff):
+        # fold: acc = (cum_tokens, head_sum); a tied-tf group contributes
+        # tf * min(n, remaining slots under the cutoff).
+        return F.aggregate(
+            F.col("a"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"), F.lit(0).cast("long").alias("s")
+            ),
+            lambda acc, x: F.struct(
+                (acc["cum"] + x["n"]).alias("cum"),
+                (
+                    acc["s"]
+                    + x["tf"]
+                    * F.greatest(
+                        F.lit(0).cast("long"),
+                        F.least(x["n"], cutoff - acc["cum"]),
+                    )
+                ).alias("s"),
+            ),
+            lambda acc: acc["s"],
+        )
+
+    stats = arr.select(
+        "a",
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, x: acc + x["n"]
+        ).alias("vocab"),
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, x: acc + x["tf"] * x["n"]
+        ).alias("total"),
+        F.aggregate(
+            "a",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x["tf"] == 1, x["n"]).otherwise(F.lit(0)),
+        ).alias("singletons"),
+    )
     cutoff = F.expr("(vocab + 99) div 100")
-    return r.agg(
-        F.max("vocab").cast("bigint").alias("vocab_size"),
-        total.cast("bigint").alias("total_tokens"),
-        (
-            F.sum(F.when(F.col("rk") <= 10, F.col("tf")).otherwise(0)).cast("double")
-            / total
-        ).alias("top10_mass"),
-        (
-            F.sum(
-                F.when(F.col("rk") <= cutoff, F.col("tf")).otherwise(0)
-            ).cast("double")
-            / total
-        ).alias("top1pct_mass"),
-        (
-            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("double")
-            / F.max("vocab")
-        ).alias("singleton_share"),
+    return stats.select(
+        F.col("vocab").alias("vocab_size"),
+        F.col("total").alias("total_tokens"),
+        (head_mass(F.lit(10).cast("long")).cast("double") / F.col("total")).alias(
+            "top10_mass"
+        ),
+        (head_mass(cutoff).cast("double") / F.col("total")).alias("top1pct_mass"),
+        (F.col("singletons").cast("double") / F.col("vocab")).alias(
+            "singleton_share"
+        ),
     )

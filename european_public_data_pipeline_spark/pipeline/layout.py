@@ -15,18 +15,21 @@ so ranges are narrow. Two layouts:
   multi-dimensional clustering trick (public: Morton 1966, used by every
   lakehouse engine).
 
-Rank normalization uses ``percent_rank`` over each column so skewed
-domains still fill the key space uniformly — one window per column over
-the write batch, then one range shuffle; at 100 TB this runs per
-partition/ingest batch, not over the whole table.
+Rank normalization uses SAMPLED QUANTILE BINNING (one ``approxQuantile``
+pass over both columns, then a JVM-side ``Bucketizer``) so skewed domains
+still fill the key space uniformly. The naive alternative — a
+``percent_rank`` window per column — single-partition-sorts the entire
+write batch twice, which is exactly what a 100 TB layout utility must not
+do; Greenwald-Khanna sketch boundaries give the same uniform fill with
+one distributed pass and no global sort before the final range shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ZBITS = 16  # bits per dimension in the Morton code
+ZBITS = 10  # bits per dimension in the Morton code (1024 quantile bins)
 
 
 def cluster_by(df: DataFrame, cols: list[str], n_files: int) -> DataFrame:
@@ -47,17 +50,55 @@ def _morton(a: F.Column, b: F.Column, bits: int = ZBITS) -> F.Column:
     return key
 
 
+def _quantile_splits(df: DataFrame, cols: list[str]) -> list[list[float]]:
+    """Per-column strictly-increasing bucket boundaries from one
+    approxQuantile (Greenwald-Khanna) pass over all columns at once."""
+    nbins = 1 << ZBITS
+    probs = [i / nbins for i in range(1, nbins)]
+    all_cuts = df.stat.approxQuantile(cols, probs, 1.0 / (4 * nbins))
+    splits = []
+    for cuts in all_cuts:
+        inner = sorted(set(cuts))  # skewed domains repeat boundaries; dedupe
+        splits.append([float("-inf"), *inner, float("inf")])
+    return splits
+
+
 def zorder_by(df: DataFrame, col_a: str, col_b: str, n_files: int) -> DataFrame:
     """Morton-cluster on two columns: row groups cover small (a, b)
     rectangles, pruning predicates on either column."""
-    scale = (1 << ZBITS) - 1
-    wa = Window.orderBy(col_a)
-    wb = Window.orderBy(col_b)
-    ra = F.floor(F.percent_rank().over(wa) * scale).cast("long")
-    rb = F.floor(F.percent_rank().over(wb) * scale).cast("long")
-    keyed = df.withColumn("_zkey", _morton(ra, rb))
+    from pyspark.ml.feature import Bucketizer
+
+    cast = df.withColumn("_za", F.col(col_a).cast("double")).withColumn(
+        "_zb", F.col(col_b).cast("double")
+    )
+    splits = _quantile_splits(cast, ["_za", "_zb"])
+    bucketizer = Bucketizer(
+        splitsArray=splits,
+        inputCols=["_za", "_zb"],
+        outputCols=["_zra", "_zrb"],
+        handleInvalid="keep",  # null keys land in one extra trailing bucket
+    )
+    # Rescale each bucket index to the full 2^ZBITS range: a low-cardinality
+    # column (e.g. 50 distinct quantities -> 50 buckets) would otherwise
+    # occupy only the low bits and the interleave would degenerate into a
+    # plain sort on the other column.
+    nbins = 1 << ZBITS
+
+    def scaled(col: str, n_buckets: int) -> F.Column:
+        return F.floor(F.col(col).cast("long") * nbins / n_buckets).cast("long")
+
+    keyed = bucketizer.transform(cast).withColumn(
+        "_zkey",
+        # bits+1: the handleInvalid="keep" null bucket rescales to exactly
+        # 2^ZBITS, one past the largest quantile bin.
+        _morton(
+            scaled("_zra", len(splits[0]) - 1),
+            scaled("_zrb", len(splits[1]) - 1),
+            bits=ZBITS + 1,
+        ),
+    )
     return (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
-        .drop("_zkey")
+        .drop("_za", "_zb", "_zra", "_zrb", "_zkey")
     )

@@ -95,3 +95,46 @@ def test_q49_nation_joins_broadcast_fact_join_shuffles_once(spark, sf_small):
     read = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     li = [r for r in read if "l_extendedprice" in r]
     assert li and "l_comment" not in li[0]
+
+
+GLOBAL_WINDOW = re.compile(r"Window.*\[\]\s*$|WindowExec", re.MULTILINE)
+
+
+def _global_windows(plan: str) -> int:
+    """Count Window nodes with an EMPTY partition spec (single-partition
+    sort of the whole input — the 100 TB scale-killer)."""
+    # Formatted-plan Window lines render as:
+    #   Arguments: [rank(...) windowspecdefinition(ORDER BY ...)], [part cols], [order]
+    # An empty partition list right before the window ordering marks a
+    # global window. SinglePartition exchange feeding a Window is the
+    # physical signature.
+    return len(re.findall(r"Exchange SinglePartition[^\n]*\n[^\n]*Window", plan)) + len(
+        re.findall(r"\(\d+\) Window\b[^\n]*\n(?:[^\n]*\n)*?\s*Arguments: \[[^\]]*\], \[\], \[", plan)
+    )
+
+
+def test_t05_topk_has_no_global_window(spark, sf_small):
+    plan = _formatted_plan(spark, "t05_term_frequency", sf_small)
+    assert "Window" not in plan  # rank derives from TakeOrdered + sort_array
+    assert "TakeOrderedAndProject" in plan  # distributed top-k
+
+
+def test_t12_head_mass_has_no_global_window(spark, sf_small):
+    plan = _formatted_plan(spark, "t12_corpus_head_mass", sf_small)
+    assert "Window" not in plan  # folds over the distinct-tf array instead
+
+
+def test_s07_seed_selection_has_no_global_window(spark, sf_small):
+    plan = _formatted_plan(spark, "s07_kmeans_assignments", sf_small)
+    # Per-vector assignment windows partition by vec_id; the seed TakeOrdered
+    # must not reintroduce a whole-corpus single-partition sort.
+    assert "TakeOrderedAndProject" in plan
+    assert _global_windows(plan) == 0
+
+
+def test_t11_tfidf_single_explode_pass(spark, sf_small):
+    plan = _formatted_plan(spark, "t11_tfidf_topk", sf_small)
+    # One explode (generator) feeding both tf and df; a refactor that
+    # re-explodes the corpus for df would double the dominant scan cost.
+    assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1
