@@ -16,10 +16,11 @@ a catalog table:
 - W3: callers gate with quality/checks.gate before calling (README.md:137).
 
 For an actual JDBC warehouse the same DataFrame goes through
-``df.write.jdbc(url, table, mode="append", properties={"batchsize": ...})``
-— the ``batchsize`` option is the reference's ``chunksize=200`` knob
-(load_hicp_to_sql.py:99-100) at Spark's default of 1000+; no JDBC server
-exists in this container so that path is documented, not exercised.
+``pipeline/jdbc.py`` (S12): driver-side DDL/DELETE over a live
+``java.sql`` connection plus ``df.write.jdbc(mode="append")`` with the
+``batchsize`` knob (the reference's ``chunksize=200``,
+load_hicp_to_sql.py:99-100) — exercised end-to-end against embedded
+Apache Derby in tests/test_jdbc.py.
 
 Scale notes: partition the gold table on the series key prefix (here
 ``geo``) so a re-ingest of one series rewrites one directory; appends from
