@@ -62,6 +62,7 @@ def merge_by_key(
     partition_col: str | None = None,
     keys_stay_in_partition: bool = False,
     allow_schema_evolution: bool = False,
+    dedupe_updates_by: str | None = None,
 ) -> dict[str, int]:
     """Upsert ``updates`` into the parquet table at ``target_path``.
 
@@ -80,7 +81,35 @@ def merge_by_key(
     reports, computed from three key counts (updates, scoped target —
     column-pruned — and merged output, which is already checkpointed);
     "updated" means key-matched, whether or not any attribute changed.
+
+    Duplicate merge keys WITHIN ``updates`` are an error (the same
+    semantics as a transactional MERGE, which aborts on multiple source
+    matches) — a silent arbitrary pick would be nondeterministic. Pass
+    ``dedupe_updates_by=<column>`` to resolve them instead: per key the
+    row with the greatest value of that column wins (a version/event-time
+    column, expected unique per key — equal values still raise).
     """
+    if dedupe_updates_by:
+        w_u = Window.partitionBy(*keys).orderBy(F.col(dedupe_updates_by).desc())
+        ranked = updates.withColumn("_urn", F.row_number().over(w_u)).withColumn(
+            "_utie",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*keys, dedupe_updates_by)
+            ),
+        )
+        if ranked.filter((F.col("_urn") == 1) & (F.col("_utie") > 1)).limit(1).count():
+            raise ValueError(
+                f"merge_by_key: updates contain rows tied on "
+                f"({', '.join(keys)}, {dedupe_updates_by}); the winner would "
+                "be nondeterministic — use a unique ordering column"
+            )
+        updates = ranked.filter(F.col("_urn") == 1).drop("_urn", "_utie")
+    elif updates.count() != updates.select(*keys).distinct().count():
+        raise ValueError(
+            f"merge_by_key: updates contain duplicate merge keys "
+            f"({', '.join(keys)}); pass dedupe_updates_by=<ordering column> "
+            "or pre-dedupe — an arbitrary winner would be nondeterministic"
+        )
     try:
         target = spark.read.parquet(target_path)
         exists = True

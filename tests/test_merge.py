@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.merge import merge_by_key
@@ -182,3 +183,40 @@ def test_merge_returns_change_stats(spark, tmp_path):
     stats = merge_by_key(spark, path, updates, keys=["k"], partition_col="lang")
     # k=2 matched, k=3/k=4 inserted, k=1 preserved in the rewritten scope.
     assert stats == {"inserted": 2, "updated": 1, "unchanged_in_scope": 1}
+
+
+def test_duplicate_source_keys_raise(spark, tmp_path):
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    merge_by_key(spark, target, base, ["id"])
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "id INT, v STRING")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_by_key(spark, target, dup, ["id"])
+
+
+def test_dedupe_updates_by_keeps_greatest_version(spark, tmp_path):
+    target = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a", 0)], "id INT, v STRING, ver INT")
+    merge_by_key(spark, target, base, ["id"])
+    dup = spark.createDataFrame(
+        [(1, "old", 1), (1, "new", 2), (2, "only", 1)], "id INT, v STRING, ver INT"
+    )
+    stats = merge_by_key(spark, target, dup, ["id"], dedupe_updates_by="ver")
+    rows = {r.id: (r.v, r.ver) for r in spark.read.parquet(target).collect()}
+    assert rows == {1: ("new", 2), 2: ("only", 1)}
+    assert stats == {"inserted": 1, "updated": 1, "unchanged_in_scope": 0}
+
+
+def test_dedupe_updates_by_tie_raises(spark, tmp_path):
+    target = str(tmp_path / "t")
+    merge_by_key(
+        spark,
+        target,
+        spark.createDataFrame([(9, "z", 0)], "id INT, v STRING, ver INT"),
+        ["id"],
+    )
+    tied = spark.createDataFrame(
+        [(1, "x", 5), (1, "y", 5)], "id INT, v STRING, ver INT"
+    )
+    with pytest.raises(ValueError, match="tied on"):
+        merge_by_key(spark, target, tied, ["id"], dedupe_updates_by="ver")
