@@ -51,3 +51,45 @@ def write_stream_exactly_once(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def upsert_stream(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    dedupe_updates_by: str,
+    partition_col: str | None = None,
+    await_termination: bool = True,
+):
+    """Streaming UPSERT sink: each micro-batch merges into the target by
+    key (latest ``dedupe_updates_by`` wins) via ``pipeline.merge
+    .merge_by_key`` — the foreachBatch + MERGE landing pattern for CDC-like
+    streams where rows are revisions, not events.
+
+    Exactly-once composition: the checkpoint deduplicates INPUT (a restarted
+    query never re-reads committed files) and the merge deduplicates OUTPUT
+    (a batch retried after a mid-write crash rewrites the same keys to the
+    same values — idempotent), so replays cannot double-apply.
+    """
+    from european_public_data_pipeline_spark.pipeline.merge import merge_by_key
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        merge_by_key(
+            batch_df.sparkSession,
+            target_path,
+            batch_df,
+            keys,
+            partition_col=partition_col,
+            dedupe_updates_by=dedupe_updates_by,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

@@ -89,3 +89,12 @@ def test_salt_actually_spreads_hot_key(spark, sf_small):
     assert len(counts) == 8  # all salt buckets populated
     n = sum(r["count"] for r in counts)
     assert max(r["count"] for r in counts) < 0.3 * n  # no single straggler
+
+
+def test_bucketed_aggregation_reuses_bucket_partitioning(spark, bucketed_tables):
+    left, _ = bucketed_tables
+    # Not just joins: groupBy on the bucket key also needs no exchange —
+    # partial+final aggregation collapses into one stage over the
+    # pre-partitioned scan.
+    agg = spark.table(left).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in physical_plan(agg)
