@@ -839,3 +839,53 @@ def d11_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared_chunks") >= CONTAIN_MIN_SHARED)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# d13: per-document novelty (first-occurrence share)
+
+
+@register(
+    "d13_shingle_novelty",
+    category="dedup",
+    doc="Per-document novelty score: the fraction of a document's distinct "
+    "3-gram shingles whose global FIRST occurrence (min doc_id, i.e. "
+    "earliest in ingest order) is this document — the cheap 'how much new "
+    "text does this batch contribute' signal incremental curation uses to "
+    "demote boilerplate-heavy sources before any pairwise dedup runs. "
+    "Shape: one groupBy on the shingle key for first owners, then the "
+    "shingle relation joins back on the SAME key (the exchange is reuse-"
+    "eligible) and rolls up per doc_id — two corpus-linear shuffles, no "
+    "pairwise stage at all.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+firsts AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM sh s JOIN firsts f USING (shingle)
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+""",
+)
+def d13_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel").cast("double") / F.col("n_shingles")
+        )
+        .orderBy("doc_id")
+    )

@@ -100,7 +100,7 @@ def _driver_order() -> list[str]:
     ]
     red = [n for n in _R1_DRIVER_RED if n in _REGISTRY]
     green = [n for n in names if n in _R1_DRIVER_GREEN]
-    return unchecked + red + green
+    return red + unchecked + green
 
 
 def all_specs() -> dict[str, QuerySpec]:
