@@ -244,7 +244,10 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_ctes() -> str:
+    """Shared CTE chain: shingles -> hashes -> minhash signatures -> LSH
+    bands -> candidate pairs -> sizes -> intersection counts. Used by the
+    d04 detection oracle and the d14 accuracy-audit oracle."""
     mins = ", ".join(
         f"MIN(({a} * hv + {b}) % {MINHASH_PRIME}) AS m{i}"
         for i, (a, b) in enumerate(_AB)
@@ -258,8 +261,7 @@ def _minhash_sig_sql() -> str:
         )
         for band in range(MINHASH_BANDS)
     )
-    return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+    return f"""sh AS ({_SQL_SHINGLES}),
 h AS (SELECT doc_id, shingle, CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS hv FROM sh),
 sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
 bands AS ({bands}),
@@ -276,7 +278,12 @@ inter AS (
   JOIN sh a ON a.doc_id = c.d1
   JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
   GROUP BY 1, 2
-)
+)"""
+
+
+def _minhash_sig_sql() -> str:
+    return f"""
+WITH {_minhash_ctes()}
 SELECT d1, d2,
        CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) AS jaccard
 FROM inter
@@ -888,4 +895,113 @@ def d13_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty", F.col("n_novel").cast("double") / F.col("n_shingles")
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14: MinHash estimator accuracy audit
+
+
+def _d14_oracle() -> str:
+    k = MINHASH_BANDS * MINHASH_ROWS
+    eq = " + ".join(
+        f"(CASE WHEN s1.m{i} = s2.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return f"""
+WITH {_minhash_ctes()}
+SELECT c.d1, c.d2,
+       CAST(({eq}) AS DOUBLE) / {k}.0 AS est_jaccard,
+       CAST(COALESCE(i.isect, 0) AS DOUBLE)
+         / (z1.n + z2.n - COALESCE(i.isect, 0)) AS exact_jaccard,
+       abs(CAST(({eq}) AS DOUBLE) / {k}.0
+           - CAST(COALESCE(i.isect, 0) AS DOUBLE)
+             / (z1.n + z2.n - COALESCE(i.isect, 0))) AS abs_err
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.d1
+JOIN sig s2 ON s2.doc_id = c.d2
+JOIN sizes z1 ON z1.doc_id = c.d1
+JOIN sizes z2 ON z2.doc_id = c.d2
+LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+ORDER BY c.d1, c.d2
+"""
+
+
+@register(
+    "d14_minhash_accuracy_audit",
+    category="dedup",
+    doc="Sketch-quality audit for the MinHash pipeline: for every LSH "
+    "candidate pair, the signature-estimated Jaccard (fraction of equal "
+    "minhash components, the Broder estimator) next to the exact shingle "
+    "Jaccard and their absolute error — the measurement that justifies "
+    "band/row parameters before trusting d04 on a new corpus. Shape: the "
+    "same bucketed candidate generation as d04 (corpus-linear), one "
+    "signature self-join on the (tiny) candidate set, exact verification "
+    "only for candidates — never all pairs.",
+    oracle=_d14_oracle(),
+)
+def d14_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = MINHASH_BANDS * MINHASH_ROWS
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    h = sh.withColumn("hv", base_hash28(F.col("shingle")))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+                ).alias("band_sig"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_struct).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_sig"])
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .filter(F.col("d1") < F.col("d2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(k)])
+    s2 = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(k)])
+    eq = sum(
+        (F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(k)),
+        F.lit(0),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("d1"), "shingle"), "d1")
+        .join(sh.select(F.col("doc_id").alias("d2"), "shingle"), ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    isect = F.coalesce(F.col("isect"), F.lit(0))
+    exact = isect.cast("double") / (F.col("n1") + F.col("n2") - isect)
+    est = eq.cast("double") / F.lit(float(k))
+    return (
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .join(inter, ["d1", "d2"], "left")
+        .select(
+            "d1",
+            "d2",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
     )

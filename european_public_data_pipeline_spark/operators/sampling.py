@@ -300,3 +300,38 @@ def sm05_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+EPOCH_SEED = "epoch1"
+
+
+@register(
+    "sm06_epoch_shuffle",
+    category="sampling",
+    doc="Deterministic global training-order shuffle: the sort key is a "
+    "portable hash of (epoch seed, doc_id), so every epoch is a "
+    "reproducible full permutation and changing the seed literal reshuffles "
+    "without touching the data. The ordering is a range-partitioned "
+    "distributed sort on the hash key — no single-partition stage, no RNG, "
+    "restart-safe; consumers stream partitions in key order. The output "
+    "carries the key so downstream stages can merge-sort splits without "
+    "re-ranking.",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CAST('0x' || substr(md5('{EPOCH_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT)
+         AS shuffle_key
+FROM documents
+ORDER BY shuffle_key, doc_id
+""",
+)
+def sm06_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = base_hash28(
+        F.concat(F.lit(f"{EPOCH_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+    )

@@ -46,8 +46,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         # Parquet INT64 TIMESTAMP(NANOS) is not a legal Spark type; read the
-        # raw nanos as LongType and convert at the source (tables.py) — the
-        # conversion to microseconds is exact for µs-aligned data.
+        # raw nanos as LongType and convert at the source (tables.py). The
+        # ns->µs conversion TRUNCATES (the synthetic events data is not
+        # µs-aligned); oracles must truncate identically.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
     )
