@@ -507,3 +507,86 @@ def q51_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("revenue_filled"),
         F.col("revenue").isNull().alias("interpolated"),
     ).orderBy("flag", "month")
+
+
+@register(
+    "q53_full_outer_reconciliation",
+    category="join",
+    doc="FULL OUTER reconciliation report: daily order counts vs daily "
+    "event counts, keeping days present on either side with a presence "
+    "flag — the source-comparison audit every warehouse runs between two "
+    "feeds. Both inputs aggregate to date-cardinality BEFORE the join, so "
+    "the full-outer shuffle moves day-count rows, never facts.",
+    oracle="""
+WITH o AS (
+  SELECT o_orderdate AS d, COUNT(*) AS n_orders FROM orders GROUP BY 1
+),
+e AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, COUNT(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT COALESCE(o.d, e.d) AS d,
+       CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(COALESCE(e.n_events, 0) AS BIGINT) AS n_events,
+       CASE WHEN o.d IS NULL THEN 'events_only'
+            WHEN e.d IS NULL THEN 'orders_only'
+            ELSE 'both' END AS presence
+FROM o FULL OUTER JOIN e ON o.d = e.d
+ORDER BY d
+""",
+)
+def q53_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    e = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    oo, ee = o.alias("o"), e.alias("e")
+    return (
+        oo.join(ee, F.col("o.d") == F.col("e.d"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.d"), F.col("e.d")).alias("d"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.when(F.col("o.d").isNull(), "events_only")
+            .when(F.col("e.d").isNull(), "orders_only")
+            .otherwise("both")
+            .alias("presence"),
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "q54_regexp_functions",
+    category="scalar-functions",
+    doc="Regex scalar surface (F6 continued): extract, replace-all, match "
+    "flag, and split-count as native column expressions — patterns kept "
+    "inside the common Java-regex/RE2 subset (no lookaround, no "
+    "backreferences) so engines agree byte-for-byte.",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       regexp_replace(c_name, '[0-9]', '*', 'g') AS masked,
+       CASE WHEN regexp_matches(c_name, '0{3,}[1-9]') THEN 1 ELSE 0 END
+         AS has_zero_run,
+       CAST(len(string_split_regex(c_name, '#')) AS INTEGER) AS name_parts
+FROM customer
+WHERE c_custkey <= 100
+ORDER BY c_custkey
+""",
+)
+def q54_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 100)
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+        F.regexp_replace("c_name", r"[0-9]", "*").alias("masked"),
+        F.when(F.col("c_name").rlike(r"0{3,}[1-9]"), 1).otherwise(0).alias(
+            "has_zero_run"
+        ),
+        F.size(F.split("c_name", "#")).alias("name_parts"),
+    ).orderBy("c_custkey")
