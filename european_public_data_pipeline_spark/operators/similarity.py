@@ -885,3 +885,122 @@ def d12_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s08: power-iteration PCA (top principal direction)
+
+PI_DIM = 64
+PI_SCALE = 1000000.0
+
+
+def _pi_iter_sql(e: str, v: str, w_m: str, w_l: str, v_out: str) -> str:
+    """One power iteration: w = X^T X v accumulated fixed-point per
+    dimension, then L2-normalized. Mirrors the Spark fold order exactly."""
+    return f"""
+{w_m} AS (
+  SELECT i AS pos,
+         CAST(SUM(CAST(floor(d.dot * d.x[i] * {PI_SCALE}) AS DECIMAL(38,0))) AS DOUBLE)
+           / {PI_SCALE} AS wd
+  FROM (
+    SELECT vec_id, x,
+           list_reduce(list_transform(generate_series(1, {PI_DIM}),
+                                      i -> x[i] * {v}.v[i]), (a, b) -> a + b) AS dot
+    FROM {e}, {v}
+  ) d, UNNEST(generate_series(1, {PI_DIM})) AS t(i)
+  GROUP BY i
+),
+{w_l} AS (SELECT list(wd ORDER BY pos) AS w FROM {w_m}),
+{v_out} AS (
+  SELECT list_transform(w, y -> y / sqrt(
+           list_reduce(list_transform(w, z -> z * z), (a, b) -> a + b))) AS v
+  FROM {w_l}
+)"""
+
+
+def _s08_oracle() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+  FROM embeddings
+),
+v0 AS (SELECT list_transform(generate_series(1, {PI_DIM}), i -> 1.0) AS v),
+{_pi_iter_sql('e', 'v0', 'w1m', 'w1', 'v1')},
+{_pi_iter_sql('e', 'v1', 'w2m', 'w2', 'v2')}
+SELECT e.vec_id,
+       list_reduce(list_transform(generate_series(1, {PI_DIM}),
+                                  i -> e.x[i] * v2.v[i]), (a, b) -> a + b)
+         AS pc1_proj
+FROM e, v2
+ORDER BY e.vec_id
+"""
+
+
+@register(
+    "s08_power_iteration_pca",
+    category="similarity",
+    doc="Top principal direction by two fixed power iterations (v := "
+    "normalize(X^T X v) from an all-ones start), then every embedding's "
+    "projection onto it — the PCA step feeding whitening / dimensionality "
+    "decisions on an embedding corpus. Iterative-ML shape at scale, same "
+    "loop class as s07/g01: per iteration the 64-double direction "
+    "broadcasts OUT, per-dimension partial sums come BACK through one "
+    "map-side-combined shuffle of (dim) rows — embedding rows never "
+    "shuffle, and the shuffled relation is dimension-cardinality (64 "
+    "rows), independent of corpus size. Determinism: per-row dot products "
+    "are sequential zip_with folds, cross-row accumulation is fixed-point "
+    "floor(x*1e6) DECIMAL(38,0) (partition-order invariant), "
+    "normalization uses IEEE-exact sqrt/division — bit-identical to the "
+    "oracle's unrolled SQL.",
+    oracle=_s08_oracle(),
+)
+def s08_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", dvec().alias("x"))
+
+    def dot_with(v_df: DataFrame) -> DataFrame:
+        dot = F.aggregate(
+            F.zip_with("x", "v", lambda a, b: a * b), F.lit(0.0), lambda a, b: a + b
+        )
+        return e.crossJoin(F.broadcast(v_df)).withColumn("dot", dot)
+
+    def power_iter(v_df: DataFrame) -> DataFrame:
+        d = dot_with(v_df)
+        w = (
+            d.select("dot", F.posexplode("x").alias("pos", "xd"))
+            .groupBy("pos")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("dot") * F.col("xd") * F.lit(PI_SCALE)
+                        ).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.lit(PI_SCALE)
+                ).alias("wd")
+            )
+        )
+        wlist = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wd"))),
+                lambda s: s["wd"],
+            ).alias("w")
+        )
+        norm = F.sqrt(
+            F.aggregate(F.col("w"), F.lit(0.0), lambda a, b: a + b * b)
+        )
+        return wlist.select(
+            F.transform(F.col("w"), lambda y: y / norm).alias("v")
+        )
+
+    ones = spark.range(1).select(
+        F.transform(F.sequence(F.lit(1), F.lit(PI_DIM)), lambda _: F.lit(1.0)).alias(
+            "v"
+        )
+    )
+    v2 = power_iter(power_iter(ones))
+    return (
+        dot_with(v2)
+        .select("vec_id", F.col("dot").alias("pc1_proj"))
+        .orderBy("vec_id")
+    )
