@@ -213,3 +213,48 @@ def q46_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "q55_sliding_mau",
+    category="event-analytics",
+    doc="Exact trailing-7-day active users per day (sliding MAU): COUNT("
+    "DISTINCT) over a sliding window is not a window function anywhere — "
+    "the scalable exact form dedups to (day, user) pairs FIRST (day-x-user "
+    "cardinality, tiny vs the fact table), fans each pair out to the <= 7 "
+    "window-end days it covers, and runs one distinct aggregation per "
+    "target day. Fan-out is a row-local generate; the only shuffles move "
+    "pair-cardinality rows. The approximate alternative (mergeable HLL "
+    "per day) trades this for sketch unions — q25 covers that surface.",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events
+),
+x AS (
+  SELECT d + CAST(k AS INTEGER) AS target_d, user_id
+  FROM p, UNNEST(generate_series(0, 6)) AS t(k)
+),
+m AS (SELECT MAX(d) AS maxd FROM p)
+SELECT target_d AS d, COUNT(DISTINCT user_id) AS mau_7d
+FROM x, m
+WHERE target_d <= m.maxd
+GROUP BY target_d
+ORDER BY d
+""",
+)
+def q55_sliding_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    p = events.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    maxd = p.agg(F.max("d").alias("maxd"))
+    x = p.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("k"), "d", "user_id"
+    ).select(F.date_add(F.col("d"), F.col("k")).alias("target_d"), "user_id")
+    return (
+        x.crossJoin(F.broadcast(maxd))
+        .filter(F.col("target_d") <= F.col("maxd"))
+        .groupBy(F.col("target_d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("mau_7d"))
+        .orderBy("d")
+    )
