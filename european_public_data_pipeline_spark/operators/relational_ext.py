@@ -590,3 +590,76 @@ def q54_regexp_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(F.split("c_name", "#")).alias("name_parts"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "q56_revenue_anomaly_zscore",
+    category="quality-analytics",
+    doc="Per-series anomaly detection: monthly revenue per order priority "
+    "z-scored against that priority's own history, outliers flagged at "
+    "|z| > 2 — the reference's quality-gate philosophy (check_hicp_quality"
+    ".py's bounds checks) generalized to statistical outlier detection. "
+    "Determinism: moments accumulate on integer CENTS (DECIMAL(38,0)) — a "
+    "scale-2 decimal whose scaled value exceeds 2^53 casts to double with "
+    "DOUBLE rounding in DuckDB (int128->double, then /10^scale) but single "
+    "rounding in Spark (BigDecimal.doubleValue), 1 ulp apart; integer "
+    "decimals cast identically in both. z is scale-invariant, so the cents "
+    "formula equals the dollar formula. Shape: one fact aggregation to "
+    "(priority, month) cardinality, one priority-partitioned window over "
+    "month-count rows — group-cardinality data, never facts.",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+  FROM orders
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT o_orderpriority, month_start, rev_dec,
+         CAST(rev_dec * 100 AS DECIMAL(38,0)) AS rev_c
+  FROM m
+),
+s AS (
+  SELECT o_orderpriority, month_start, rev_dec,
+         CAST(rev_c AS DOUBLE) AS x,
+         COUNT(*) OVER w AS n,
+         CAST(SUM(rev_c) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(rev_c * rev_c) OVER w AS DOUBLE) AS s2
+  FROM c
+  WINDOW w AS (PARTITION BY o_orderpriority)
+)
+SELECT o_orderpriority, month_start,
+       CAST(rev_dec AS DOUBLE) AS revenue,
+       (x - s1 / n) / sqrt((s2 - s1 * s1 / n) / n) AS zscore,
+       CASE WHEN abs((x - s1 / n) / sqrt((s2 - s1 * s1 / n) / n)) > 2.0
+            THEN 1 ELSE 0 END AS is_outlier
+FROM s
+ORDER BY o_orderpriority, month_start
+""",
+)
+def q56_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    c = m.withColumn("rev_c", (F.col("rev_dec") * 100).cast("decimal(38,0)"))
+    w = Window.partitionBy("o_orderpriority")
+    x = F.col("rev_c").cast("double")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("rev_c").over(w).cast("double")
+    s2 = F.sum(F.col("rev_c") * F.col("rev_c")).over(w).cast("double")
+    z = (x - s1 / n) / F.sqrt((s2 - s1 * s1 / n) / n)
+    return (
+        c.select(
+            "o_orderpriority",
+            "month_start",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            z.alias("zscore"),
+            F.when(F.abs(z) > 2.0, 1).otherwise(0).alias("is_outlier"),
+        )
+        .orderBy("o_orderpriority", "month_start")
+    )
