@@ -138,3 +138,27 @@ def test_t11_tfidf_single_explode_pass(spark, sf_small):
     # re-explodes the corpus for df would double the dominant scan cost.
     assert len(re.findall(r"\(\d+\) Generate\b", plan)) == 1
     assert len(re.findall(r"\(\d+\) Scan parquet\b", plan)) == 1
+
+
+# Queries whose single-partition window input is GROUP-cardinality (3
+# return flags / 20 sources), not data — the percent-of-total pattern is
+# fine there and the plan cannot grow with the corpus.
+_SINGLE_PARTITION_OK = {"q50_revenue_share", "sm04_source_mixture_weights"}
+
+_SP_PATTERN = re.compile(r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition")
+
+
+def test_no_query_sorts_or_windows_a_whole_relation_on_one_partition(spark, sf_small):
+    """Fleet-wide guard for the #1 scale-killer: a Sort or Window whose
+    direct child is a single-partition exchange serializes its entire
+    input through one task. Every registered query must be free of the
+    pattern (modulo the group-cardinality whitelist above)."""
+    offenders = []
+    for name, spec in sorted(SPECS.items()):
+        if name in _SINGLE_PARTITION_OK:
+            continue
+        df = spec.builder(spark, sf_small)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if _SP_PATTERN.search(plan):
+            offenders.append(name)
+    assert not offenders, f"single-partition Sort/Window in: {offenders}"
