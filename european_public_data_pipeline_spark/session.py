@@ -37,8 +37,14 @@ def get_spark(
     from spark-submit and this argument stays ``None``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # Local mode runs executors inside the driver JVM; the 1g default heap
+    # is far below this class of box and OOMs long before the CPUs are the
+    # bottleneck. Only effective for the session that starts the JVM —
+    # cluster deployments take memory from spark-submit as usual.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
