@@ -1,0 +1,68 @@
+"""End-to-end corpus-curation pipeline: the composed guarantees.
+
+Each stage is oracle-checked in isolation (t02/d02/d04/d10/sm05); these
+tests pin what the COMPOSITION must guarantee: monotone shrinkage, no
+duplicates or near-duplicates among survivors, no benchmark contamination,
+deterministic re-runs, and a split-partitioned layout.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark import plans
+from european_public_data_pipeline_spark.pipeline.curate import curate_corpus
+
+
+@pytest.fixture(scope="module")
+def curated(spark, sf_small, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curated"))
+    stats = curate_corpus(spark, sf_small, out)
+    return out, stats
+
+
+def test_stages_shrink_monotonically(curated):
+    _, s = curated
+    assert (
+        s["n_raw"]
+        >= s["n_after_quality"]
+        >= s["n_after_exact_dedup"]
+        >= s["n_after_near_dedup"]
+        >= s["n_after_decontam"]
+        > 0
+    )
+    assert s["n_train"] + s.get("n_val", 0) + s.get("n_test", 0) == s["n_after_decontam"]
+
+
+def test_no_exact_duplicates_survive(spark, curated):
+    out, _ = curated
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    norm = F.md5(F.array_join(F.split(F.trim(F.lower("text")), r"\s+"), " "))
+    assert docs.count() == docs.select(norm.alias("fp")).distinct().count()
+
+
+def test_no_near_duplicates_survive(spark, curated):
+    out, _ = curated
+    # Re-run the full MinHash+LSH detector over the CURATED corpus: every
+    # verified >= 0.8 pair had its higher id dropped, so none may remain.
+    pairs = plans.all_specs()["d04_minhash_lsh_pairs"].builder(spark, out)
+    assert pairs.count() == 0
+
+
+def test_no_benchmark_contamination_survives(spark, sf_small, curated):
+    out, _ = curated
+    flagged = (
+        plans.all_specs()["d10_contamination_check"]
+        .builder(spark, sf_small)
+        .filter(F.col("contaminated"))
+        .select("doc_id")
+    )
+    docs = spark.read.parquet(f"{out}/documents.parquet")
+    assert docs.join(flagged, "doc_id", "left_semi").count() == 0
+
+
+def test_rerun_is_deterministic(spark, sf_small, curated, tmp_path):
+    _, first = curated
+    again = curate_corpus(spark, sf_small, str(tmp_path / "again"))
+    assert again == first
