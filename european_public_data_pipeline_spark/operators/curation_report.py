@@ -1,0 +1,101 @@
+"""Driver-checked curation report: the composed pipeline as one query.
+
+``pipeline/curate.py`` chains t02 -> d02 -> d04 -> d10 -> sm05 into the
+training-corpus curation run; this module registers the per-stage counts
+of that chain as ``p03_curation_report`` with an oracle built by
+composing the ALREADY-REGISTERED stage oracles as CTEs. The correctness
+driver therefore hash-checks not only each operator in isolation but the
+whole composition — the strongest end-to-end evidence the oracle
+framework can express.
+
+Must be imported AFTER the stage modules in ``plans/__init__`` (the
+oracle text is assembled from the registry at import time).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.operators.sampling import SPLIT_BP, _HASH_SQL
+from european_public_data_pipeline_spark.plans.registry import all_specs, register
+
+_QUALITY_MIN = 0.5  # pipeline.curate.QUALITY_MIN (kept literal: oracle text)
+
+
+def _composed_oracle() -> str:
+    specs = all_specs()
+    t02 = specs["t02_quality_score"].oracle
+    d02 = specs["d02_exact_dedup_fingerprint"].oracle
+    d04 = specs["d04_minhash_lsh_pairs"].oracle
+    d10 = specs["d10_contamination_check"].oracle
+    train_hi = SPLIT_BP["train"]
+    val_hi = SPLIT_BP["train"] + SPLIT_BP["val"]
+    return f"""
+WITH t02 AS ({t02}),
+good AS (SELECT doc_id FROM t02 WHERE quality_score >= {_QUALITY_MIN}),
+d02 AS ({d02}),
+s2 AS (SELECT doc_id FROM good
+       WHERE doc_id IN (SELECT survivor_doc_id FROM d02)),
+d04 AS ({d04}),
+s3 AS (SELECT doc_id FROM s2
+       WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM d04)),
+d10 AS ({d10}),
+s4 AS (SELECT doc_id FROM s3
+       WHERE doc_id IN (SELECT doc_id FROM d10 WHERE NOT contaminated)),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN {_HASH_SQL} % 10000 < {train_hi} THEN 'train'
+              WHEN {_HASH_SQL} % 10000 < {val_hi} THEN 'val'
+              ELSE 'test' END AS split
+  FROM s4
+)
+SELECT stage, n FROM (
+  SELECT '1_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n
+  UNION ALL SELECT '2_quality', (SELECT COUNT(*) FROM good)
+  UNION ALL SELECT '3_exact_dedup', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT '4_near_dedup', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT '5_decontam', (SELECT COUNT(*) FROM s4)
+  UNION ALL SELECT '6_split_train', (SELECT COUNT(*) FROM sp WHERE split = 'train')
+  UNION ALL SELECT '7_split_val', (SELECT COUNT(*) FROM sp WHERE split = 'val')
+  UNION ALL SELECT '8_split_test', (SELECT COUNT(*) FROM sp WHERE split = 'test')
+)
+ORDER BY stage
+"""
+
+
+@register(
+    "p03_curation_report",
+    category="pipeline",
+    doc="Per-stage surviving-document counts of the composed corpus-"
+    "curation pipeline (quality gate -> exact dedup -> LSH near-dedup -> "
+    "decontamination -> deterministic split). The oracle nests the four "
+    "stage oracles as CTEs and recomputes the chain in SQL, so a driver "
+    "hash match certifies the COMPOSITION, not just the parts.",
+    oracle=_composed_oracle(),
+)
+def p03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline.curate import (
+        curation_stages,
+        split_label,
+    )
+
+    stages = curation_stages(spark, sf_dir)
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(label).alias("stage"), "n"
+        )
+
+    sp = stages["decontam"].withColumn("split", split_label(F.col("doc_id")))
+    report = (
+        cnt(stages["docs"], "1_raw")
+        .unionByName(cnt(stages["quality"], "2_quality"))
+        .unionByName(cnt(stages["exact_dedup"], "3_exact_dedup"))
+        .unionByName(cnt(stages["near_dedup"], "4_near_dedup"))
+        .unionByName(cnt(stages["decontam"], "5_decontam"))
+        .unionByName(cnt(sp.filter(F.col("split") == "train"), "6_split_train"))
+        .unionByName(cnt(sp.filter(F.col("split") == "val"), "7_split_val"))
+        .unionByName(cnt(sp.filter(F.col("split") == "test"), "8_split_test"))
+    )
+    return report.orderBy("stage")

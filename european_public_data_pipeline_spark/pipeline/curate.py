@@ -50,25 +50,21 @@ def split_label(doc_id_col: F.Column) -> F.Column:
     )
 
 
-def curate_corpus(
-    spark: SparkSession,
-    sf_dir: str,
-    out_dir: str,
-    quality_min: float = QUALITY_MIN,
-) -> dict[str, int]:
-    """Run the curation chain over ``{sf_dir}/documents.parquet`` and write
-    ``{out_dir}/documents.parquet`` partitioned by ``split``.
+def curation_stages(
+    spark: SparkSession, sf_dir: str, quality_min: float = QUALITY_MIN
+) -> dict[str, DataFrame]:
+    """The curation chain as doc_id relations, one entry per stage.
 
-    Returns per-stage surviving-document counts (the curation report).
+    Shared by ``curate_corpus`` (which writes the final corpus) and the
+    driver-checked ``p03_curation_report`` query (which counts each stage
+    against a composed-CTE oracle).
     """
     specs = plans.all_specs()
     docs = load_table(spark, sf_dir, "documents")
-    n_raw = docs.count()
 
     # 1. Quality gate: row-local scoring, drops before anything shuffles.
     quality = specs["t02_quality_score"].builder(spark, sf_dir)
     good = quality.filter(F.col("quality_score") >= quality_min).select("doc_id")
-    n_quality = good.count()
 
     # 2. Exact dedup: fingerprint survivors (min doc_id per fingerprint).
     survivors = (
@@ -77,7 +73,6 @@ def curate_corpus(
         .select(F.col("survivor_doc_id").alias("doc_id"))
     )
     stage2 = good.join(survivors, "doc_id", "left_semi")
-    n_exact = stage2.count()
 
     # 3. Near-dedup: for every verified pair (d1 < d2, jaccard >= 0.8) the
     # higher id loses — survivors never pair with each other.
@@ -88,7 +83,6 @@ def curate_corpus(
         .distinct()
     )
     stage3 = stage2.join(near_losers, "doc_id", "left_anti")
-    n_near = stage3.count()
 
     # 4. Decontamination: d10's output covers exactly the non-benchmark
     # docs; keeping only its non-contaminated rows drops BOTH the held-out
@@ -100,6 +94,33 @@ def curate_corpus(
         .select("doc_id")
     )
     stage4 = stage3.join(clean, "doc_id", "left_semi")
+    return {
+        "docs": docs,
+        "quality": good,
+        "exact_dedup": stage2,
+        "near_dedup": stage3,
+        "decontam": stage4,
+    }
+
+
+def curate_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    quality_min: float = QUALITY_MIN,
+) -> dict[str, int]:
+    """Run the curation chain over ``{sf_dir}/documents.parquet`` and write
+    ``{out_dir}/documents.parquet`` partitioned by ``split``.
+
+    Returns per-stage surviving-document counts (the curation report).
+    """
+    stages = curation_stages(spark, sf_dir, quality_min)
+    docs = stages["docs"]
+    n_raw = docs.count()
+    n_quality = stages["quality"].count()
+    n_exact = stages["exact_dedup"].count()
+    n_near = stages["near_dedup"].count()
+    stage4 = stages["decontam"]
     n_decontam = stage4.count()
 
     # 5. Split + write: one pass over the surviving text, partitioned so a

@@ -30,6 +30,10 @@ from european_public_data_pipeline_spark.operators import scale_joins  # noqa: E
 from european_public_data_pipeline_spark.operators import graph  # noqa: E402,F401
 from european_public_data_pipeline_spark.pipeline import hicp_queries  # noqa: E402,F401
 
+# Must come last: composes already-registered stage oracles into the
+# end-to-end curation-report oracle.
+from european_public_data_pipeline_spark.operators import curation_report  # noqa: E402,F401
+
 __all__ = [
     "QuerySpec",
     "register",
