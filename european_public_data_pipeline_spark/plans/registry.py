@@ -92,15 +92,28 @@ _R1_DRIVER_GREEN = frozenset({
 # round 2) — re-check these right after the never-checked names.
 _R1_DRIVER_RED = ("q17_events_json_extract", "q19_sessionization")
 
+# Operators added in round 2 (no round-1 verdict could exist). Round-1's
+# never-checked queries are older verification debt, so they outrank these
+# for the driver's ~50-per-round budget.
+_R2_NEW = frozenset({
+    "d13_shingle_novelty", "d14_minhash_accuracy_audit", "sm06_epoch_shuffle",
+    "q53_full_outer_reconciliation", "q54_regexp_functions", "q55_sliding_mau",
+    "q56_revenue_anomaly_zscore", "s08_power_iteration_pca",
+    "p03_curation_report",
+})
+
 
 def _driver_order() -> list[str]:
     names = list(_REGISTRY)
-    unchecked = [
-        n for n in names if n not in _R1_DRIVER_GREEN and n not in _R1_DRIVER_RED
-    ]
     red = [n for n in _R1_DRIVER_RED if n in _REGISTRY]
+    r1_unchecked = [
+        n
+        for n in names
+        if n not in _R1_DRIVER_GREEN and n not in _R1_DRIVER_RED and n not in _R2_NEW
+    ]
+    new = [n for n in names if n in _R2_NEW]
     green = [n for n in names if n in _R1_DRIVER_GREEN]
-    return red + unchecked + green
+    return red + r1_unchecked + new + green
 
 
 def all_specs() -> dict[str, QuerySpec]:
