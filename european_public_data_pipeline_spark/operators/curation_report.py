@@ -8,8 +8,10 @@ driver therefore hash-checks not only each operator in isolation but the
 whole composition — the strongest end-to-end evidence the oracle
 framework can express.
 
-Must be imported AFTER the stage modules in ``plans/__init__`` (the
-oracle text is assembled from the registry at import time).
+The oracle text is assembled from the registry LAZILY (``register``
+accepts a callable): composing it at import time would race module
+import order — a direct ``import operators.dedup`` re-enters
+``plans/__init__`` while dedup is still partially initialized.
 """
 
 from __future__ import annotations
@@ -18,13 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.operators.sampling import SPLIT_BP, _HASH_SQL
-from european_public_data_pipeline_spark.plans.registry import all_specs, register
+from european_public_data_pipeline_spark.plans import registry
+from european_public_data_pipeline_spark.plans.registry import register
 
 _QUALITY_MIN = 0.5  # pipeline.curate.QUALITY_MIN (kept literal: oracle text)
 
 
 def _composed_oracle() -> str:
-    specs = all_specs()
+    # Raw registry access (not all_specs): resolving p03's own lazy oracle
+    # from inside its composer would recurse.
+    specs = registry._REGISTRY
     t02 = specs["t02_quality_score"].oracle
     d02 = specs["d02_exact_dedup_fingerprint"].oracle
     d04 = specs["d04_minhash_lsh_pairs"].oracle
@@ -72,7 +77,7 @@ ORDER BY stage
     "decontamination -> deterministic split). The oracle nests the four "
     "stage oracles as CTEs and recomputes the chain in SQL, so a driver "
     "hash match certifies the COMPOSITION, not just the parts.",
-    oracle=_composed_oracle(),
+    oracle=_composed_oracle,  # lazy: composed from the registry on first use
 )
 def p03_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.pipeline.curate import (

@@ -15,7 +15,7 @@ column identically.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -37,12 +37,19 @@ class QuerySpec:
 def register(
     name: str,
     *,
-    oracle: str | None = None,
+    oracle: str | Callable[[], str] | None = None,
     category: str,
     doc: str = "",
     bench: bool = False,
 ) -> Callable[[Builder], Builder]:
-    """Decorator: register a query builder under ``name``."""
+    """Decorator: register a query builder under ``name``.
+
+    ``oracle`` may be a zero-arg callable for oracles composed from OTHER
+    registered specs (resolved lazily on first registry access) — building
+    such text at decoration time would race module import order: a direct
+    import of one operator module re-enters ``plans/__init__`` while that
+    module is still partially initialized.
+    """
 
     def wrap(fn: Builder) -> Builder:
         if name in _REGISTRY:
@@ -50,7 +57,7 @@ def register(
         _REGISTRY[name] = QuerySpec(
             name=name,
             builder=fn,
-            oracle=oracle.strip() if oracle else None,
+            oracle=oracle.strip() if isinstance(oracle, str) else oracle,
             category=category,
             doc=doc or (fn.__doc__ or "").strip(),
             bench=bench,
@@ -58,6 +65,14 @@ def register(
         return fn
 
     return wrap
+
+
+def _resolve(name: str) -> "QuerySpec":
+    spec = _REGISTRY[name]
+    if callable(spec.oracle):
+        spec = replace(spec, oracle=spec.oracle().strip())
+        _REGISTRY[name] = spec
+    return spec
 
 
 # Queries that already have a green row in CORRECTNESS_r01.json. The
@@ -117,7 +132,7 @@ def _driver_order() -> list[str]:
 
 
 def all_specs() -> dict[str, QuerySpec]:
-    return dict(_REGISTRY)
+    return {name: _resolve(name) for name in _REGISTRY}
 
 
 def queries_map() -> dict[str, Builder]:
@@ -126,7 +141,7 @@ def queries_map() -> dict[str, Builder]:
 
 def oracle_sql_map() -> dict[str, str]:
     return {
-        name: _REGISTRY[name].oracle
+        name: _resolve(name).oracle
         for name in _driver_order()
-        if _REGISTRY[name].oracle
+        if _resolve(name).oracle
     }
