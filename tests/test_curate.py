@@ -66,3 +66,19 @@ def test_rerun_is_deterministic(spark, sf_small, curated, tmp_path):
     _, first = curated
     again = curate_corpus(spark, sf_small, str(tmp_path / "again"))
     assert again == first
+
+
+def test_report_query_matches_pipeline_stats(spark, sf_small, curated):
+    _, stats = curated
+    report = {
+        r["stage"]: r["n"]
+        for r in plans.all_specs()["p03_curation_report"]
+        .builder(spark, sf_small)
+        .collect()
+    }
+    assert report["1_raw"] == stats["n_raw"]
+    assert report["2_quality"] == stats["n_after_quality"]
+    assert report["3_exact_dedup"] == stats["n_after_exact_dedup"]
+    assert report["4_near_dedup"] == stats["n_after_near_dedup"]
+    assert report["5_decontam"] == stats["n_after_decontam"]
+    assert report["6_split_train"] == stats["n_train"]
