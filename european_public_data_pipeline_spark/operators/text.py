@@ -755,3 +755,58 @@ def t12_corpus_head_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             "singleton_share"
         ),
     )
+
+
+LEXICON_K = 1000
+
+
+@register(
+    "t13_vocab_coverage",
+    category="text",
+    doc="Out-of-vocabulary rate per document against a corpus-derived "
+    "lexicon (the top-1000 tokens by frequency, ties broken "
+    "alphabetically) — the tokenizer-coverage check run before committing "
+    "to a vocabulary: documents with high OOV rates are the ones a fixed "
+    "vocab will shred into bytes. Shape: the lexicon is a distributed "
+    "TakeOrdered over the token-frequency aggregate (vocabulary-sized "
+    "input, k-row output) broadcast back onto the exploded token stream; "
+    "per-doc rollup is one map-side-combined groupBy on doc_id. No global "
+    "sort, no second corpus scan for the lexicon probe.",
+    oracle=f"""
+WITH tf AS (
+  SELECT token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+lex AS (SELECT token FROM tf ORDER BY tf DESC, token LIMIT {LEXICON_K}),
+tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN l.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(CASE WHEN l.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate
+FROM tok t LEFT JOIN lex l ON t.token = l.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    lex = (
+        freq.orderBy(F.desc("tf"), F.asc("token"))
+        .limit(LEXICON_K)
+        .select("token", F.lit(True).alias("in_lex"))
+    )
+    return (
+        tok.join(F.broadcast(lex), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_lex").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens"))
+        .orderBy("doc_id")
+    )

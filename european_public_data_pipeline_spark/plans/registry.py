@@ -114,7 +114,7 @@ _R2_NEW = frozenset({
     "d13_shingle_novelty", "d14_minhash_accuracy_audit", "sm06_epoch_shuffle",
     "q53_full_outer_reconciliation", "q54_regexp_functions", "q55_sliding_mau",
     "q56_revenue_anomaly_zscore", "s08_power_iteration_pca",
-    "p03_curation_report",
+    "p03_curation_report", "t13_vocab_coverage",
 })
 
 
