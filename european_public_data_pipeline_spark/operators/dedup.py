@@ -221,10 +221,20 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The shingle set feeds the self-join twice plus the size aggregate;
     # cache it so tokenize/explode/distinct runs once, not three times.
     sh = shingles(docs).cache()
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    # Inverted-index pair generation: group the posting list per shingle
+    # (ONE shuffle of the shingle relation — the naive self-join shuffles it
+    # twice), drop single-document shingles (most of a diverse corpus; they
+    # cannot form pairs), and fan candidate pairs out ROW-LOCALLY from each
+    # posting list. Skew bound = hottest posting list, the same bound the
+    # self-join had — d04's LSH is the answer when that bites.
+    grouped = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     pairs = (
-        s1.join(s2, "shingle")
+        grouped.select(F.explode("ds").alias("d1"), "ds")
+        .select("d1", F.explode("ds").alias("d2"))
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("isect"))
