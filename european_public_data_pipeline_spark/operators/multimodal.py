@@ -216,21 +216,25 @@ def thumbnail_dims(decoded: DataFrame) -> DataFrame:
     category="multimodal",
     doc="Payload -> fixed-size float feature vector over Arrow-batched "
     "mapInPandas (md5-chunk stub standing in for a model embedding; the "
-    "kernel body is the only thing a real model changes). The oracle "
-    "recomputes the identical vector in SQL — float elements are single "
-    "divisions of exact integers, so the array hash-matches bit-exact.",
+    "kernel body is the only thing a real model changes). The vector is "
+    "posexploded to (doc_id, dim_idx, value) rows for the comparator — "
+    "array columns are unhashable in a pandas canonicalizer — so EVERY "
+    "element is value-checked; floats are single divisions of exact "
+    "integers, bit-exact on both engines.",
     oracle=f"""
 SELECT doc_id,
-       list_transform(generate_series(0, {FEAT_DIM - 1}),
-         i -> CAST('0x' || substr(md5(text), 1 + i * 4, 4) AS BIGINT) / 65535.0)
-         AS feature
-FROM documents
-ORDER BY doc_id
+       i AS dim_idx,
+       CAST('0x' || substr(md5(text), 1 + i * 4, 4) AS BIGINT) / 65535.0 AS value
+FROM documents, range(0, {FEAT_DIM}) t(i)
+ORDER BY doc_id, dim_idx
 """,
 )
 def m03_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_binary_payload(docs)).orderBy("doc_id")
+    feats = extract_features(attach_binary_payload(docs))
+    return feats.select(
+        "doc_id", F.posexplode("feature").alias("dim_idx", "value")
+    ).withColumn("dim_idx", F.col("dim_idx").cast("long")).orderBy("doc_id", "dim_idx")
 
 
 @register(
