@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from european_public_data_pipeline_spark.operators.dedup import CONTAM_MOD, _HASH_DOC_SQL
 from european_public_data_pipeline_spark.operators.sampling import SPLIT_BP, _HASH_SQL
 from european_public_data_pipeline_spark.plans import registry
 from european_public_data_pipeline_spark.plans.registry import register
@@ -29,6 +30,14 @@ _QUALITY_MIN = 0.5  # pipeline.curate.QUALITY_MIN (kept literal: oracle text)
 def _composed_oracle() -> str:
     # Raw registry access (not all_specs): resolving p03's own lazy oracle
     # from inside its composer would recurse.
+    from european_public_data_pipeline_spark.pipeline import curate
+
+    # The oracle text keeps the threshold literal; fail loudly if it ever
+    # drifts from the pipeline constant it claims to certify.
+    assert _QUALITY_MIN == curate.QUALITY_MIN, (
+        f"p03 oracle threshold {_QUALITY_MIN} != pipeline QUALITY_MIN "
+        f"{curate.QUALITY_MIN}"
+    )
     specs = registry._REGISTRY
     t02 = specs["t02_quality_score"].oracle
     d02 = specs["d02_exact_dedup_fingerprint"].oracle
@@ -47,7 +56,8 @@ s3 AS (SELECT doc_id FROM s2
        WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM d04)),
 d10 AS ({d10}),
 s4 AS (SELECT doc_id FROM s3
-       WHERE doc_id IN (SELECT doc_id FROM d10 WHERE NOT contaminated)),
+       WHERE {_HASH_DOC_SQL} % {CONTAM_MOD} != 0
+         AND doc_id NOT IN (SELECT doc_id FROM d10 WHERE contaminated)),
 sp AS (
   SELECT doc_id,
          CASE WHEN {_HASH_SQL} % 10000 < {train_hi} THEN 'train'

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark import plans
-from european_public_data_pipeline_spark.operators.dedup import base_hash28
+from european_public_data_pipeline_spark.operators.dedup import CONTAM_MOD, base_hash28
 from european_public_data_pipeline_spark.operators.sampling import SPLIT_BP
 from european_public_data_pipeline_spark.tables import load_table
 
@@ -84,16 +84,20 @@ def curation_stages(
     )
     stage3 = stage2.join(near_losers, "doc_id", "left_anti")
 
-    # 4. Decontamination: d10's output covers exactly the non-benchmark
-    # docs; keeping only its non-contaminated rows drops BOTH the held-out
-    # benchmark split and every training doc overlapping it.
-    clean = (
+    # 4. Decontamination: drop the held-out benchmark split (a pure hash
+    # predicate of doc_id — no join needed) plus every training doc d10
+    # scored as contaminated. The drop set is built EXPLICITLY rather than
+    # semi-joining d10's clean rows: d10 only emits rows for docs that have
+    # at least one 5-gram shingle, so docs shorter than 5 words are absent
+    # from its output and a semi join would silently discard them.
+    contaminated = (
         specs["d10_contamination_check"]
         .builder(spark, sf_dir)
-        .filter(~F.col("contaminated"))
+        .filter(F.col("contaminated"))
         .select("doc_id")
     )
-    stage4 = stage3.join(clean, "doc_id", "left_semi")
+    is_bench = base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0
+    stage4 = stage3.filter(~is_bench).join(contaminated, "doc_id", "left_anti")
     return {
         "docs": docs,
         "quality": good,

@@ -63,13 +63,37 @@ def _quantile_splits(df: DataFrame, cols: list[str]) -> list[list[float]]:
     return splits
 
 
+_ZORDERABLE = ("byte", "short", "integer", "long", "float", "double", "decimal")
+_ZTEMPORAL = ("date", "timestamp", "timestamp_ntz")
+
+
+def _zorder_key(df: DataFrame, name: str, alias: str) -> F.Column:
+    """Quantile-rankable double for a z-order column; raises on types the
+    quantile binning would silently corrupt (strings cast to NULL and all
+    collapse into the single handleInvalid bucket, degenerating the Morton
+    interleave into a sort on the other column)."""
+    dtype = df.schema[name].dataType.typeName()
+    if dtype in _ZORDERABLE or dtype.startswith("decimal"):
+        return F.col(name).cast("double").alias(alias)
+    if dtype in _ZTEMPORAL:
+        # epoch seconds/days: order-preserving numeric image
+        return F.col(name).cast("timestamp").cast("double").alias(alias)
+    raise TypeError(
+        f"zorder_by: column {name!r} has type {dtype}, which is not "
+        "numeric, date, or timestamp — quantile binning would collapse it "
+        "into one bucket. Cluster strings via cluster_by, or derive a "
+        "numeric key (e.g. a hash or dictionary code) first."
+    )
+
+
 def zorder_by(df: DataFrame, col_a: str, col_b: str, n_files: int) -> DataFrame:
-    """Morton-cluster on two columns: row groups cover small (a, b)
-    rectangles, pruning predicates on either column."""
+    """Morton-cluster on two NUMERIC-or-TEMPORAL columns: row groups cover
+    small (a, b) rectangles, pruning predicates on either column. Other
+    types raise ``TypeError`` (see ``_zorder_key``)."""
     from pyspark.ml.feature import Bucketizer
 
-    cast = df.withColumn("_za", F.col(col_a).cast("double")).withColumn(
-        "_zb", F.col(col_b).cast("double")
+    cast = df.select(
+        "*", _zorder_key(df, col_a, "_za"), _zorder_key(df, col_b, "_zb")
     )
     splits = _quantile_splits(cast, ["_za", "_zb"])
     bucketizer = Bucketizer(

@@ -104,12 +104,25 @@ def merge_by_key(
                 "be nondeterministic — use a unique ordering column"
             )
         updates = ranked.filter(F.col("_urn") == 1).drop("_urn", "_utie")
-    elif updates.count() != updates.select(*keys).distinct().count():
-        raise ValueError(
-            f"merge_by_key: updates contain duplicate merge keys "
-            f"({', '.join(keys)}); pass dedupe_updates_by=<ordering column> "
-            "or pre-dedupe — an arbitrary winner would be nondeterministic"
+    else:
+        # One aggregation job (map-side combined, short-circuits at the
+        # first duplicate) instead of two full materializations of
+        # ``updates`` — which would also re-execute an expensive or
+        # non-deterministic source lineage twice per merge call (and per
+        # streaming micro-batch via ``upsert_stream``).
+        has_dup = (
+            updates.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
         )
+        if has_dup:
+            raise ValueError(
+                f"merge_by_key: updates contain duplicate merge keys "
+                f"({', '.join(keys)}); pass dedupe_updates_by=<ordering column> "
+                "or pre-dedupe — an arbitrary winner would be nondeterministic"
+            )
     try:
         target = spark.read.parquet(target_path)
         exists = True

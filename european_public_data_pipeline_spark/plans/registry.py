@@ -75,13 +75,16 @@ def _resolve(name: str) -> "QuerySpec":
     return spec
 
 
-# Queries that already have a green row in CORRECTNESS_r01.json. The
-# correctness driver verifies queries in dict-iteration order and only
-# reaches ~50 per round, so ``queries_map`` yields the names WITHOUT a
-# round-1 verdict first (then the two round-1 hash-failures, now fixed, so
-# they get re-checked), and the already-green names last. Over two rounds
-# every registered query gets a driver row.
-_R1_DRIVER_GREEN = frozenset({
+# The correctness driver verifies queries in dict-iteration order and only
+# reaches ~50 per round, so ``queries_map`` orders names by verification
+# urgency: last round's failures first, then queries whose implementation
+# or oracle changed AFTER their most recent green verdict (a stale verdict
+# is no verdict), then never-checked names, then greens stalest-first.
+# Over consecutive rounds every registered query re-earns a driver row.
+
+# Green in CORRECTNESS_r01.json and NOT re-checked since (round-2 greens
+# moved to _DRIVER_GREEN_R2; q17/q19 went red in r1, green in r2).
+_DRIVER_GREEN_R1 = frozenset({
     "q01_pricing_summary", "q02_filter_project", "q03_revenue_forecast",
     "q04_top_revenue_orders", "q05_region_customer_rollup",
     "q06_priority_exists_semi", "q07_segment_anti", "q08_monthly_revenue_mom",
@@ -103,32 +106,60 @@ _R1_DRIVER_GREEN = frozenset({
     "s07_kmeans_assignments", "t01_token_stats",
 })
 
-# Round-1 driver rows that exist but hash-failed (oracle typing, fixed in
-# round 2) — re-check these right after the never-checked names.
-_R1_DRIVER_RED = ("q17_events_json_extract", "q19_sessionization")
-
-# Operators added in round 2 (no round-1 verdict could exist). Round-1's
-# never-checked queries are older verification debt, so they outrank these
-# for the driver's ~50-per-round budget.
-_R2_NEW = frozenset({
-    "d13_shingle_novelty", "d14_minhash_accuracy_audit", "sm06_epoch_shuffle",
-    "q53_full_outer_reconciliation", "q54_regexp_functions", "q55_sliding_mau",
-    "q56_revenue_anomaly_zscore", "s08_power_iteration_pca",
-    "p03_curation_report", "t13_vocab_coverage",
+# Green in CORRECTNESS_r02.json (freshest verdicts — checked last).
+_DRIVER_GREEN_R2 = frozenset({
+    "d13_shingle_novelty", "g01_pagerank", "m01_media_metadata",
+    "m02_frame_sampling", "m04_thumbnail_resize", "p01_quality_report",
+    "p02_hicp_mom_yoy", "q17_events_json_extract", "q19_sessionization",
+    "q22_session_windows", "q23_sliding_windows", "q29_rollup_revenue",
+    "q30_unpivot_measures", "q31_asof_join", "q32_argmax_per_group",
+    "q33_sql_text_surface", "q34_rank_family", "q35_json_map_functions",
+    "q36_local_supplier_volume", "q37_conditional_agg",
+    "q38_large_volume_customers", "q39_range_frame_trailing",
+    "q40_below_average_parts", "q41_promo_revenue_share", "q42_grouping_sets",
+    "q43_stream_enrichment", "q45_funnel_conversion", "q46_retention_cohorts",
+    "q47_salted_skew_agg", "q49_nation_pair_volume",
+    "q53_full_outer_reconciliation", "q54_regexp_functions",
+    "q56_revenue_anomaly_zscore", "sm01_stratified_sample",
+    "sm02_per_stratum_budget", "sm03_sequence_packing",
+    "sm04_source_mixture_weights", "sm05_train_val_test_split",
+    "t02_quality_score", "t03_lang_id", "t04_fingerprint",
+    "t05_term_frequency", "t06_bpe_token_count",
+    "t07_rolling_hash_fingerprint", "t08_chunk_windows",
+    "t09_quality_percentile_filter", "t10_repetition_signals",
+    "t11_tfidf_topk", "t12_corpus_head_mass",
 })
+
+# Failed (comparator error) in round 2 — fixed, re-check first.
+_DRIVER_FAILED_LAST = ("m03_feature_extraction",)
+
+# Implementation or oracle modified after the query's latest green verdict:
+# d03 (posting-list rewrite), s07 (seed selection rewrite), q16/q18 (oracle
+# retyping) changed in round 2 but their only verdict is round 1; p03's
+# decontamination stage + oracle changed in round 3. A green this stale
+# must be re-earned before the untouched green tail.
+_MODIFIED_SINCE_VERDICT = (
+    "d03_ngram_jaccard_pairs", "s07_kmeans_assignments",
+    "q16_distinct_counts", "q18_event_hourly_windows",
+    "p03_curation_report",
+)
 
 
 def _driver_order() -> list[str]:
     names = list(_REGISTRY)
-    red = [n for n in _R1_DRIVER_RED if n in _REGISTRY]
-    r1_unchecked = [
+    failed = [n for n in _DRIVER_FAILED_LAST if n in _REGISTRY]
+    modified = [n for n in _MODIFIED_SINCE_VERDICT if n in _REGISTRY]
+    head = set(failed) | set(modified)
+    never = [
         n
         for n in names
-        if n not in _R1_DRIVER_GREEN and n not in _R1_DRIVER_RED and n not in _R2_NEW
+        if n not in head
+        and n not in _DRIVER_GREEN_R1
+        and n not in _DRIVER_GREEN_R2
     ]
-    new = [n for n in names if n in _R2_NEW]
-    green = [n for n in names if n in _R1_DRIVER_GREEN]
-    return red + r1_unchecked + new + green
+    green_r1 = [n for n in names if n in _DRIVER_GREEN_R1 and n not in head]
+    green_r2 = [n for n in names if n in _DRIVER_GREEN_R2 and n not in head]
+    return failed + modified + never + green_r1 + green_r2
 
 
 def all_specs() -> dict[str, QuerySpec]:

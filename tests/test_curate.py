@@ -68,6 +68,28 @@ def test_rerun_is_deterministic(spark, sf_small, curated, tmp_path):
     assert again == first
 
 
+def test_short_docs_survive_decontamination(spark, sf_small, tmp_path):
+    """Docs with <5 words have zero 5-gram shingles and are absent from
+    d10's output; the decontamination stage must RETAIN them (they cannot
+    overlap the benchmark), not drop them via a semi join on d10 rows."""
+    import hashlib
+
+    from european_public_data_pipeline_spark.pipeline.curate import curation_stages
+
+    def is_bench(doc_id: int) -> bool:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16) % 20 == 0
+
+    short_id = next(i for i in range(1_000_000, 1_000_200) if not is_bench(i))
+    base = spark.read.parquet(f"{sf_small}/documents.parquet").limit(50)
+    short = spark.createDataFrame(
+        [(short_id, "tiny four word doc", "en", "web", 18)], schema=base.schema
+    )
+    base.unionByName(short).write.parquet(f"{tmp_path}/documents.parquet")
+
+    stages = curation_stages(spark, str(tmp_path), quality_min=-1.0)
+    assert stages["decontam"].filter(F.col("doc_id") == short_id).count() == 1
+
+
 def test_report_query_matches_pipeline_stats(spark, sf_small, curated):
     _, stats = curated
     report = {

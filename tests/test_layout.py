@@ -78,3 +78,19 @@ def test_layouts_preserve_data(spark, sf_small, tmp_path):
     want = sorted(tuple(r) for r in li.collect())
     got = sorted(tuple(r) for r in spark.read.parquet(zed).collect())
     assert got == want
+
+
+def test_zorder_rejects_string_columns(spark, sf_small):
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_small, "documents")
+    with _pytest.raises(TypeError, match="not\\s+numeric"):
+        zorder_by(docs, "lang", "doc_id", 4)
+
+
+def test_zorder_accepts_timestamp_columns(spark, sf_small, tmp_path):
+    ev = load_table(spark, sf_small, "events").select("ts", "user_id")
+    out = str(tmp_path / "zts")
+    zorder_by(ev, "ts", "user_id", 4).write.parquet(out)
+    spans = _row_group_spans(out, "user_id")
+    assert _avg_coverage(spans) < 0.9  # interleave did not degenerate
