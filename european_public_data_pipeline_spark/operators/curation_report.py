@@ -19,7 +19,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from european_public_data_pipeline_spark.operators.dedup import CONTAM_MOD, _HASH_DOC_SQL
 from european_public_data_pipeline_spark.operators.sampling import SPLIT_BP, _HASH_SQL
 from european_public_data_pipeline_spark.plans import registry
 from european_public_data_pipeline_spark.plans.registry import register
@@ -29,7 +28,13 @@ _QUALITY_MIN = 0.5  # pipeline.curate.QUALITY_MIN (kept literal: oracle text)
 
 def _composed_oracle() -> str:
     # Raw registry access (not all_specs): resolving p03's own lazy oracle
-    # from inside its composer would recurse.
+    # from inside its composer would recurse. Operator-module imports stay
+    # lazy too — a top-level one re-enters plans/__init__ during a direct
+    # ``import operators.dedup`` while dedup is partially initialized.
+    from european_public_data_pipeline_spark.operators.dedup import (
+        CONTAM_MOD,
+        _HASH_DOC_SQL,
+    )
     from european_public_data_pipeline_spark.pipeline import curate
 
     # The oracle text keeps the threshold literal; fail loudly if it ever
