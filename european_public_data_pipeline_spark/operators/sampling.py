@@ -335,3 +335,88 @@ def sm06_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", "source", key.alias("shuffle_key"))
         .orderBy("shuffle_key", "doc_id")
     )
+
+
+# Temperature exponent for sm07 — 0.5 (square root) is the multilingual-
+# rebalancing exponent popularized by mBERT/XLM-R data sampling. sqrt is
+# an IEEE correctly-rounded primitive, so unlike an arbitrary pow() the
+# scaled weights are bit-identical across engines.
+SM07_SEED = "sm07"
+
+
+@register(
+    "sm07_temperature_mixture",
+    category="sampling",
+    doc="Temperature-scaled language mixture (T=2, i.e. p^(1/2)): "
+    "upsample low-resource languages by renormalizing sqrt-scaled shares, "
+    "then APPLY the mixture with a deterministic per-doc hash filter at "
+    "the implied basis-point rate — the standard multilingual rebalancing "
+    "pass, reproducible across reruns and cluster layouts. Exactness: "
+    "sqrt-shares are fixed-pointed (floor*1e9) so their sum is an exact "
+    "integer fold; every emitted float is a short chain of correctly-"
+    "rounded IEEE ops on exact inputs. Shape: one lang-keyed aggregate "
+    "(tiny), the rate relation broadcast back onto the corpus for a "
+    "narrow filter+count — corpus-linear, no global window.",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_lang),
+scaled AS (
+  SELECT lang, n_docs,
+         CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total) * 1e9) AS BIGINT) AS s
+  FROM per_lang, tot
+),
+wts AS (
+  SELECT lang, n_docs,
+         CAST(s AS DOUBLE) / (SELECT CAST(SUM(s) AS BIGINT) FROM scaled) AS weight,
+         CAST(floor(least(1.0,
+             (CAST(s AS DOUBLE) / (SELECT CAST(SUM(s) AS BIGINT) FROM scaled))
+             * (SELECT total FROM tot) / n_docs) * 10000) AS BIGINT) AS rate_bp
+  FROM scaled
+)
+SELECT w.lang, w.n_docs, w.weight, w.rate_bp,
+       CAST(COUNT(*) FILTER (
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '{SM07_SEED}'), 1, 7) AS BIGINT)
+           % 10000 < w.rate_bp) AS BIGINT) AS n_sampled
+FROM wts w JOIN documents d ON d.lang = w.lang
+GROUP BY w.lang, w.n_docs, w.weight, w.rate_bp
+ORDER BY w.lang
+""",
+)
+def sm07_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = per_lang.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    scaled = per_lang.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.floor(F.sqrt(F.col("n_docs").cast("double") / F.col("total")) * 1e9)
+        .cast("bigint")
+        .alias("s"),
+    )
+    ssum = scaled.agg(F.sum("s").cast("bigint").alias("ssum"))
+    weight = F.col("s").cast("double") / F.col("ssum")
+    rate_bp = F.floor(
+        F.least(
+            F.lit(1.0), weight * F.col("total") / F.col("n_docs")
+        )
+        * 10000
+    ).cast("bigint")
+    wts = scaled.crossJoin(F.broadcast(ssum)).select(
+        "lang", "n_docs", weight.alias("weight"), rate_bp.alias("rate_bp")
+    )
+    hv = base_hash28(F.concat(F.col("doc_id").cast("string"), F.lit(SM07_SEED)))
+    return (
+        docs.join(F.broadcast(wts), "lang")
+        .groupBy("lang", "n_docs", "weight", "rate_bp")
+        .agg(
+            F.sum(F.when(hv % 10000 < F.col("rate_bp"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sampled")
+        )
+        .orderBy("lang")
+    )

@@ -810,3 +810,68 @@ def t13_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t14_unigram_cross_entropy",
+    category="text",
+    doc="Per-document cross-entropy under the corpus unigram language "
+    "model — the classic LM-based quality/perplexity proxy for training-"
+    "data filtering (low-entropy docs are boilerplate, high-entropy docs "
+    "are noise). Per-token surprisal -ln(count/total) is fixed-pointed to "
+    "integer micro-nats (floor*1e6) so the per-doc SUM is an exact integer "
+    "fold, order-independent across partitions and engines; the mean is "
+    "then one IEEE division of exact values. Shape: one token-key shuffle "
+    "builds the vocabulary (map-side combined), the probe re-joins tokens "
+    "to their counts on the token key, one doc-key shuffle aggregates — "
+    "all corpus-linear; the vocabulary relation is aggregate-sized. At "
+    "100 TB the probe join shuffles on the token key (or broadcasts a "
+    "truncated lexicon); nothing is quadratic.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents),
+vocab AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+sur AS (
+  SELECT token,
+         CAST(floor(-ln(CAST(cnt AS DOUBLE) / total) * 1e6) AS BIGINT)
+           AS micronats
+  FROM vocab, tot
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(s.micronats) AS BIGINT) AS sum_micronats,
+       CAST(CAST(SUM(s.micronats) AS BIGINT) AS DOUBLE) / COUNT(*)
+         AS avg_micronats
+FROM tok t JOIN sur s ON t.token = s.token
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def t14_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # Both the vocabulary build and the probe scan the token relation —
+    # cache it so the explode runs once per session (same pattern as d10's
+    # shingle relation; at 100 TB prefer recomputation over caching a
+    # corpus-sized relation and let the two branches share the scan stage).
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token")).cache()
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    sur = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.floor(-F.log(F.col("cnt") / F.col("total")) * 1e6)
+        .cast("long")
+        .alias("micronats"),
+    )
+    return (
+        tok.join(sur, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("micronats").alias("sum_micronats"),
+        )
+        .withColumn(
+            "avg_micronats",
+            F.col("sum_micronats").cast("double") / F.col("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )

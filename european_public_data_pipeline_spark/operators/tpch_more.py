@@ -379,3 +379,139 @@ def q49_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation", "ship_year")
     )
+
+
+@register(
+    "q57_min_cost_supplier",
+    category="join",
+    doc="TPC-H Q2 shape (correlated scalar subquery): for every part of "
+    "one brand, the supplier offering the lowest observed unit price, with "
+    "its nation. The oracle keeps the classic doubly-correlated subquery; "
+    "the Spark plan rewrites it as one aggregation plus a per-part window "
+    "rank — the standard decorrelation, and the only shape that scales "
+    "(each correlated probe would be a full re-scan). Unit price is a "
+    "single IEEE division and MIN is order-independent, so no decimal "
+    "machinery is needed for parity.",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation, ps.unit_cost
+FROM part p
+JOIN ps ON ps.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE p.p_brand = 'Brand#1'
+  AND ps.unit_cost = (SELECT MIN(ps2.unit_cost) FROM ps ps2
+                      WHERE ps2.l_partkey = p.p_partkey)
+  AND ps.l_suppkey = (SELECT MIN(ps3.l_suppkey) FROM ps ps3
+                      WHERE ps3.l_partkey = p.p_partkey
+                        AND ps3.unit_cost = (SELECT MIN(ps4.unit_cost) FROM ps ps4
+                                             WHERE ps4.l_partkey = p.p_partkey))
+ORDER BY p_partkey
+""",
+)
+def q57_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    # One shuffle on (part, supp) for the aggregate, one on part for the
+    # rank; dims broadcast. No correlated re-scans.
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    best = ps.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(s, best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "unit_cost",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "q58_customer_order_distribution",
+    category="join",
+    doc="TPC-H Q13 shape: distribution of per-customer order counts, "
+    "INCLUDING zero-order customers, with the priority filter inside the "
+    "left join's ON clause (filtering the right side before a left join is "
+    "the equivalent, scalable form — never filter after, which silently "
+    "turns the join inner). Two aggregations: per-customer (shuffles on "
+    "custkey) then per-count (tiny domain).",
+    oracle="""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def q58_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q59_every_quarter_customers",
+    category="join",
+    doc="Relational division (FORALL): customers who placed at least one "
+    "order in EVERY quarter of 1995. The oracle keeps the textbook double "
+    "NOT EXISTS; the Spark plan uses the scalable set-cover form — distinct "
+    "(customer, quarter) pairs, then a per-customer distinct count equal to "
+    "the divisor cardinality. One shuffle on custkey; the quarter domain is "
+    "a constant.",
+    oracle="""
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT * FROM (VALUES (1), (2), (3), (4)) q(qtr)
+  WHERE NOT EXISTS (
+    SELECT * FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND year(o.o_orderdate) = 1995
+      AND quarter(o.o_orderdate) = q.qtr))
+ORDER BY c_custkey
+""",
+)
+def q59_every_quarter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    full_cover = (
+        o.select("o_custkey", F.quarter("o_orderdate").alias("qtr"))
+        .distinct()
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_qtrs"))
+        .filter(F.col("n_qtrs") == 4)
+    )
+    return (
+        c.join(full_cover, c.c_custkey == full_cover.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
