@@ -447,18 +447,13 @@ def d05_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "d07_ml_minhash_lsh",
-    category="dedup",
-    doc="Stock pyspark.ml MinHashLSH near-dup pairs (HashingTF shingle "
-    "features, 8 hash tables, fixed seed, approxSimilarityJoin with exact "
-    "Jaccard-distance verification <= 0.2). Same planted pairs as the "
-    "hand-rolled d03/d04 (asserted in tests/test_ml_lsh.py); no SQL oracle "
-    "because the JVM murmur3/LSH internals aren't reproducible in DuckDB — "
-    "which is exactly why d04 builds its MinHash from portable hashes.",
-    oracle=None,
-)
-def d07_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ml_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock pyspark.ml MinHashLSH near-dup pairs (HashingTF shingle
+    features, 8 hash tables, fixed seed, approxSimilarityJoin with exact
+    Jaccard-distance verification <= 0.2). The JVM murmur3/LSH internals
+    aren't reproducible in DuckDB — which is exactly why d04 builds its
+    MinHash from portable hashes; the registered d07 audits this pair set
+    against d03's exact truth instead of hash-comparing it."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load_table(spark, sf_dir, "documents")
@@ -480,6 +475,56 @@ def d07_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("d1") < F.col("d2"))
         .orderBy("d1", "d2")
+    )
+
+
+def _d07_oracle() -> str:
+    # Exact-pair count from the same shingle/Jaccard definition as d03,
+    # with literal TRUEs for the recall/precision bounds the Spark side
+    # must earn.
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "d07_ml_minhash_lsh",
+    category="dedup",
+    doc="Quality audit of the stock pyspark.ml MinHashLSH path "
+    "(ml_minhash_pairs) against the exact n-gram Jaccard truth (d03's "
+    "pair set): one row with the exact pair count and recall/precision "
+    ">= 0.9 booleans. The ML pair set itself isn't DuckDB-reproducible "
+    "(JVM murmur3 + LSH seeding), so the oracle checks the DETERMINISTIC "
+    "surface: the exact count, plus literal TRUEs that hash-mismatch if "
+    "the ML path's recall or precision degrades. Same audit shape as "
+    "d14's MinHash accuracy audit.",
+    oracle=_d07_oracle(),
+)
+def d07_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ml = ml_minhash_pairs(spark, sf_dir).select("d1", "d2")
+    exact = d03_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    hits = exact.join(ml, ["d1", "d2"], "left_semi")
+    n_exact = exact.count()
+    n_ml = ml.count()
+    n_hit = hits.count()
+    recall = n_hit / n_exact if n_exact else 1.0
+    precision = n_hit / n_ml if n_ml else 1.0
+    return spark.createDataFrame(
+        [(n_exact, recall >= 0.9, precision >= 0.9)],
+        "n_exact_pairs long, recall_ok boolean, precision_ok boolean",
     )
 
 

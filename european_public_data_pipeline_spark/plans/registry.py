@@ -82,31 +82,18 @@ def _resolve(name: str) -> "QuerySpec":
 # is no verdict), then never-checked names, then greens stalest-first.
 # Over consecutive rounds every registered query re-earns a driver row.
 
-# Green in CORRECTNESS_r01.json and NOT re-checked since (round-2 greens
-# moved to _DRIVER_GREEN_R2; q17/q19 went red in r1, green in r2).
+# Hash-green in CORRECTNESS_r01.json and never re-checked since (stalest).
+# q25/d07 are rows-only by design there (no_oracle) — kept here as their
+# last driver contact.
 _DRIVER_GREEN_R1 = frozenset({
-    "q01_pricing_summary", "q02_filter_project", "q03_revenue_forecast",
-    "q04_top_revenue_orders", "q05_region_customer_rollup",
-    "q06_priority_exists_semi", "q07_segment_anti", "q08_monthly_revenue_mom",
-    "q09_rolling_3m_revenue", "q10_top3_orders_per_customer",
-    "q11_nation_setops", "q12_cube_qty", "q13_pivot_linestatus",
-    "q14_quantiles_by_flag", "q15_moments_exact", "q16_distinct_counts",
-    "q18_event_hourly_windows", "q20_time_code_roundtrip",
-    "q21_orders_gap_profile", "q24_string_functions", "q25_approx_distinct",
-    "q26_shipping_priority", "q27_late_delivery_semi", "q28_try_arithmetic",
-    "q44_price_histogram", "q48_winsorized_mean", "q50_revenue_share",
-    "q51_gap_fill_interpolate",
-    "d01_dedup_keep_first", "d02_exact_dedup_fingerprint",
-    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs", "d05_simhash_pairs",
-    "d06_embedding_near_dup", "d07_ml_minhash_lsh", "d08_dup_clusters",
-    "d09_incremental_dedup", "d10_contamination_check", "d11_chunk_containment",
-    "d12_semantic_dedup",
+    "d07_ml_minhash_lsh", "d10_contamination_check", "d11_chunk_containment",
+    "d12_semantic_dedup", "q25_approx_distinct",
     "s01_cosine_topk", "s02_lsh_bucket_pairs", "s03_knn_label_vote",
     "s04_ivf_topk", "s05_lang_centroids", "s06_int8_quantization",
-    "s07_kmeans_assignments", "t01_token_stats",
+    "t01_token_stats",
 })
 
-# Green in CORRECTNESS_r02.json (freshest verdicts — checked last).
+# Hash-green in CORRECTNESS_r02.json, not re-checked in round 3.
 _DRIVER_GREEN_R2 = frozenset({
     "d13_shingle_novelty", "g01_pagerank", "m01_media_metadata",
     "m02_frame_sampling", "m04_thumbnail_resize", "p01_quality_report",
@@ -130,18 +117,45 @@ _DRIVER_GREEN_R2 = frozenset({
     "t11_tfidf_topk", "t12_corpus_head_mass",
 })
 
-# Failed (comparator error) in round 2 — fixed, re-check first.
-_DRIVER_FAILED_LAST = ("m03_feature_extraction",)
+# Hash-green in CORRECTNESS_r03.json (freshest verdicts — checked last).
+_DRIVER_GREEN_R3 = frozenset({
+    "d01_dedup_keep_first", "d02_exact_dedup_fingerprint",
+    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs", "d05_simhash_pairs",
+    "d06_embedding_near_dup", "d08_dup_clusters", "d09_incremental_dedup",
+    "d14_minhash_accuracy_audit", "m03_feature_extraction",
+    "p03_curation_report", "q01_pricing_summary", "q02_filter_project",
+    "q03_revenue_forecast", "q04_top_revenue_orders",
+    "q05_region_customer_rollup", "q06_priority_exists_semi",
+    "q07_segment_anti", "q08_monthly_revenue_mom", "q09_rolling_3m_revenue",
+    "q10_top3_orders_per_customer", "q11_nation_setops", "q12_cube_qty",
+    "q13_pivot_linestatus", "q14_quantiles_by_flag", "q15_moments_exact",
+    "q16_distinct_counts", "q20_time_code_roundtrip",
+    "q21_orders_gap_profile", "q24_string_functions", "q26_shipping_priority",
+    "q27_late_delivery_semi", "q28_try_arithmetic", "q44_price_histogram",
+    "q48_winsorized_mean", "q50_revenue_share", "q51_gap_fill_interpolate",
+    "q57_min_cost_supplier", "q58_customer_order_distribution",
+    "q59_every_quarter_customers", "s07_kmeans_assignments",
+    "s08_power_iteration_pca", "sm06_epoch_shuffle",
+    "sm07_temperature_mixture", "t13_vocab_coverage",
+    "t14_unigram_cross_entropy",
+})
+
+# Errored in round 3 (events-loader regression, fixed in round 4) —
+# re-check first.
+_DRIVER_FAILED_LAST = ("q18_event_hourly_windows", "q55_sliding_mau")
 
 # Implementation or oracle modified after the query's latest green verdict:
-# d03 (posting-list rewrite), s07 (seed selection rewrite), q16/q18 (oracle
-# retyping) changed in round 2 but their only verdict is round 1; p03's
-# decontamination stage + oracle changed in round 3. A green this stale
-# must be re-earned before the untouched green tail.
+# the round-4 events-loader rewrite (tables.py) changed the input path of
+# every events query, so all r2-green events queries must re-earn their
+# verdict before the untouched green tail; q25/d07 were upgraded in round 4
+# from rows-only to bounds-audit oracles and have never been value-checked.
 _MODIFIED_SINCE_VERDICT = (
-    "d03_ngram_jaccard_pairs", "s07_kmeans_assignments",
-    "q16_distinct_counts", "q18_event_hourly_windows",
-    "p03_curation_report",
+    "q17_events_json_extract", "q19_sessionization", "q22_session_windows",
+    "q23_sliding_windows", "q31_asof_join", "q35_json_map_functions",
+    "q43_stream_enrichment", "q45_funnel_conversion",
+    "q46_retention_cohorts", "q47_salted_skew_agg",
+    "q53_full_outer_reconciliation", "q25_approx_distinct",
+    "d07_ml_minhash_lsh",
 )
 
 
@@ -150,16 +164,12 @@ def _driver_order() -> list[str]:
     failed = [n for n in _DRIVER_FAILED_LAST if n in _REGISTRY]
     modified = [n for n in _MODIFIED_SINCE_VERDICT if n in _REGISTRY]
     head = set(failed) | set(modified)
-    never = [
-        n
-        for n in names
-        if n not in head
-        and n not in _DRIVER_GREEN_R1
-        and n not in _DRIVER_GREEN_R2
-    ]
+    greens = _DRIVER_GREEN_R1 | _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3
+    never = [n for n in names if n not in head and n not in greens]
     green_r1 = [n for n in names if n in _DRIVER_GREEN_R1 and n not in head]
     green_r2 = [n for n in names if n in _DRIVER_GREEN_R2 and n not in head]
-    return failed + modified + never + green_r1 + green_r2
+    green_r3 = [n for n in names if n in _DRIVER_GREEN_R3 and n not in head]
+    return failed + modified + never + green_r1 + green_r2 + green_r3
 
 
 def all_specs() -> dict[str, QuerySpec]:

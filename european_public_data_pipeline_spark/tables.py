@@ -38,20 +38,44 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS) — not a legal Spark
-        # type. Read the raw nanos as LongType (runtime-settable conf, so
-        # this works under any caller-provided session) and convert to
-        # Spark's native µs timestamp. The synthetic data is NOT µs-aligned
-        # (most rows carry sub-µs nanos), so `div 1000` TRUNCATES — every
-        # events oracle must therefore µs-truncate too
-        # (CAST(ts AS TIMESTAMP) / epoch_us arithmetic) rather than rely on
-        # the reader's ns behavior.
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, table_path(sf_dir, name))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load events with a dtype-robust ``ts`` column.
+
+    The physical encoding of ``events.ts`` has changed between testdata
+    generations — parquet INT64 TIMESTAMP(NANOS) in earlier drops,
+    ``timestamp[us]`` today — so the loader dispatches on the dtype Spark
+    actually read instead of hard-coding one encoding:
+
+    * ``LongType`` (the ``nanosAsLong`` read of a NANOS column): the data is
+      not µs-aligned, so ``ts div 1000`` TRUNCATES to Spark's native µs —
+      every events oracle µs-truncates too (``CAST(ts AS TIMESTAMP)``).
+    * ``TimestampNTZType`` (µs-native parquet without UTC adjustment): cast
+      to ``TimestampType``. Sessions here run with
+      ``spark.sql.session.timeZone=UTC`` so the cast is value-identity, and
+      the collect round-trip preserves wall-clock under any session tz.
+    * ``TimestampType``: already Spark-native, pass through.
+
+    Normalizing to ``TimestampType`` keeps one dtype for every downstream
+    consumer (streaming schemas, window frames, oracles).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    # Harmless for µs-typed files; required to read NANOS columns at all.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    if isinstance(ts_type, T.TimestampType):
+        return df
+    raise TypeError(f"unsupported events.ts dtype: {ts_type}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,25 +1,17 @@
-"""Sketch-aggregate error-bound tests for q25 (no SQL oracle by design —
-HLL/quantile sketch estimates are implementation-specific; what IS
-contract-testable is the documented error bound vs the exact answer)."""
+"""Sketch-aggregate bounds tests for q25. The registered surface is a
+bounds AUDIT (exact answer + in-bound booleans) so the driver's DuckDB
+oracle can value-check it; these tests assert the booleans actually earn
+their TRUEs and the exact column is sane."""
 
 from __future__ import annotations
 
 from european_public_data_pipeline_spark import plans
 
 
-def test_approx_distinct_within_rsd(spark, sf_medium):
+def test_q25_bounds_audit(spark, sf_medium):
     rows = plans.all_specs()["q25_approx_distinct"].builder(spark, sf_medium).collect()
     assert len(rows) > 0
     for r in rows:
-        exact = r["exact_orders"]
-        approx = r["approx_orders"]
-        # rsd=0.02 → generous 5x slack still catches a broken sketch
-        assert abs(approx - exact) <= max(10, 0.10 * exact), r
-
-
-def test_approx_median_is_plausible(spark, sf_medium):
-    rows = plans.all_specs()["q25_approx_distinct"].builder(spark, sf_medium).collect()
-    for r in rows:
-        # synthetic prices span well-known bounds; the approximate median
-        # must land strictly inside them
-        assert 900 < r["approx_median_price"] < 105000, r
+        assert r["exact_orders"] > 0
+        assert r["hll_within_3rsd"] is True, r
+        assert r["median_within_band"] is True, r
