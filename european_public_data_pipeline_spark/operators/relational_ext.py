@@ -229,17 +229,20 @@ N_HIST_BINS = 20
 @register(
     "q44_price_histogram",
     category="aggregation",
-    doc="Equi-width histogram of l_extendedprice in 20 bins — the classic "
-    "two-pass OLAP histogram: pass 1 computes exact decimal min/max "
-    "(tiny 1-row aggregate), pass 2 broadcasts the bounds onto the fact "
-    "scan and bins row-locally, one map-side-combined groupBy on the bin "
-    "id. Bin edges and sums go through exact decimals so the float "
-    "arithmetic ((x-lo)/width, lo + bin*width) is an identical op "
-    "sequence on both engines — no rounding needed. At 100 TB pass 1 is "
-    "a full scan but aggregates to one row per partition before the "
-    "(single-row) shuffle; pass 2 is the same scan again — fuse with any "
-    "other full-table aggregate, or replace pass 1 with catalog-level "
-    "column statistics when available.",
+    doc="Equi-width histogram of l_extendedprice in 20 bins, ONE fact "
+    "scan: prices are exact 2-decimal money with a bounded domain, so a "
+    "first groupBy collapses the fact table to (distinct price, count) — "
+    "map-side combine makes the shuffle distinct-domain-sized (~1e6 rows "
+    "at 100 TB, independent of row count). Bounds (min/max) and the "
+    "20-bin re-aggregation are then both computed from that small "
+    "CACHED relation — caching (not exchange reuse) is load-bearing: "
+    "column pruning specializes the bounds branch to a distinct-only "
+    "subtree, so without the cache the fact table is scanned twice "
+    "(locked by tests/test_plans.py). Bin edges and sums go through "
+    "exact decimals so the float arithmetic ((x-lo)/width, lo+bin*width) "
+    "is an identical op sequence on both engines — no rounding needed. "
+    "sum_price folds as SUM(x*cnt) in decimal, exactly equal to the "
+    "row-level decimal sum.",
     oracle=f"""
 WITH b AS (
   SELECT min(CAST(l_extendedprice AS DECIMAL(18,2))) AS lo,
@@ -269,22 +272,28 @@ ORDER BY bin
 def q44_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = dec("l_extendedprice")
-    bounds = li.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
-    j = li.select(x.alias("x")).crossJoin(F.broadcast(bounds))
+    # cache(): column pruning would otherwise specialize the bounds branch
+    # to a distinct-only subtree (no cnt), defeating exchange reuse and
+    # re-scanning the fact table. The cached relation is distinct-domain-
+    # sized (~1e6 rows at 100 TB), trivially memory-resident.
+    per_price = li.groupBy(x.alias("x")).agg(F.count(F.lit(1)).alias("cnt")).cache()
+    bounds = per_price.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    j = per_price.crossJoin(F.broadcast(bounds))
     width = (F.col("hi") - F.col("lo")).cast("double") / N_HIST_BINS
     bin_ = F.least(
         F.floor((F.col("x") - F.col("lo")).cast("double") / width),
         F.lit(N_HIST_BINS - 1),
     )
     return (
-        j.select(bin_.alias("bin"), "x", "lo", "hi")
+        j.select(bin_.alias("bin"), "x", "cnt", "lo", "hi")
         .groupBy("bin", "lo", "hi")
-        .agg(F.count(F.lit(1)).alias("n"), dsum_expr(F.col("x")).alias("sum_price"))
+        .agg(
+            F.sum("cnt").alias("n"),
+            dsum_expr(F.col("x") * F.col("cnt")).alias("sum_price"),
+        )
         .select(
             "bin",
-            (
-                F.col("lo").cast("double") + F.col("bin") * width
-            ).alias("bin_lo"),
+            (F.col("lo").cast("double") + F.col("bin") * width).alias("bin_lo"),
             "n",
             "sum_price",
         )

@@ -155,7 +155,7 @@ _MODIFIED_SINCE_VERDICT = (
     "q43_stream_enrichment", "q45_funnel_conversion",
     "q46_retention_cohorts", "q47_salted_skew_agg",
     "q53_full_outer_reconciliation", "q25_approx_distinct",
-    "d07_ml_minhash_lsh",
+    "d07_ml_minhash_lsh", "q44_price_histogram",
 )
 
 

@@ -162,3 +162,11 @@ def test_no_query_sorts_or_windows_a_whole_relation_on_one_partition(spark, sf_s
         if _SP_PATTERN.search(plan):
             offenders.append(name)
     assert not offenders, f"single-partition Sort/Window in: {offenders}"
+
+
+def test_q44_single_fact_scan_via_cached_domain(spark, sf_small):
+    """q44's bounds and binning branches must both read the cached
+    (distinct price, count) relation — without the cache, column pruning
+    specializes the bounds branch and the fact table is scanned twice."""
+    plan = _formatted_plan(spark, "q44_price_histogram", sf_small)
+    assert plan.count("InMemoryTableScan") >= 2
