@@ -258,3 +258,70 @@ def q55_sliding_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("mau_7d"))
         .orderBy("d")
     )
+
+
+@register(
+    "q62_hourly_ohlc_bars",
+    category="time-window",
+    doc="OHLC resampling: per (event_type, hour) bars with open/close "
+    "(first/last value by (ts, event_id) — event_id breaks µs timestamp "
+    "ties deterministically), high/low, event count, and an exact-decimal "
+    "volume sum. The time-series downsampling shape every metrics store "
+    "runs. One shuffle on the (type, hour) grain; the two row_number "
+    "window passes share that partitioning (partition size = events per "
+    "type-hour, bounded by the grain, never corpus-wide), and the final "
+    "aggregate is on the same keys — Catalyst plans a single exchange.",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour,
+         CAST(ts AS TIMESTAMP) AS ts, event_id, value
+  FROM events
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT event_type, hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+FROM r
+GROUP BY event_type, hour
+ORDER BY event_type, hour
+""",
+)
+def q62_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "hour").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        events.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -875,3 +875,69 @@ def t14_unigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# PII surface patterns — deliberately restricted to syntax that Java regex
+# (Spark) and RE2 (DuckDB) interpret identically: character classes,
+# bounded repetition, \b word boundaries, one optional leading +. Cross-
+# engine agreement is pinned by the t15 oracle hash check.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"(\+?\d[\d\-() ]{7,}\d)"
+
+_T15_ORACLE = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '{email}')) AS n_emails,
+       len(regexp_extract_all(text, '{ip}')) AS n_ips,
+       len(regexp_extract_all(text, '{phone}')) AS n_phones,
+       len(regexp_extract_all(text, '{email}'))
+         + len(regexp_extract_all(text, '{ip}'))
+         + len(regexp_extract_all(text, '{phone}')) AS n_pii,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{email}', '<EMAIL>', 'g'),
+             '{ip}', '<IP>', 'g'),
+             '{phone}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+ORDER BY doc_id
+""".format(email=PII_EMAIL, ip=PII_IPV4, phone=PII_PHONE)
+
+
+@register(
+    "t15_pii_redaction",
+    category="text",
+    doc="PII detection and redaction over the text column — the scrub "
+    "pass every training-data pipeline runs before anything ships: "
+    "per-document email / IPv4 / phone-number match counts on the raw "
+    "text plus an md5 fingerprint of the redacted text (email -> ip -> "
+    "phone substitution order, identical in the oracle, so the hash "
+    "pins byte-exact redaction parity across engines). Regex surface "
+    "kept to the Java/RE2 common subset. Shape: pure row-local "
+    "projection — no shuffle, whole-stage codegen end to end; at 100 TB "
+    "this is scan-bound and embarrassingly parallel. A production NER "
+    "model would slot in as an Arrow-batched mapInPandas stage without "
+    "changing the plan shape; the regex tier stays as the cheap "
+    "first-pass filter.",
+    oracle=_T15_ORACLE,
+)
+def t15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0))
+    n_ips = F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        (n_emails + n_ips + n_phones).alias("n_pii"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")

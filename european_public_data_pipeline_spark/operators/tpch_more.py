@@ -515,3 +515,136 @@ def q59_every_quarter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q60_sole_late_supplier",
+    category="join",
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting), adapted to "
+    "this schema's columns: a lineitem is LATE when it ships more than 90 "
+    "days after its order date. For finished ('F') multi-supplier orders "
+    "where EXACTLY ONE supplier shipped late, charge that supplier; count "
+    "waiting incidents per supplier, top 100. The oracle keeps the "
+    "textbook EXISTS / NOT EXISTS correlated form; the Spark plan is the "
+    "scalable decorrelation — ONE orderkey-grouped aggregate computing "
+    "(distinct suppliers, distinct late suppliers, the sole late supplier "
+    "via min) per order, then a suppkey-grouped count. Two key shuffles "
+    "total, no per-row re-scans; supplier is broadcast for the name.",
+    oracle="""
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT * FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT * FROM lineitem l3
+    JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def q60_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    # One pass over the order's lineitems: which suppliers shipped, which
+    # shipped late. o_orderdate rides along via an orderkey join kept
+    # broadcast-free (both sides shuffle on orderkey once).
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    per_order = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    # COUNT(*) in the oracle counts qualifying LINEITEM rows, so count the
+    # sole-late supplier's late lineitems per order, not just the order.
+    late_rows = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("lr_orderkey"),
+            F.col("l_suppkey").alias("lr_suppkey"),
+        )
+    )
+    charged = per_order.join(
+        late_rows,
+        (per_order.l_orderkey == F.col("lr_orderkey"))
+        & (per_order.late_supp == F.col("lr_suppkey")),
+    ).select(F.col("lr_suppkey"))
+    return (
+        charged.join(F.broadcast(s), F.col("lr_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+@register(
+    "q61_acquisition_prospects",
+    category="join",
+    doc="TPC-H Q22 shape (global sales opportunity): customers from a "
+    "fixed nation set with above-average positive account balance who "
+    "never placed an URGENT order — per-nation prospect count and "
+    "balance total. (The textbook NO-orders predicate is degenerate on "
+    "this synthetic data — every customer has orders — so the anti-join "
+    "subset is priority-filtered; the decorrelation shape is "
+    "unchanged.) The oracle keeps the scalar subquery + NOT EXISTS; the "
+    "Spark plan broadcasts the 1-row global average onto the filtered "
+    "customer scan and anti-joins the filtered orders, then aggregates "
+    "on the tiny nation domain. The fact-side shuffle is the anti "
+    "join's custkey exchange only.",
+    oracle="""
+SELECT c.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_nationkey IN (1, 5, 9, 13, 17, 21)
+  AND c.c_acctbal > (
+    SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2)))
+    FROM customer c2
+    WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey IN (1, 5, 9, 13, 17, 21))
+  AND NOT EXISTS (
+    SELECT * FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)
+def q61_acquisition_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = (1, 5, 9, 13, 17, 21)
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(*nations))
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # DuckDB's AVG(DECIMAL) divides exactly then casts once; mirror with an
+    # exact decimal sum / count division (davg shape, inline for the
+    # pre-filtered relation).
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")) / F.count(F.lit(1))).alias("avg_bal")
+    )
+    prospects = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        prospects.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

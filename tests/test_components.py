@@ -34,3 +34,46 @@ def test_two_components_and_direction_independence(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == 3
     assert got[4] == got[5] == got[6] == 4
+
+
+def test_t15_pii_redaction_planted(spark, tmp_path):
+    """The synthetic corpus contains no PII (the driver oracle hash thus
+    pins the no-false-positive behavior); plant real matches here to prove
+    detection counts and substitution output."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "reach me at a.b+spam@ex.co.uk or 10.0.0.1 thanks", "en", "s", 48),
+        (2, "call +1-555-123-4567 or (555) 987-6543 now", "en", "s", 42),
+        (3, "nothing sensitive here", "en", "s", 22),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows]),
+            "lang": pa.array([r[2] for r in rows]),
+            "source": pa.array([r[3] for r in rows]),
+            "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    d = tmp_path / "pii"
+    d.mkdir()
+    pq.write_table(table, str(d / "documents.parquet"))
+    from european_public_data_pipeline_spark import plans
+
+    out = {
+        r["doc_id"]: r
+        for r in plans.all_specs()["t15_pii_redaction"].builder(spark, str(d)).collect()
+    }
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 1, 0)
+    assert out[2]["n_phones"] == 2
+    assert out[3]["n_pii"] == 0
+    # redaction replaces every match: md5 of the expected redacted strings
+    import hashlib
+
+    exp1 = hashlib.md5(b"reach me at <EMAIL> or <IP> thanks").hexdigest()
+    # the phone pattern anchors on a leading digit, so "(" stays outside
+    exp2 = hashlib.md5(b"call <PHONE> or (<PHONE> now").hexdigest()
+    assert out[1]["redacted_md5"] == exp1
+    assert out[2]["redacted_md5"] == exp2
