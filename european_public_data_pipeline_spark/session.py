@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The generated-code cache defaults to 100 classes; a session that
+        # cycles through this engine's full query surface holds far more
+        # distinct codegen units, so the default thrashes and every re-plan
+        # pays Janino compilation again (~0.1-1s per query). Sized for the
+        # whole registered surface; memory cost is a few MB of classes.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
         # Parquet INT64 TIMESTAMP(NANOS) is not a legal Spark type; read the
         # raw nanos as LongType and convert at the source (tables.py). The
         # ns->µs conversion TRUNCATES (the synthetic events data is not
