@@ -648,3 +648,166 @@ def q61_acquisition_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q63_top_supplier_with_ties",
+    category="join",
+    doc="TPC-H Q15 shape (top supplier, WITH ties): revenue per supplier "
+    "over a ship-date window, then every supplier whose revenue equals "
+    "the maximum. The textbook form is a view + correlated MAX; the "
+    "scalable form aggregates once (suppkey shuffle), broadcasts the "
+    "1-row maximum back onto the aggregate, and filters — the max never "
+    "re-scans the fact, and ties survive (unlike a LIMIT 1). Exact "
+    "decimal revenue makes the equality comparison well-defined — "
+    "float revenue would make 'equals the max' nondeterministic, which "
+    "is WHY Q15 needs the decimal discipline.",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s.s_suppkey
+""",
+)
+def q63_top_supplier_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_date(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_date(F.lit("1996-04-01")))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))).alias(
+            "rev_dec"
+        )
+    )
+    # The aggregate feeds both the max and the filter; cache the supplier-
+    # cardinality relation so the fact scan runs once (same load-bearing
+    # cache as q44's domain relation).
+    rev = rev.cache()
+    mx = rev.agg(F.max("rev_dec").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_dec") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q64_part_supplier_variety",
+    category="join",
+    doc="TPC-H Q16 shape: distinct-supplier counts per part attribute "
+    "group, excluding a supplier blacklist and filtered part classes. "
+    "The (part, supplier) relation comes from lineitem (this schema's "
+    "partsupp); the blacklist is a broadcast anti join BEFORE the "
+    "distinct — never after, so excluded suppliers don't inflate the "
+    "shuffled pair set. One (brand, type, size)-keyed count-distinct "
+    "shuffle on the deduplicated pairs.",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%00')
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def q64_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%00")
+    ).select("s_suppkey")
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q65_market_share",
+    category="join",
+    doc="TPC-H Q8 shape (national market share): for one region's "
+    "customers, the share of yearly revenue delivered by suppliers of "
+    "one nation. Conditional-sum-over-sum per year — both numerator and "
+    "denominator from ONE aggregation pass (a CASE inside the sum), "
+    "never two scans. All dimensions broadcast; the fact shuffles once "
+    "for the year rollup. Exact decimal sums; the final share is one "
+    "IEEE division of two exact values, bit-stable across engines.",
+    oracle="""
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CASE WHEN sn.n_name = 'KENYA'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+         AS mkt_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AFRICA'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1
+ORDER BY o_year
+""",
+)
+def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+    kenya_vol = F.when(F.col("supp_nation") == "KENYA", vol).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(kenya_vol).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
