@@ -1060,3 +1060,75 @@ def d14_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d1", "d2")
     )
+
+
+@register(
+    "d15_cross_source_duplication",
+    category="dedup",
+    doc="Cross-source content-overlap matrix: for every source pair, how "
+    "many distinct 3-gram shingles appear in BOTH sources, plus the "
+    "containment ratio (shared / smaller side's shingle vocabulary) — "
+    "the provenance audit run before mixing crawls, dumps, and licensed "
+    "corpora (overlapping content double-counts training mass and leaks "
+    "eval splits across sources; exact-fingerprint sharing is zero on "
+    "this corpus, so the shingle tier is the discriminating signal). "
+    "Shape: the d03 posting-list pattern keyed on the shingle — the "
+    "per-shingle source set is collected row-locally (sources are a "
+    "tiny domain) and pairs fan out from each set; per-source vocab "
+    "sizes are a broadcast-sized relation. Corpus-linear, never a "
+    "sources x corpus join.",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ss AS (
+  SELECT DISTINCT s.shingle, d.source
+  FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+),
+vocab AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+  FROM ss a
+  JOIN ss b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT s.source_a, s.source_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+       CAST(s.n_shared AS DOUBLE) / least(va.n_sh, vb.n_sh) AS containment
+FROM shared s
+JOIN vocab va ON va.source = s.source_a
+JOIN vocab vb ON vb.source = s.source_b
+ORDER BY n_shared DESC, source_a, source_b
+""",
+)
+def d15_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ss = (
+        shingles(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("shingle", "source")
+        .distinct()
+    )
+    vocab = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    per_sh = ss.groupBy("shingle").agg(F.collect_set("source").alias("sources"))
+    pairs = (
+        per_sh.filter(F.size("sources") >= 2)
+        .select(F.explode("sources").alias("source_a"), "sources")
+        .select("source_a", F.explode("sources").alias("source_b"))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    va = vocab.select(F.col("source").alias("source_a"), F.col("n_sh").alias("na"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("n_sh").alias("nb"))
+    return (
+        shared.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.least("na", "nb")).alias(
+                "containment"
+            ),
+        )
+        .orderBy(F.desc("n_shared"), "source_a", "source_b")
+    )

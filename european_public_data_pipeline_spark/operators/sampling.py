@@ -420,3 +420,92 @@ def sm07_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# Per-language character budget for sm08 as a fraction of the language's
+# total characters (basis points of 10000). Buckets quantize the quality
+# ordering; 1000 levels keeps the per-language decision relation tiny.
+CHAR_BUDGET_BP = 3000
+TTR_BUCKETS = 1000
+
+_SM08_TTR_SQL = """
+CAST(floor(least(
+  CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+    / len(string_split_regex(trim(text), '\\s+')), 0.999) * 1000) AS BIGINT)
+"""
+
+
+@register(
+    "sm08_quality_budget_mixture",
+    category="sampling",
+    doc="Budget-constrained quality selection per language: keep the "
+    "highest-quality documents of each language until a character budget "
+    "(30% of that language's total chars). Quality = type-token ratio, "
+    "quantized to 1000 buckets. The scalable selection-by-quantile "
+    "pattern: the corpus collapses to a (lang, bucket) char histogram "
+    "(<=5k rows), a per-lang running total over bucket-descending order "
+    "picks the greedy keep set (window partitions are language-sized — "
+    "bounded, never corpus-wide), and the keep set broadcasts back as a "
+    "semi join. No corpus-wide sort, no per-document window: the full "
+    "sort-by-quality a naive cumsum would need is replaced by bucket "
+    "granularity (documents inside one bucket are kept or dropped "
+    "together — the boundary bucket is dropped if it overflows the "
+    "budget).",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars, {_SM08_TTR_SQL} AS bucket
+  FROM documents
+),
+hist AS (
+  SELECT lang, bucket, SUM(n_chars) AS bucket_chars
+  FROM scored GROUP BY lang, bucket
+),
+budget AS (
+  SELECT lang, SUM(bucket_chars) * {CHAR_BUDGET_BP} / 10000.0 AS char_budget
+  FROM hist GROUP BY lang
+),
+keepset AS (
+  SELECT h.lang, h.bucket
+  FROM (
+    SELECT lang, bucket,
+           SUM(bucket_chars) OVER (PARTITION BY lang ORDER BY bucket DESC
+                                   ROWS UNBOUNDED PRECEDING) AS cum_chars
+    FROM hist
+  ) h
+  JOIN budget b ON b.lang = h.lang
+  WHERE h.cum_chars <= b.char_budget
+)
+SELECT s.doc_id, s.lang, s.n_chars, s.bucket
+FROM scored s
+JOIN keepset k ON k.lang = s.lang AND k.bucket = s.bucket
+ORDER BY s.doc_id
+""",
+)
+def sm08_quality_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    ttr = F.size(F.array_distinct(w)).cast("double") / F.size(w)
+    bucket = F.floor(F.least(ttr, F.lit(0.999)) * TTR_BUCKETS).cast("long")
+    scored = docs.select("doc_id", "lang", "n_chars", bucket.alias("bucket"))
+    hist = scored.groupBy("lang", "bucket").agg(
+        F.sum("n_chars").alias("bucket_chars")
+    )
+    budget = hist.groupBy("lang").agg(
+        (F.sum("bucket_chars") * CHAR_BUDGET_BP / 10000.0).alias("char_budget")
+    )
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keepset = (
+        hist.withColumn("cum_chars", F.sum("bucket_chars").over(wlang))
+        .join(budget, "lang")
+        .filter(F.col("cum_chars") <= F.col("char_budget"))
+        .select("lang", "bucket")
+    )
+    return (
+        scored.join(F.broadcast(keepset), ["lang", "bucket"], "left_semi")
+        .select("doc_id", "lang", "n_chars", "bucket")
+        .orderBy("doc_id")
+    )
