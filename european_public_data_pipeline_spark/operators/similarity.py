@@ -1004,3 +1004,54 @@ def s08_power_iteration_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("dot").alias("pc1_proj"))
         .orderBy("vec_id")
     )
+
+
+NORM_TOL = 1e-5  # |norm^2 - 1| conformance band for the s09 gate
+
+
+@register(
+    "s09_embedding_quality_audit",
+    category="similarity",
+    doc="Embedding-store sanity gate run before building any ANN index: "
+    "per label, vector count, dimension-conformance count, the min/max "
+    "squared norm (order-independent extremes of the bit-exact "
+    "sequential-fold norm), and how many vectors violate unit-norm "
+    "conformance (|norm^2 - 1| > 1e-5) — catches truncated rows, "
+    "un-normalized batches, and dead (zero) vectors in one scan. Pure "
+    "narrow projection + label-keyed aggregate: one tiny shuffle, "
+    "whole-stage codegen on the scan side; at 100 TB this is the "
+    "cheapest possible pass over the store.",
+    oracle=f"""
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN len(embedding) <> {DIM} THEN 1 ELSE 0 END) AS BIGINT) AS n_baddim,
+       MIN({_sql_dot('embedding', 'embedding')}) AS min_norm2,
+       MAX({_sql_dot('embedding', 'embedding')}) AS max_norm2,
+       CAST(SUM(CASE WHEN abs({_sql_dot('embedding', 'embedding')} - 1.0) > {NORM_TOL}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonunit
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def s09_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n2 = dot_fold(F.col("embedding"), F.col("embedding"))
+    return (
+        e.select(
+            "label",
+            F.size("embedding").alias("dim"),
+            n2.alias("norm2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("dim") != DIM, 1).otherwise(0)).alias("n_baddim"),
+            F.min("norm2").alias("min_norm2"),
+            F.max("norm2").alias("max_norm2"),
+            F.sum(
+                F.when(F.abs(F.col("norm2") - 1.0) > NORM_TOL, 1).otherwise(0)
+            ).alias("n_nonunit"),
+        )
+        .orderBy("label")
+    )
