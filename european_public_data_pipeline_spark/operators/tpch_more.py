@@ -554,39 +554,41 @@ def q60_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    # One pass over the order's lineitems: which suppliers shipped, which
-    # shipped late. o_orderdate rides along via an orderkey join kept
-    # broadcast-free (both sides shuffle on orderkey once).
+    # ONE pass over the order's lineitems: which suppliers shipped, which
+    # shipped late, how many late rows. o_orderdate rides along via an
+    # orderkey join (both sides shuffle on orderkey once). Because the
+    # filter demands exactly one late supplier, every late row in a
+    # qualifying order belongs to that supplier — so the charge count
+    # comes out of the same aggregate and no second fact pass exists.
     late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
-    per_order = (
+    # Two-level form: collapsing to the (order, supplier) grain first
+    # replaces COUNT DISTINCT's expand of the full fact shuffle with a
+    # plain map-side-combinable aggregate; the per-order pass then runs
+    # on the collapsed (near order-cardinality) relation.
+    per_os = (
         li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-            F.min(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.max(late).alias("any_late"),
+            F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        )
+    )
+    per_order = (
+        per_os.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum(F.when(F.col("any_late"), 1).otherwise(0)).alias("n_late_supp"),
+            F.min(F.when(F.col("any_late"), F.col("l_suppkey"))).alias("late_supp"),
+            F.sum(F.when(F.col("any_late"), F.col("n_late")).otherwise(0)).alias(
+                "n_late_rows"
+            ),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
-    # COUNT(*) in the oracle counts qualifying LINEITEM rows, so count the
-    # sole-late supplier's late lineitems per order, not just the order.
-    late_rows = (
-        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
-        .filter(late)
-        .select(
-            F.col("l_orderkey").alias("lr_orderkey"),
-            F.col("l_suppkey").alias("lr_suppkey"),
-        )
-    )
-    charged = per_order.join(
-        late_rows,
-        (per_order.l_orderkey == F.col("lr_orderkey"))
-        & (per_order.late_supp == F.col("lr_suppkey")),
-    ).select(F.col("lr_suppkey"))
     return (
-        charged.join(F.broadcast(s), F.col("lr_suppkey") == s.s_suppkey)
+        per_order.join(F.broadcast(s), per_order.late_supp == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(100)
     )
