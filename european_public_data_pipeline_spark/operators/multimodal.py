@@ -263,3 +263,66 @@ def m04_thumbnail_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_image_metadata(attach_binary_payload(docs))
     return thumbnail_dims(decoded).orderBy("doc_id")
+
+
+WIN_BYTES = 256
+HOP_BYTES = 128
+
+
+@register(
+    "m05_payload_windows",
+    category="multimodal",
+    doc="Audio-style fixed-size window segmentation over the binary "
+    "payload (256-byte windows, 128-byte hop, ragged tail kept): one row "
+    "per window with byte offsets and a slice checksum — the "
+    "segment-then-embed layout every audio/video ingest runs before the "
+    "model stage. The window index explodes from a metadata-only "
+    "sequence; the payload slice itself is computed by Spark's BINARY "
+    "substring inside codegen (no Python crossing at all — the decode "
+    "stub isn't needed for segmentation). The oracle recomputes windows "
+    "by VARCHAR slicing, byte-identical because the corpus is ASCII "
+    "(same assumption m01's BLOB oracle already pins).",
+    oracle=f"""
+SELECT doc_id,
+       CAST(k AS BIGINT) AS window_idx,
+       CAST(k * {HOP_BYTES} AS BIGINT) AS start_byte,
+       CAST(least({WIN_BYTES}, octet_length(CAST(text AS BLOB)) - k * {HOP_BYTES}) AS BIGINT)
+         AS win_bytes,
+       md5(substring(text, k * {HOP_BYTES} + 1, {WIN_BYTES})) AS window_md5
+FROM documents,
+     UNNEST(generate_series(0, (octet_length(CAST(text AS BLOB)) - 1) // {HOP_BYTES})) AS t(k)
+WHERE doc_id < 100
+ORDER BY doc_id, window_idx
+""",
+)
+def m05_payload_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payload = attach_binary_payload(docs).select(
+        "doc_id", "payload", F.col("media_meta.n_bytes").alias("n_bytes")
+    )
+    ks = F.sequence(
+        F.lit(0).cast("long"),
+        F.floor((F.col("n_bytes") - 1) / HOP_BYTES).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    win = payload.select(
+        "doc_id",
+        "n_bytes",
+        "payload",
+        F.explode(ks).alias("window_idx"),
+    )
+    start = F.col("window_idx") * HOP_BYTES
+    return (
+        win.select(
+            "doc_id",
+            "window_idx",
+            start.alias("start_byte"),
+            F.least(F.lit(WIN_BYTES), F.col("n_bytes") - start)
+            .cast("long")
+            .alias("win_bytes"),
+            F.md5(
+                F.expr(f"substring(payload, window_idx * {HOP_BYTES} + 1, {WIN_BYTES})")
+            ).alias("window_md5"),
+        )
+        .orderBy("doc_id", "window_idx")
+    )
