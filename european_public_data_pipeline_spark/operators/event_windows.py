@@ -325,3 +325,45 @@ def q62_hourly_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "q66_user_running_totals",
+    category="time-window",
+    doc="Per-user cumulative event totals over event time — the batch "
+    "twin of streaming/stateful.py's applyInPandasWithState running-"
+    "totals operator: each event row carries the user's running count "
+    "and exact-decimal running value sum as of that event ((ts, "
+    "event_id) ordering, the trajectory the stateful operator emits "
+    "across micro-batches). One user-keyed window; partition size = "
+    "events per user, bounded by the entity grain, never corpus-wide. "
+    "The cumulative sum accumulates DECIMAL so every prefix is exact "
+    "and partition-order invariant (a double cumsum would drift).",
+    oracle="""
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS running_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, ts, event_id
+""",
+)
+def q66_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("running_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    ).orderBy("user_id", "ts", "event_id")
