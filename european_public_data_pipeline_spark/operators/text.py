@@ -941,3 +941,60 @@ def t15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n_emails + n_ips + n_phones).alias("n_pii"),
         F.md5(redacted).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+def _t16_oracle() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_filter(w, t -> list_contains({STOPWORDS[lang]!r}, t))) AS DOUBLE)"
+        f" / len(w) AS s_{lang}"
+        for lang in LANGS
+    )
+    return f"""
+WITH pred AS (
+  SELECT doc_id, lang AS labeled_lang, {_lid_case_sql()} AS predicted_lang
+  FROM (
+    SELECT doc_id, lang, {scores}
+    FROM (SELECT doc_id, lang, {_SQL_TOKENS} AS w FROM documents)
+  )
+),
+cm AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+),
+tot AS (SELECT labeled_lang, SUM(n) AS label_total FROM cm GROUP BY 1)
+SELECT c.labeled_lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.label_total AS label_share
+FROM cm c JOIN tot t ON t.labeled_lang = c.labeled_lang
+ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
+@register(
+    "t16_langid_confusion",
+    category="text",
+    doc="Language-label noise audit: the confusion matrix between the "
+    "corpus's labeled language and the heuristic identifier's prediction "
+    "(t03), with each cell's share of its labeled row — the "
+    "label-quality gate run before trusting per-language sampling or "
+    "mixture weights (sm07/sm08 allocate budget by the label; a noisy "
+    "label silently reallocates training mass). Per-doc scoring is "
+    "row-local HOFs; the matrix is a lang-cardinality aggregate (25 "
+    "cells), so the only shuffle moves a language-pair-sized relation.",
+    oracle=_t16_oracle(),
+)
+def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = t03_lang_id(spark, sf_dir).select("labeled_lang", "predicted_lang")
+    cm = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cm.groupBy("labeled_lang").agg(F.sum("n").alias("label_total"))
+    return (
+        cm.join(F.broadcast(tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("label_total")).alias("label_share"),
+        )
+        .orderBy("labeled_lang", "predicted_lang")
+    )

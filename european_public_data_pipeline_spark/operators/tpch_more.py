@@ -813,3 +813,99 @@ def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q67_small_quantity_revenue",
+    category="join",
+    doc="TPC-H Q17 shape (small-quantity-order revenue): for one brand's "
+    "parts, the revenue from lineitems whose quantity is below 20% of "
+    "that part's average quantity — lost-revenue-if-minimum-lot "
+    "analysis. The textbook form re-scans lineitem per part for the "
+    "correlated AVG; the scalable decorrelation computes every part's "
+    "average in ONE partkey-grouped pass over the fact, broadcasts the "
+    "(tiny) filtered-part thresholds, and filters the fact scan "
+    "row-locally. The threshold division stays exact: quantity is "
+    "2-decimal, so 5*sum(q) vs n*q compares exact decimals — no float "
+    "average, no rounding ambiguity at the boundary.",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+         AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3'
+  AND CAST(l.l_quantity AS DECIMAL(18,2)) * 5 * (
+    SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    < (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+)
+def q67_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qdec).alias("sum_q"), F.count(F.lit(1)).alias("n_q")
+    )
+    thresholds = per_part.join(
+        F.broadcast(p.select("p_partkey")), F.col("pk") == F.col("p_partkey"), "left_semi"
+    )
+    return (
+        li.join(F.broadcast(thresholds), li.l_partkey == F.col("pk"))
+        # exact-integer comparison: 5*q*n < sum_q  <=>  q < 0.2*avg(q)
+        .filter(qdec * 5 * F.col("n_q") < F.col("sum_q"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
+    "q68_dominant_supplier_parts",
+    category="join",
+    doc="Dominant-supplier detection (TPC-H Q20's excess-stock shape "
+    "adapted to this schema): (part, supplier) pairs where the supplier "
+    "shipped more than half of the part's total 1995 quantity — the "
+    "single-source-risk audit. One (part, supplier) aggregate and one "
+    "part-level rollup of THAT aggregate (never a second fact scan), "
+    "joined on the part key; 2x comparison stays in exact decimals.",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  WHERE year(l_shipdate) = 1995
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+  FROM ps GROUP BY l_partkey
+)
+SELECT ps.l_partkey, ps.l_suppkey,
+       CAST(ps.supp_qty AS DOUBLE) AS supp_qty,
+       CAST(t.part_qty AS DOUBLE) AS part_qty
+FROM ps
+JOIN tot t ON t.l_partkey = ps.l_partkey
+WHERE t.n_supp > 1 AND ps.supp_qty * 2 > t.part_qty
+ORDER BY ps.l_partkey, ps.l_suppkey
+""",
+)
+def q68_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1995)
+    qdec = F.col("l_quantity").cast("decimal(18,2)")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(qdec).alias("supp_qty"))
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        ps.join(tot, "l_partkey")
+        .filter((F.col("n_supp") > 1) & (F.col("supp_qty") * 2 > F.col("part_qty")))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("supp_qty").cast("double").alias("supp_qty"),
+            F.col("part_qty").cast("double").alias("part_qty"),
+        )
+        .orderBy("l_partkey", "l_suppkey")
+    )
