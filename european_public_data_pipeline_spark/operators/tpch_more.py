@@ -909,3 +909,156 @@ def q68_dominant_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey", "l_suppkey")
     )
+
+
+@register(
+    "q69_disjunctive_pushdown",
+    category="join",
+    doc="TPC-H Q19 shape: revenue under an OR-of-ANDs predicate over "
+    "brand x quantity-band x size — the disjunctive-pushdown showcase. "
+    "Declared as one boolean expression; Catalyst factors the common "
+    "part-side and lineitem-side conjuncts out of the OR so both scans "
+    "prune BEFORE the join (the common l_quantity upper bound and "
+    "p_size floor reach PushedFilters), and the residual disjunction "
+    "evaluates post-join in codegen. Part side broadcasts.",
+    oracle="""
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""",
+)
+def q69_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 20) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 25) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum_expr(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q70_returned_items",
+    category="join",
+    doc="TPC-H Q10 shape: revenue lost to returned items per customer in "
+    "one quarter, top 20 — date-filtered orders join the 'R'-flagged "
+    "lineitems, aggregate on the customer key, then customer/nation "
+    "detail attaches to the 20-row result (aggregate-then-join, the q04 "
+    "discipline: dimension strings never ride through the big shuffle).",
+    oracle="""
+WITH agg AS (
+  SELECT o.o_custkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS rev_dec
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= DATE '1995-10-01' AND o.o_orderdate < DATE '1996-01-01'
+    AND l.l_returnflag = 'R'
+  GROUP BY o.o_custkey
+  ORDER BY rev_dec DESC, o_custkey
+  LIMIT 20
+)
+SELECT c.c_custkey, c.c_name, n.n_name, CAST(a.rev_dec AS DOUBLE) AS revenue
+FROM agg a
+JOIN customer c ON c.c_custkey = a.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY revenue DESC, c_custkey
+""",
+)
+def q70_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_date(F.lit("1995-10-01")))
+        & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    agg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2))
+            ).alias("rev_dec")
+        )
+        .orderBy(F.desc("rev_dec"), F.asc("o_custkey"))
+        .limit(20)
+    )
+    return (
+        F.broadcast(agg)
+        .join(c, agg.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    )
+
+
+@register(
+    "q71_product_profit",
+    category="join",
+    doc="TPC-H Q9 shape (product-type profit by nation and year), adapted "
+    "to this schema: profit = discounted revenue minus a 60%-of-retail "
+    "cost proxy (no partsupp cost column exists), for parts whose name "
+    "contains 'red', per supplier nation per order year. The fact "
+    "shuffles once for the (nation, year) rollup; part filters before "
+    "its broadcast; supplier/nation broadcast. Profit folds entirely in "
+    "decimals (retailprice is 1-decimal -> DECIMAL(18,1) cast, products "
+    "widen exactly) so the nation-year sums are bit-stable.",
+    oracle="""
+SELECT sn.n_name AS nation,
+       CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                - CAST(0.6 AS DECIMAL(2,1)) * CAST(p.p_retailprice AS DECIMAL(18,1)) * CAST(l.l_quantity AS DECIMAL(18,2)))
+         AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q71_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    profit = dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2)) - F.lit(
+        0.6
+    ).cast("decimal(2,1)") * F.col("p_retailprice").cast("decimal(18,1)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
