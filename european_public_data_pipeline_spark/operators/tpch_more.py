@@ -1062,3 +1062,50 @@ def q71_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(profit).cast("double").alias("profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
+
+
+@register(
+    "q72_order_history_strings",
+    category="aggregation",
+    doc="Ordered list aggregation: each customer's order history as a "
+    "comma-joined orderkey string in (date, key) order, plus first/last "
+    "order dates — the collect-and-serialize shape feature stores use "
+    "for sequence features. Spark has no ordered string_agg, so the "
+    "portable form is collect_list(struct(sort keys…)) -> array_sort -> "
+    "transform -> concat_ws, which is deterministic under any partition "
+    "order (the sort happens inside the row); the oracle uses DuckDB's "
+    "native string_agg(… ORDER BY …). Per-customer state is "
+    "order-count-sized — the same bounded-entity-grain contract as the "
+    "session windows.",
+    oracle="""
+SELECT o_custkey,
+       string_agg(o_orderkey, ',' ORDER BY o_orderdate, o_orderkey) AS order_history,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def q72_order_history_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    hist = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+            ),
+            lambda s: s.o_orderkey.cast("string"),
+        ),
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            hist.alias("order_history"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
