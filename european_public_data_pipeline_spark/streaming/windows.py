@@ -190,3 +190,38 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def ohlc_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming OHLC bars: per (window, event_type), open/close via
+    ``min_by``/``max_by`` on the (ts, event_id) struct — ordered first/last
+    as a DECLARATIVE aggregate, which (unlike row_number) is legal inside a
+    streaming groupBy: state per group is one candidate row, merged
+    associatively across micro-batches. The batch-registered q62 computes
+    the same bars with the two-row_number construction; the stream-equals-
+    batch test pins the two constructions to each other."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("volume"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "volume",
+        )
+    )

@@ -226,3 +226,53 @@ def test_upsert_stream_merges_latest_revision_per_key(spark, tmp_path):
     # Restart with the same checkpoint and no new input: nothing re-applies.
     run()
     assert spark.read.parquet(target).count() == 3
+
+
+def test_ohlc_stream_equals_batch_and_q62(spark, events_dir):
+    from european_public_data_pipeline_spark.streaming.windows import ohlc_agg
+
+    batch = spark.read.parquet(events_dir)
+    stream = read_events_stream(spark, events_dir)
+    got = run_available_now(ohlc_agg(stream), "t_ohlc")
+    want = ohlc_agg(batch)
+    cols = ["window_start", "event_type", "open", "high", "low", "close", "n", "volume"]
+    assert _rows(got, cols) == _rows(want, cols)
+    assert len(_rows(got, cols)) > 0
+    # min_by/max_by construction must agree with q62's row_number
+    # construction on the same slice
+    via_q62 = {
+        (r["hour"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in _q62_on(spark, batch).collect()
+    }
+    via_stream = {
+        (r["window_start"], r["event_type"]): (r["open"], r["high"], r["low"], r["close"], r["n"])
+        for r in want.collect()
+    }
+    assert via_q62 == via_stream
+
+
+def _q62_on(spark, events):
+    """q62's row_number OHLC construction applied to an arbitrary events DF."""
+    from pyspark.sql import Window as W
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+
+    e = events.select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts", "event_id", "value",
+    )
+    wa = W.partitionBy("event_type", "hour").orderBy("ts", "event_id")
+    wd = W.partitionBy("event_type", "hour").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("volume"),
+        )
+    )
