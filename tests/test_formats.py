@@ -57,3 +57,22 @@ def test_jsonl_roundtrip_unicode_events_props(spark, sf_small, tmp_path):
     want = sorted(tuple(r) for r in events.collect())
     have = sorted(tuple(r) for r in got.collect())
     assert have == want
+
+
+def test_orc_roundtrip(spark, sf_small, tmp_path):
+    docs = _docs(spark, sf_small)
+    p = str(tmp_path / "o")
+    docs.write.orc(p)
+    assert _rows(spark.read.orc(p)) == _rows(docs)
+
+
+def test_orc_events_timestamps(spark, sf_small, tmp_path):
+    """events (timestamp column) must survive an ORC round-trip exactly —
+    ORC stores its own timestamp encoding, so this pins the µs fidelity."""
+    events = load_table(spark, sf_small, "events").filter(F.col("event_id") < 500)
+    p = str(tmp_path / "oe")
+    events.write.orc(p)
+    got = spark.read.orc(p)
+    want = sorted((r["event_id"], r["ts"]) for r in events.select("event_id", "ts").collect())
+    have = sorted((r["event_id"], r["ts"]) for r in got.select("event_id", "ts").collect())
+    assert have == want
