@@ -1055,3 +1055,86 @@ def s09_embedding_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def brp_lsh_pairs(spark: SparkSession, sf_dir: str, dist_threshold: float) -> DataFrame:
+    """Stock pyspark.ml BucketedRandomProjectionLSH (Euclidean) near-
+    neighbor pairs over the embeddings table — SURVEY §2.12's named ML
+    alternative to the hand-rolled hyperplane LSH (s02). JVM-seeded
+    projections aren't DuckDB-reproducible, so the registered s10 audits
+    this pair set against the exact cosine truth instead of hash-comparing
+    it (the d07 pattern)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feats = e.select("vec_id", array_to_vector("embedding").alias("features"))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5,
+        numHashTables=6, seed=20260813,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, dist_threshold, distCol="euclid")
+    return (
+        pairs.select(
+            F.col("datasetA.vec_id").alias("v1"),
+            F.col("datasetB.vec_id").alias("v2"),
+            F.col("euclid"),
+        )
+        .filter(F.col("v1") < F.col("v2"))
+    )
+
+
+def _s10_oracle() -> str:
+    from european_public_data_pipeline_spark.operators.dedup import COSINE_THRESHOLD
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_pairs,
+       TRUE AS recall_ok,
+       TRUE AS precision_ok
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) >= {COSINE_THRESHOLD}
+"""
+
+
+@register(
+    "s10_ml_brp_lsh_audit",
+    category="similarity",
+    doc="Quality audit of pyspark.ml's BucketedRandomProjectionLSH "
+    "(Euclidean) against the exact cosine near-dup truth: on unit-norm "
+    "vectors cosine >= t is euclid <= sqrt(2-2t), so the BRP join at "
+    "that radius must recover the d06 pair set — one row with the exact "
+    "pair count and recall/precision >= 0.9 booleans (the d07 audit "
+    "pattern; JVM-seeded projections aren't DuckDB-reproducible, the "
+    "deterministic surface is). Scale: BRP-LSH buckets are "
+    "corpus-linear like the hand-rolled s02; the audit's exact side "
+    "runs on the GEMM-prefiltered candidate path, never all pairs.",
+    oracle=_s10_oracle,
+)
+def s10_ml_brp_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from european_public_data_pipeline_spark.operators.dedup import (
+        COSINE_THRESHOLD,
+        d06_embedding_near_dup,
+    )
+
+    # unit-norm identity: ||a-b||^2 = 2 - 2 cos  (s09 pins unit norms)
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * COSINE_THRESHOLD)) + 1e-6
+    ml = brp_lsh_pairs(spark, sf_dir, radius).select("v1", "v2")
+    exact = d06_embedding_near_dup(spark, sf_dir).select("v1", "v2")
+    hits = exact.join(ml, ["v1", "v2"], "left_semi")
+    n_exact = exact.count()
+    n_ml = ml.count()
+    n_hit = hits.count()
+    recall = n_hit / n_exact if n_exact else 1.0
+    precision = n_hit / n_ml if n_ml else 1.0
+    return spark.createDataFrame(
+        [(n_exact, recall >= 0.9, precision >= 0.9)],
+        "n_exact_pairs long, recall_ok boolean, precision_ok boolean",
+    )
