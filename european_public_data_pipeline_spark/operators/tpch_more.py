@@ -1109,3 +1109,69 @@ def q72_order_history_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q73_spend_percentile_rank",
+    category="window",
+    doc="Global rank + percentile of every customer by total spend "
+    "WITHOUT a single-partition window (the #1 scale-killer this repo "
+    "bans): the classic distributed ranking construction — range-"
+    "repartition on the rank key, sort within partitions, per-partition "
+    "row_number (window partitioned by spark_partition_id, so partition "
+    "state is bounded by cluster width), then add broadcast partition-"
+    "size prefix offsets. Global rank is exact and independent of where "
+    "the range boundaries land; ties are impossible because (spend, "
+    "custkey) is unique. The oracle uses the plain RANK() window — "
+    "fine in DuckDB, banned here at scale.",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT COUNT(*) AS n_cust FROM spend)
+SELECT o_custkey,
+       CAST(spend_dec AS DOUBLE) AS total_spend,
+       CAST(RANK() OVER (ORDER BY spend_dec, o_custkey) AS BIGINT) AS spend_rank,
+       CAST(RANK() OVER (ORDER BY spend_dec, o_custkey) - 1 AS DOUBLE)
+         / (SELECT n_cust - 1 FROM n) AS spend_percentile
+FROM spend
+ORDER BY o_custkey
+""",
+)
+def q73_spend_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("spend_dec")
+    )
+    total = spend.agg(F.count(F.lit(1)).alias("n_cust"))
+    parts = (
+        spend.repartitionByRange(32, F.col("spend_dec"), F.col("o_custkey"))
+        .sortWithinPartitions("spend_dec", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    wlocal = Window.partitionBy("pid").orderBy("spend_dec", "o_custkey")
+    local = parts.withColumn("local_rank", F.row_number().over(wlocal))
+    sizes = local.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    woff = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the offsets relation is cluster-width-sized (32 rows) — its window
+    # is the whitelisted tiny-relation single partition, not a data window
+    offsets = sizes.withColumn("cum", F.sum("n").over(woff)).select(
+        "pid", (F.col("cum") - F.col("n")).alias("offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "o_custkey",
+            F.col("spend_dec").cast("double").alias("total_spend"),
+            (F.col("offset") + F.col("local_rank")).alias("spend_rank"),
+            (
+                (F.col("offset") + F.col("local_rank") - 1).cast("double")
+                / (F.col("n_cust") - 1)
+            ).alias("spend_percentile"),
+        )
+        .orderBy("o_custkey")
+    )
