@@ -703,3 +703,182 @@ def q56_revenue_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "month_start")
     )
+
+
+@register(
+    "q74_referential_orphans",
+    category="quality",
+    doc="Referential-integrity audit across the star schema: orphan "
+    "counts for every foreign-key edge (lineitem->orders/part/supplier, "
+    "orders->customer, customer/supplier->nation) plus each edge's "
+    "child row count — the generalization of the reference's six-check "
+    "quality suite to multi-table integrity. Each edge is one left-anti "
+    "join; dimension sides broadcast, fact sides aggregate to a count "
+    "before the union, so the result relation is edge-cardinality. A "
+    "healthy warehouse returns all zeros — the oracle pins exactly "
+    "that, so ANY orphan introduced by a bad load flips the hash.",
+    oracle="""
+SELECT 'customer->nation' AS fk_edge,
+       (SELECT COUNT(*) FROM customer) AS n_child,
+       (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+         WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier s
+         WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+ORDER BY fk_edge
+""",
+)
+def q74_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    n = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key, broadcast_parent=True):
+        par = parent.select(parent_key)
+        if broadcast_parent:
+            par = F.broadcast(par)
+        orphans = child.join(
+            par, child[child_key] == par[parent_key], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        return (
+            total.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+
+    edges = [
+        edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+        edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey", broadcast_parent=False),
+        edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+        edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+        edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+        edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionAll(e)
+    return out.orderBy("fk_edge")
+
+
+DRIFT_BUCKETS = 10
+
+
+@register(
+    "q75_distribution_drift",
+    category="quality",
+    doc="Train-data distribution-drift monitor: per-bucket share of "
+    "order total-price mass in a reference window (1995) vs a current "
+    "window (1996) over 10 fixed-width buckets, with the absolute share "
+    "difference and the total-variation distance (TVD = half the L1) "
+    "replicated on every row. TVD instead of PSI/KL on purpose: no "
+    "transcendentals, so the drift number is bit-identical across "
+    "engines (ln() differs in the last ulp between libm and the JVM). "
+    "Buckets are FIXED (domain knowledge bounds), making the two "
+    "window scans independent single passes — the production shape for "
+    "continuous monitoring where the reference histogram is "
+    "precomputed.",
+    oracle=f"""
+WITH bucketed AS (
+  SELECT CASE WHEN year(o_orderdate) = 1995 THEN 'ref' ELSE 'cur' END AS win,
+         least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 60000.0) AS BIGINT),
+               {DRIFT_BUCKETS - 1}) AS bucket
+  FROM orders
+  WHERE year(o_orderdate) IN (1995, 1996)
+),
+hist AS (
+  SELECT win, bucket, COUNT(*) AS n FROM bucketed GROUP BY win, bucket
+),
+tot AS (SELECT win, SUM(n) AS total FROM hist GROUP BY win),
+shares AS (
+  SELECT b.bucket,
+         CAST(COALESCE(MAX(CASE WHEN h.win = 'ref' THEN CAST(h.n AS DOUBLE) / t_ref.total END), 0) AS DOUBLE) AS ref_share,
+         CAST(COALESCE(MAX(CASE WHEN h.win = 'cur' THEN CAST(h.n AS DOUBLE) / t_cur.total END), 0) AS DOUBLE) AS cur_share
+  FROM (SELECT DISTINCT bucket FROM hist) b
+  LEFT JOIN hist h ON h.bucket = b.bucket
+  CROSS JOIN (SELECT total FROM tot WHERE win = 'ref') t_ref
+  CROSS JOIN (SELECT total FROM tot WHERE win = 'cur') t_cur
+  GROUP BY b.bucket
+)
+SELECT bucket, ref_share, cur_share,
+       abs(ref_share - cur_share) AS abs_diff,
+       (SELECT SUM(abs(ref_share - cur_share)) / 2 FROM shares) AS tvd
+FROM shares
+ORDER BY bucket
+""",
+)
+def q75_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    win = F.when(F.year("o_orderdate") == 1995, "ref").otherwise("cur")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice").cast("double") / 60000.0),
+        F.lit(DRIFT_BUCKETS - 1),
+    ).cast("long")
+    hist = (
+        o.select(win.alias("win"), bucket.alias("bucket"))
+        .groupBy("win", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = hist.cache()
+    tot = hist.groupBy("win").agg(F.sum("n").alias("total"))
+    shares = (
+        hist.join(F.broadcast(tot), "win")
+        .select(
+            "bucket",
+            "win",
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("win") == "ref", F.col("share"))), F.lit(0.0)
+            ).alias("ref_share"),
+            F.coalesce(
+                F.max(F.when(F.col("win") == "cur", F.col("share"))), F.lit(0.0)
+            ).alias("cur_share"),
+        )
+    ).cache()
+    tvd = shares.agg(
+        (F.sum(F.abs(F.col("ref_share") - F.col("cur_share"))) / 2).alias("tvd")
+    )
+    return (
+        shares.crossJoin(F.broadcast(tvd))
+        .select(
+            "bucket",
+            "ref_share",
+            "cur_share",
+            F.abs(F.col("ref_share") - F.col("cur_share")).alias("abs_diff"),
+            "tvd",
+        )
+        .orderBy("bucket")
+    )
