@@ -1132,3 +1132,68 @@ def d15_cross_source_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_shared"), "source_a", "source_b")
     )
+
+
+REPEAT_TOP_K = 50
+
+
+@register(
+    "d16_top_repeated_chunks",
+    category="dedup",
+    doc="Memorization-risk audit: the corpus's most-repeated 10-token "
+    "chunks (d11's chunk grain) — how many documents contain each chunk "
+    "and how many distinct sources it spans, top 50 by document count. "
+    "Highly-repeated passages are what models memorize verbatim; this "
+    "is the report a curation run reads before choosing dedup "
+    "thresholds. Shape: row-local chunk hashing, ONE chunk-keyed "
+    "aggregate (map-side combined), distributed TakeOrdered top-k — "
+    "never a global sort of the chunk relation.",
+    oracle=f"""
+WITH ch AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(words[i : i + {CONTAIN_CHUNK - 1}], ' ')) AS chunk_hash
+  FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+       UNNEST(generate_series(1, greatest(1, len(words) - {CONTAIN_CHUNK - 1}), {CONTAIN_CHUNK // 2})) AS t(i)
+),
+j AS (
+  SELECT c.chunk_hash, c.doc_id, d.source
+  FROM ch c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT chunk_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM j
+GROUP BY chunk_hash
+ORDER BY n_docs DESC, chunk_hash
+LIMIT {REPEAT_TOP_K}
+""",
+)
+def d16_top_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size(F.col("w")) - (CONTAIN_CHUNK - 1)),
+        F.lit(CONTAIN_CHUNK // 2),
+    )
+    ch = (
+        docs.select("doc_id", w.alias("w"))
+        .select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("w"), F.col("start"), CONTAIN_CHUNK))
+            ).alias("chunk_hash"),
+        )
+        .distinct()
+    )
+    return (
+        ch.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("chunk_hash"))
+        .limit(REPEAT_TOP_K)
+    )
