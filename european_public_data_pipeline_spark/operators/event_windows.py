@@ -367,3 +367,103 @@ def q66_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_value"
         ),
     ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "q76_longest_daily_streak",
+    category="time-window",
+    doc="Gaps-and-islands: each user's longest streak of CONSECUTIVE "
+    "calendar days with at least one event. The classic construction — "
+    "distinct (user, day), per-user row_number, island id = day minus "
+    "rn days (consecutive days share it), then max island size. Two "
+    "user-keyed aggregations and one user-partitioned window over "
+    "distinct DAYS (entity-grain bounded, far smaller than the event "
+    "relation).",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+           AS island
+  FROM days
+),
+runs AS (
+  SELECT user_id, island, COUNT(*) AS run_len FROM isl GROUP BY user_id, island
+)
+SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS longest_streak
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q76_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("run_len"))
+    return (
+        runs.groupBy("user_id")
+        .agg(F.max("run_len").alias("longest_streak"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q77_event_transition_matrix",
+    category="time-window",
+    doc="First-order event-type transition counts (the Markov-chain "
+    "estimate of user behavior): per user, each event's successor type "
+    "via lag over (ts, event_id), then corpus-wide (from, to) counts "
+    "and row-normalized transition shares. One user-partitioned window "
+    "pass (entity-grain bounded) + one type-pair aggregate (25 cells). "
+    "The share is a single division of exact counts — hash-stable.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+cm AS (
+  SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS row_total FROM cm GROUP BY from_type)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / t.row_total AS share
+FROM cm c JOIN tot t ON t.from_type = c.from_type
+ORDER BY c.from_type, c.to_type
+""",
+)
+def q77_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    cm = seq.groupBy(
+        F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = cm.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        cm.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_total")).alias("share"),
+        )
+        .orderBy("from_type", "to_type")
+    )
