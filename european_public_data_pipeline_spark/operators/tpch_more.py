@@ -1175,3 +1175,55 @@ def q73_spend_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "q78_value_concentration",
+    category="aggregation",
+    doc="TPC-H Q11 shape (the last of the 22 classic patterns): per-part "
+    "traded value for one nation's suppliers, keeping parts whose value "
+    "exceeds a fraction of the nation total — HAVING against a global "
+    "scalar. Adapted to this schema: value = sum of extendedprice over "
+    "lineitems shipped by NATION_7 suppliers (no partsupp table exists). "
+    "The per-part aggregate is computed ONCE and cached; the grand total "
+    "re-aggregates those group rows (part-cardinality input, not a "
+    "second fact scan) and joins back as a broadcast single row. The "
+    "threshold compare stays in exact decimals on both engines, so no "
+    "boundary part can flip on float rounding. One fact shuffle total; "
+    "supplier and nation broadcast.",
+    oracle="""
+WITH v AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS val_dec
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+  GROUP BY 1
+)
+SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
+FROM v
+WHERE val_dec > (SELECT SUM(val_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def q78_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    per_part = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("val_dec"))
+        .cache()
+    )
+    threshold = per_part.agg(
+        (F.sum("val_dec") * F.lit(0.001).cast("decimal(4,3)")).alias("thresh")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("val_dec") > F.col("thresh"))
+        .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
