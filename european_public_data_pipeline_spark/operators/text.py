@@ -998,3 +998,109 @@ def t16_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+BM25_QUERY_TERMS = ("spark", "window", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@register(
+    "t17_bm25_scoring",
+    category="text",
+    doc="BM25 relevance scoring of the corpus against a fixed query — the "
+    "retrieval primitive behind RAG candidate generation and data-"
+    "selection-by-query curation. Scale shape: the exploded token stream "
+    "is filtered to the broadcast query vocabulary BEFORE any shuffle, "
+    "so tf is a (matching-docs x |query|)-sized aggregate and df falls "
+    "out of tf as a |query|-row rollup; document length is computed "
+    "row-locally (size(split(...)), no explode), and N/avgdl travel as "
+    "one broadcast row. Only docs hitting >=1 query term survive — the "
+    "output is sparse, never corpus-wide. Per-term contributions are "
+    "rounded to integer micro-points and summed as BIGINTs, so the "
+    "cross-engine hash cannot wobble on libm's last ulp or on float "
+    "summation order.",
+    oracle=f"""
+WITH dl AS (
+  SELECT doc_id, len({_SQL_TOKENS}) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents)
+  WHERE token IN ('spark', 'window', 'merge')
+  GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+),
+contrib AS (
+  SELECT tf.doc_id,
+         CAST(ROUND(
+           (LN(1 + (CAST(s.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5))
+            * ((CAST(tf.tf AS DOUBLE) * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))))
+           * 1000000.0) AS BIGINT) AS micro
+  FROM tf
+  JOIN df USING (token)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+       CAST(SUM(micro) AS BIGINT) AS score_micro,
+       CAST(SUM(micro) AS DOUBLE) / 1000000.0 AS bm25
+FROM contrib
+GROUP BY doc_id
+ORDER BY score_micro DESC, doc_id
+""",
+)
+def t17_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tok = docs.select("doc_id", F.explode(tokens()).alias("token"))
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs").cast("double") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    norm = (F.col("tf").cast("double") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + F.lit(0.75) * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * norm * F.lit(1000000.0), 0).cast("long").alias("micro"),
+        )
+    )
+    return (
+        contrib.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.sum("micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_hit_terms",
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias("bm25"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    )
