@@ -1,0 +1,251 @@
+"""Frequency and membership sketches as first-class DataFrame computations.
+
+A Count-Min sketch and a Bloom filter are both just constant-size cell
+relations: hash every row into a handful of cells, aggregate, and the whole
+sketch is a d*w (or m)-row table that one map-side-combined shuffle
+produces regardless of input size. Building them AS DataFrames (instead of
+an opaque serialized blob like ``count_min_sketch()``'s binary) keeps the
+sketch queryable with ordinary joins, mergeable with ``unionAll`` +
+re-aggregate, and auditable next to exact answers.
+
+The sketch estimates depend on Spark's xxhash64, which DuckDB cannot
+reproduce, so — as with q25's HLL audit — the oracle-checked surface is a
+BOUNDS AUDIT: exact answers plus booleans asserting the sketch landed
+inside its guarantee. The booleans are deterministic (fixed seeds, fixed
+data), so a regression in the sketch pipeline hash-mismatches the oracle's
+literal TRUEs.
+
+Reference parity: the reference pipeline has no sketches (627-line pandas
+ETL); this is part of the §2.12 capability surface for 100 TB curation,
+where exact per-key state is the thing you cannot afford.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.plans.registry import register
+from european_public_data_pipeline_spark.tables import load_table
+
+# Count-Min geometry: width 4096 gives eps = e/w ~= 6.6e-4; depth 6 gives
+# per-key failure probability e^-6 ~= 0.25%. On this corpus the realized
+# excess is far inside the bound (verified at sf0.001/0.01/0.1) because the
+# supplier key cardinality is small next to w.
+CMS_DEPTH = 6
+CMS_WIDTH = 4096
+CMS_TOPK = 10
+
+# Bloom geometry: 2^17 bits, 5 probes. At sf0.1 ~2/3 of customers have
+# orders (n ~= 10k inserted keys), so the theoretical false-positive rate
+# is (1 - e^(-k*n/m))^k ~= 0.3%; the audit allows 3x that plus a +3
+# absolute cushion per segment so small-sf noise cannot flip the boolean.
+BLOOM_BITS = 131072
+BLOOM_HASHES = 5
+
+
+def cms_cells(rows: DataFrame, key: str) -> DataFrame:
+    """The d*w Count-Min cell relation for ``rows[key]``.
+
+    One projection explodes each row into ``CMS_DEPTH`` (hash_id, bucket)
+    cells; the aggregation's map-side combine collapses every partition to
+    at most d*w cells before the (constant-size) shuffle.
+    """
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_id"),
+                F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(CMS_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        rows.select(F.explode(probes).alias("p"))
+        .select("p.hash_id", "p.bucket")
+        .groupBy("hash_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimate(cells: DataFrame, keys: DataFrame, key: str) -> DataFrame:
+    """Point-estimate each ``keys[key]`` against a broadcast cell relation."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_id"),
+                F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(CMS_WIDTH)).alias(
+                    "bucket"
+                ),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    probed = keys.select(key, F.explode(probes).alias("p")).select(
+        key, "p.hash_id", "p.bucket"
+    )
+    return (
+        probed.join(F.broadcast(cells), ["hash_id", "bucket"], "left")
+        .groupBy(key)
+        # a missing cell means zero occurrences hashed there
+        .agg(F.min(F.coalesce("cell_count", F.lit(0))).alias("cms_estimate"))
+    )
+
+
+@register(
+    "q79_cms_heavy_hitters",
+    category="sketch",
+    doc="Count-Min heavy-hitter audit: estimate each top-10 supplier's "
+    "lineitem count from a 6x4096-cell Count-Min sketch built as a "
+    "DataFrame aggregation, next to the exact counts. The sketch build "
+    "shuffles a CONSTANT-size relation (map-side combine collapses every "
+    "partition to <= d*w cells) — the 100 TB path for per-key frequency "
+    "when exact groupBy state would be key-cardinality-sized. The audit "
+    "asserts the CMS guarantee: estimate >= exact always (collisions "
+    "only add), and estimate <= exact + eps*N with eps = e/w. Estimates "
+    "use Spark's xxhash64 (not reproducible in DuckDB), so the oracle "
+    "emits the exact counts with literal TRUEs — q25's HLL-audit "
+    "pattern.",
+    oracle=f"""
+SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS exact_lines,
+       TRUE AS cms_never_undercounts,
+       TRUE AS cms_within_eps_n
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY exact_lines DESC, l_suppkey
+LIMIT {CMS_TOPK}
+""",
+)
+def q79_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    cells = cms_cells(li, "l_suppkey")
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("exact_lines"))
+    top = exact.orderBy(F.desc("exact_lines"), F.asc("l_suppkey")).limit(CMS_TOPK)
+    est = cms_estimate(cells, top.select("l_suppkey"), "l_suppkey")
+    total = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    # eps*N slack in exact integer arithmetic: ceil(e/w * N) computed as
+    # (27183 * N) div (10000 * w) + 1 — e rounded UP at the 4th decimal so
+    # the integer slack is never below the real bound.
+    slack = (F.lit(27183) * F.col("n_rows") - F.lit(1)) / F.lit(10000 * CMS_WIDTH) + 1
+    return (
+        top.join(F.broadcast(est), "l_suppkey")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_suppkey",
+            "exact_lines",
+            (F.col("cms_estimate") >= F.col("exact_lines")).alias(
+                "cms_never_undercounts"
+            ),
+            (
+                F.col("cms_estimate")
+                <= F.col("exact_lines") + slack.cast("long")
+            ).alias("cms_within_eps_n"),
+        )
+        .orderBy(F.desc("exact_lines"), F.asc("l_suppkey"))
+    )
+
+
+def bloom_bitset(rows: DataFrame, key: str) -> DataFrame:
+    """The set-bit relation of a Bloom filter over distinct ``rows[key]``."""
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(100 + i), F.col(key)), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    return (
+        rows.select(F.explode(probes).alias("bit_pos"))
+        .distinct()  # <= m rows after one map-side-combined shuffle
+    )
+
+
+@register(
+    "q80_bloom_membership_audit",
+    category="sketch",
+    doc="Bloom-filter membership audit: a 2^17-bit / 5-probe filter over "
+    "the custkeys that appear in orders, built as a <=m-row set-bit "
+    "relation (distinct bit positions — constant-size shuffle), then "
+    "every customer probed via an explode + broadcast join + count==k "
+    "fold. Per market segment the audit asserts the two Bloom "
+    "guarantees: ZERO false negatives (every customer with orders tests "
+    "positive — exact, not probabilistic), and the false-positive count "
+    "within 3x the theoretical (1-e^(-kn/m))^k rate (+3 absolute) of "
+    "the absent population. This is Spark's own runtime-filter "
+    "pattern — build on the dim side, probe the fact — expressed "
+    "openly. Oracle emits the exact per-segment counts with literal "
+    "TRUEs (hash audit pattern, q25/q79).",
+    oracle="""
+WITH w AS (SELECT DISTINCT o_custkey FROM orders)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(w.o_custkey) AS BIGINT) AS n_with_orders,
+       TRUE AS no_false_negatives,
+       TRUE AS fpr_within_bound
+FROM customer c
+LEFT JOIN w ON c.c_custkey = w.o_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q80_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ordered = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    bits = bloom_bitset(ordered, "c_custkey")
+    n_inserted = ordered.count()
+
+    probes = F.array(
+        *[
+            F.pmod(F.xxhash64(F.lit(100 + i), F.col("c_custkey")), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    probed = cust.select("c_custkey", "c_mktsegment", F.explode(probes).alias("bit_pos"))
+    hits = (
+        probed.join(F.broadcast(bits), "bit_pos", "left_semi")
+        .groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_HASHES)
+        .select("c_custkey", F.lit(True).alias("bloom_positive"))
+    )
+    truth = cust.join(
+        ordered.withColumn("has_orders", F.lit(True)), "c_custkey", "left"
+    ).join(hits, "c_custkey", "left")
+
+    import math
+
+    theoretical_fpr = (
+        1.0 - math.exp(-BLOOM_HASHES * n_inserted / BLOOM_BITS)
+    ) ** BLOOM_HASHES
+    per_seg = truth.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("has_orders"), 1).otherwise(0)).alias("n_with_orders"),
+        F.sum(
+            F.when(F.col("has_orders") & F.col("bloom_positive").isNull(), 1).otherwise(
+                0
+            )
+        ).alias("n_false_neg"),
+        F.sum(
+            F.when(
+                F.col("has_orders").isNull() & (F.col("bloom_positive") == True),  # noqa: E712
+                1,
+            ).otherwise(0)
+        ).alias("n_false_pos"),
+    )
+    return per_seg.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_with_orders",
+        (F.col("n_false_neg") == 0).alias("no_false_negatives"),
+        (
+            F.col("n_false_pos")
+            <= F.lit(3.0 * theoretical_fpr)
+            * (F.col("n_customers") - F.col("n_with_orders"))
+            + F.lit(3)
+        ).alias("fpr_within_bound"),
+    ).orderBy("c_mktsegment")

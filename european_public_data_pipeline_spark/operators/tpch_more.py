@@ -1182,15 +1182,17 @@ def q73_spend_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="aggregation",
     doc="TPC-H Q11 shape (the last of the 22 classic patterns): per-part "
     "traded value for one nation's suppliers, keeping parts whose value "
-    "exceeds a fraction of the nation total — HAVING against a global "
-    "scalar. Adapted to this schema: value = sum of extendedprice over "
-    "lineitems shipped by NATION_7 suppliers (no partsupp table exists). "
-    "The per-part aggregate is computed ONCE and cached; the grand total "
-    "re-aggregates those group rows (part-cardinality input, not a "
-    "second fact scan) and joins back as a broadcast single row. The "
-    "threshold compare stays in exact decimals on both engines, so no "
-    "boundary part can flip on float rounding. One fact shuffle total; "
-    "supplier and nation broadcast.",
+    "exceeds a threshold derived from the nation total — HAVING against "
+    "a global scalar. Adapted to this schema: value = sum of "
+    "extendedprice over lineitems shipped by NATION_8 suppliers (no "
+    "partsupp table exists), keeping parts above 2x the mean part value "
+    "— a SCALE-INVARIANT cut (TPC-H's own fixed fraction empties the "
+    "answer as SF grows). The per-part aggregate is computed ONCE and "
+    "cached; the grand total re-aggregates those group rows "
+    "(part-cardinality input, not a second fact scan) and joins back as "
+    "a broadcast single row. The threshold compare is multiplicative in "
+    "exact decimals (val*n_parts > 2*total — no division anywhere), so "
+    "no boundary part can flip on rounding in either engine.",
     oracle="""
 WITH v AS (
   SELECT l.l_partkey,
@@ -1198,19 +1200,21 @@ WITH v AS (
   FROM lineitem l
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation n ON s.s_nationkey = n.n_nationkey
-  WHERE n.n_name = 'NATION_7'
+  WHERE n.n_name = 'NATION_8'
   GROUP BY 1
-)
+),
+tot AS (SELECT SUM(val_dec) AS total, COUNT(*) AS n_parts FROM v)
 SELECT l_partkey, CAST(val_dec AS DOUBLE) AS part_value
-FROM v
-WHERE val_dec > (SELECT SUM(val_dec) * CAST(0.001 AS DECIMAL(4,3)) FROM v)
+FROM v CROSS JOIN tot
+WHERE CAST(val_dec AS DECIMAL(20,2)) * CAST(n_parts AS DECIMAL(10,0))
+      > CAST(total AS DECIMAL(20,2)) * CAST(2 AS DECIMAL(10,0))
 ORDER BY part_value DESC, l_partkey
 """,
 )
 def q78_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_8")
     per_part = (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
@@ -1218,12 +1222,16 @@ def q78_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_extendedprice")).alias("val_dec"))
         .cache()
     )
-    threshold = per_part.agg(
-        (F.sum("val_dec") * F.lit(0.001).cast("decimal(4,3)")).alias("thresh")
+    totals = per_part.agg(
+        F.sum("val_dec").alias("total"), F.count(F.lit(1)).alias("n_parts")
     )
     return (
-        per_part.crossJoin(F.broadcast(threshold))
-        .filter(F.col("val_dec") > F.col("thresh"))
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("val_dec").cast("decimal(20,2)")
+            * F.col("n_parts").cast("decimal(10,0)")
+            > F.col("total").cast("decimal(20,2)") * F.lit(2).cast("decimal(10,0)")
+        )
         .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )

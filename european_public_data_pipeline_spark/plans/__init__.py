@@ -28,6 +28,7 @@ from european_public_data_pipeline_spark.operators import tpch_more  # noqa: E40
 from european_public_data_pipeline_spark.operators import sampling  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import scale_joins  # noqa: E402,F401
 from european_public_data_pipeline_spark.operators import graph  # noqa: E402,F401
+from european_public_data_pipeline_spark.operators import sketches  # noqa: E402,F401
 from european_public_data_pipeline_spark.pipeline import hicp_queries  # noqa: E402,F401
 
 # Must come last: composes already-registered stage oracles into the
