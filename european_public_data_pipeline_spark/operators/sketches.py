@@ -249,3 +249,84 @@ def q80_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(3)
         ).alias("fpr_within_bound"),
     ).orderBy("c_mktsegment")
+
+
+@register(
+    "q81_bloom_pruned_join",
+    category="join",
+    doc="Semi-join reduction via Bloom filter — Spark's runtime-filter "
+    "pattern expressed as a user-space operator: revenue per ship month "
+    "for lineitems of 1-URGENT 1995 orders. The selective orders side "
+    "builds a 2^17-bit Bloom filter, packed into a <=2048-entry "
+    "(word_index -> 64-bit word) map via a bit_or aggregation and "
+    "broadcast as ONE row; every lineitem row tests k=5 bit probes "
+    "row-locally (map lookups + shifts, whole-stage codegen, no explode "
+    "and no extra shuffle) and only survivors enter the join shuffle. "
+    "False positives are eliminated by the exact join that follows, so "
+    "the result is IDENTICAL to the plain join — the oracle IS the "
+    "plain join. At 100 TB this ships the filter to the fact scan "
+    "instead of shuffling the whole fact on l_orderkey.",
+    oracle="""
+SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+  AND o.o_orderdate >= DATE '1995-01-01' AND o.o_orderdate < DATE '1996-01-01'
+GROUP BY 1
+ORDER BY ship_month
+""",
+)
+def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.to_date(F.lit("1995-01-01")))
+        & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
+    )
+
+    def probes(col: str) -> list:
+        return [
+            F.pmod(F.xxhash64(F.lit(200 + i), F.col(col)), F.lit(BLOOM_BITS))
+            for i in range(BLOOM_HASHES)
+        ]
+
+    # Packed bitmap: bit positions -> (word_index, OR of set bits), then one
+    # row holding the whole filter as a map — constant-size (<= m/64 keys).
+    words = (
+        o.select(F.explode(F.array(*probes("o_orderkey"))).alias("pos"))
+        .groupBy(F.expr("pos div 64").alias("widx"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("widx", "word"))).alias("bitmap")
+        )
+    )
+
+    probed = li.crossJoin(F.broadcast(words))
+    for i, p in enumerate(probes("l_orderkey")):
+        probed = probed.withColumn(f"bpos{i}", p)
+    survives = None
+    for i in range(BLOOM_HASHES):
+        ok = F.expr(
+            f"(coalesce(element_at(bitmap, bpos{i} div 64), 0L)"
+            f" & shiftleft(1L, cast(bpos{i} % 64 as int))) != 0"
+        )
+        survives = ok if survives is None else survives & ok
+    pruned = probed.filter(survives).drop(
+        "bitmap", *[f"bpos{i}" for i in range(BLOOM_HASHES)]
+    )
+    joined = pruned.join(o, pruned.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount", 4, 2)))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("ship_month")
+    )
