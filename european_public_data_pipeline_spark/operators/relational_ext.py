@@ -882,3 +882,47 @@ def q75_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q82_variant_json_path",
+    category="json",
+    doc="Semi-structured props via Spark 4's VARIANT type: parse_json "
+    "ONCE into the binary variant encoding, then typed variant_get "
+    "extraction — the modern engine path for schema-on-read columns "
+    "(one parse per row regardless of how many paths are read, vs "
+    "get_json_object re-parsing per access as in q17). Per event type "
+    "and k-decade bucket: event count and exact-decimal value sum. "
+    "DuckDB has no variant, so the oracle extracts the same path with "
+    "its native JSON functions — identical typed results prove the "
+    "variant path is lossless.",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS BIGINT) AS k_decade,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, k_decade
+""",
+)
+def q82_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_type",
+        "value",
+        F.parse_json("props").alias("v"),
+    )
+    return (
+        parsed.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'bigint') div 10").alias("k_decade"),
+            "value",
+        )
+        .groupBy("event_type", "k_decade")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "k_decade")
+    )
