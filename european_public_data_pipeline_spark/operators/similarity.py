@@ -1138,3 +1138,128 @@ def s10_ml_brp_lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_exact, recall >= 0.9, precision >= 0.9)],
         "n_exact_pairs long, recall_ok boolean, precision_ok boolean",
     )
+
+
+TRUNC_DIM = 16
+
+
+def _sql_dot_trunc(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(generate_series(1, {TRUNC_DIM}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+@register(
+    "s11_truncated_dim_recall",
+    category="similarity",
+    doc="Matryoshka-style dimension-truncation audit: top-5 cosine "
+    "neighbors computed from only the FIRST 16 of 64 dimensions, scored "
+    "for recall against the full-dimension exact top-5 per query. This "
+    "is the retrieval-quality check run before committing to a "
+    "truncated-embedding index (4x less memory/bandwidth per vector at "
+    "100 TB — the win truncation buys). Both rankings use the same "
+    "broadcast-query / scan-corpus shape as s01; every dot product is a "
+    "sequential fold, bit-identical to the oracle's list_reduce, and "
+    "ties break on neighbor_id, so recall is deterministic. Output: "
+    "per-query overlap and recall@5.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_sql_dot('embedding', 'embedding')}) AS nrm,
+         sqrt({_sql_dot_trunc('embedding', 'embedding')}) AS tnrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cos_full,
+         {_sql_dot_trunc('q.embedding', 'c.embedding')} / (q.tnrm * c.tnrm) AS cos_trunc
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+),
+full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rk
+    FROM scored) WHERE rk <= {TOP_K}
+),
+trunc_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_trunc DESC, neighbor_id) AS rk
+    FROM scored) WHERE rk <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(t.neighbor_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+FROM full_topk f
+LEFT JOIN trunc_topk t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+)
+def s11_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        dvec().alias("vec"),
+        F.slice(dvec(), 1, TRUNC_DIM).alias("tvec"),
+    ).select(
+        "vec_id",
+        "vec",
+        "tvec",
+        F.sqrt(dot_fold(F.col("vec"), F.col("vec"))).alias("nrm"),
+        F.sqrt(dot_fold(F.col("tvec"), F.col("tvec"))).alias("tnrm"),
+    )
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("tvec").alias("qtvec"),
+        F.col("nrm").alias("qnrm"),
+        F.col("tnrm").alias("qtnrm"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("vec").alias("cvec"),
+        F.col("tvec").alias("ctvec"),
+        F.col("nrm").alias("cnrm"),
+        F.col("tnrm").alias("ctnrm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_fold(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "cos_full"
+            ),
+            (
+                dot_fold(F.col("qtvec"), F.col("ctvec"))
+                / (F.col("qtnrm") * F.col("ctnrm"))
+            ).alias("cos_trunc"),
+        )
+        .cache()  # both rankings read the same scored relation once
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cos_trunc"), F.asc("neighbor_id"))
+    full_topk = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    trunc_topk = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        full_topk.join(trunc_topk, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_overlap"),
+            (F.count("hit").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
