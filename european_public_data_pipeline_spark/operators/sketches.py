@@ -91,6 +91,7 @@ def cms_estimate(cells: DataFrame, keys: DataFrame, key: str) -> DataFrame:
 @register(
     "q79_cms_heavy_hitters",
     category="sketch",
+    bench=True,
     doc="Count-Min heavy-hitter audit: estimate each top-10 supplier's "
     "lineitem count from a 6x4096-cell Count-Min sketch built as a "
     "DataFrame aggregation, next to the exact counts. The sketch build "
@@ -248,6 +249,7 @@ def q80_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q81_bloom_pruned_join",
     category="join",
+    bench=True,
     doc="Semi-join reduction via Bloom filter — Spark's runtime-filter "
     "pattern expressed as a user-space operator: revenue per ship month "
     "for lineitems of 1-URGENT 1995 orders. The selective orders side "

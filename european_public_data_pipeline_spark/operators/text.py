@@ -1008,6 +1008,7 @@ BM25_B = 0.75
 @register(
     "t17_bm25_scoring",
     category="text",
+    bench=True,
     doc="BM25 relevance scoring of the corpus against a fixed query — the "
     "retrieval primitive behind RAG candidate generation and data-"
     "selection-by-query curation. Scale shape: the exploded token stream "
