@@ -1,0 +1,49 @@
+"""Measured shuffle-byte budgets for the queries whose design claim is
+"the fact never rides a shuffle" (PLANS.md). Plan-shape tests catch a
+missing BroadcastHashJoin node; these catch the same regression by its
+physical symptom — bytes on the wire — which also covers AQE decisions
+plan-string tests can't see.
+
+Budgets are sf0.01 measurements with ~4x headroom: a broadcast join
+flipping to a shuffle join drags the whole fact through the Exchange
+(hundreds of KB to MB at this sf), two orders of magnitude over budget,
+while legitimate variation (compression, partition count) stays well
+inside it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from european_public_data_pipeline_spark import plans
+from european_public_data_pipeline_spark.plans.metrics import (
+    exchange_count,
+    shuffle_bytes_written,
+)
+
+# (query, max shuffle bytes at sf0.01, max Exchange nodes)
+BUDGETS = [
+    ("q02_filter_project", 0, 0),  # scan+filter+project: nothing shuffles
+    ("q01_pricing_summary", 20_000, 2),  # partial/final agg pair only
+    ("q05_region_customer_rollup", 10_000, 2),  # dims broadcast; agg pair
+    ("q36_local_supplier_volume", 10_000, 2),  # 6-table star, one agg
+    ("q26_shipping_priority", 50_000, 2),  # broadcast star + top-10 agg
+    ("q79_cms_heavy_hitters", 50_000, 4),  # sketch cells are constant-size
+    ("q81_bloom_pruned_join", 200_000, 5),  # only Bloom survivors shuffle
+]
+
+
+@pytest.mark.parametrize("name,max_bytes,max_exchanges", BUDGETS)
+def test_shuffle_budget(spark, sf_medium, name, max_bytes, max_exchanges):
+    df = plans.all_specs()[name].builder(spark, sf_medium)
+    if len(df.columns) <= 16:
+        df.collect()
+    else:
+        df.count()
+    written = shuffle_bytes_written(df)
+    n_ex = exchange_count(df)
+    assert written <= max_bytes, (
+        f"{name} wrote {written} shuffle bytes (budget {max_bytes}) — "
+        "a broadcast likely degraded to a shuffle join"
+    )
+    assert n_ex <= max_exchanges, f"{name} has {n_ex} exchanges (budget {max_exchanges})"
