@@ -337,3 +337,56 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+@register(
+    "q83_sketch_mergeability",
+    category="sketch",
+    doc="Sketch MERGEABILITY audit — the property that makes sketches "
+    "usable at 100 TB: build the Count-Min cell relation independently "
+    "on two disjoint halves of the fact (even/odd orderkey — stand-ins "
+    "for per-day or per-source partitions), merge by union + re-"
+    "aggregation, and verify cell-for-cell equality with the sketch "
+    "built over the whole fact in one pass. Counts are additive, so the "
+    "identity is EXACT, not approximate — any deviation means the "
+    "sketch pipeline lost commutativity (e.g. a seed or width drifted "
+    "between builds). The oracle emits the exact row/key counts with a "
+    "literal TRUE.",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_keys,
+       TRUE AS merge_identical
+FROM lineitem
+""",
+)
+def q83_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    whole = cms_cells(li.select("l_suppkey"), "l_suppkey")
+    even = cms_cells(
+        li.filter(F.col("l_orderkey") % 2 == 0).select("l_suppkey"), "l_suppkey"
+    )
+    odd = cms_cells(
+        li.filter(F.col("l_orderkey") % 2 == 1).select("l_suppkey"), "l_suppkey"
+    )
+    merged = (
+        even.unionAll(odd)
+        .groupBy("hash_id", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    diff = (
+        whole.withColumnRenamed("cell_count", "whole_count")
+        .join(merged.withColumnRenamed("cell_count", "merged_count"),
+              ["hash_id", "bucket"], "full_outer")
+        .filter(
+            F.coalesce("whole_count", F.lit(-1))
+            != F.coalesce("merged_count", F.lit(-2))
+        )
+    )
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_suppkey").alias("n_keys"),
+    )
+    n_mismatched = diff.count()
+    return stats.select(
+        "n_rows", "n_keys", F.lit(n_mismatched == 0).alias("merge_identical")
+    )
