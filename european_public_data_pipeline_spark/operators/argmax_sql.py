@@ -87,3 +87,44 @@ def q33_sql_text_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+_Q84_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE o.o_orderpriority = '1-URGENT' AND l.l_quantity > 49
+),
+reach(nation, hops) AS (
+  SELECT 0, 0
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.nation
+  WHERE r.hops < 3
+)
+SELECT CAST(nation AS BIGINT) AS nation, CAST(MIN(hops) AS BIGINT) AS min_hops
+FROM reach GROUP BY nation ORDER BY nation
+"""
+
+
+@register(
+    "q84_recursive_reachability",
+    category="sql",
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): BFS hop distance from "
+    "nation 0 over the observed trade graph (customer nation -> supplier "
+    "nation on urgent near-full-quantity lines), depth-capped at 3 — the "
+    "iterative-join SQL surface (org charts, BOM explosions, lineage "
+    "walks) that previously needed driver-side loops. Scale shape: the "
+    "fact joins + DISTINCT collapse the edge relation to <= |nations|^2 "
+    "rows ONCE; every recursion step then joins the frontier against "
+    "that tiny relation, so iteration cost is graph-sized, not "
+    "fact-sized. The oracle runs the IDENTICAL recursive SQL in DuckDB.",
+    oracle=_Q84_SQL,
+)
+def q84_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "supplier", "orders", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_Q84_SQL)
