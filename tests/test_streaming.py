@@ -276,3 +276,30 @@ def _q62_on(spark, events):
             dsum("value").alias("volume"),
         )
     )
+
+
+def test_streaming_cms_equals_batch(spark, events_dir, tmp_path):
+    """Per-micro-batch CMS cell relations, re-aggregated, must equal the
+    one-pass batch sketch over the same rows (additivity under streaming)."""
+    from european_public_data_pipeline_spark.operators.sketches import cms_cells
+    from european_public_data_pipeline_spark.streaming.sketch_sink import (
+        cms_stream_sink,
+        merged_cms,
+    )
+
+    out = str(tmp_path / "cms_cells")
+    cp = str(tmp_path / "cms_ckpt")
+    stream = read_events_stream(spark, events_dir)
+    q = cms_stream_sink(stream, "user_id", out, cp)
+    q.awaitTermination()
+
+    streamed = {
+        (r["hash_id"], r["bucket"]): r["cell_count"]
+        for r in merged_cms(spark, out).collect()
+    }
+    batch_df = spark.read.parquet(events_dir)
+    batch = {
+        (r["hash_id"], r["bucket"]): r["cell_count"]
+        for r in cms_cells(batch_df.select("user_id"), "user_id").collect()
+    }
+    assert streamed == batch
