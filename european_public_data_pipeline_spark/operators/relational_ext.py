@@ -926,3 +926,71 @@ def q82_variant_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "k_decade")
     )
+
+
+@register(
+    "q85_ewma_smoothing",
+    category="window",
+    doc="Exponentially-weighted moving average of monthly revenue per "
+    "order priority (alpha=0.2) — the recursive time-series smoothing "
+    "(EWMA_i = a*x_i + (1-a)*EWMA_{i-1}) that row-frame windows cannot "
+    "express. Shape: ONE fact shuffle pre-aggregates to the "
+    "(priority, month) grain; the recursion then runs ROW-LOCALLY as a "
+    "higher-order prefix fold over each group's sorted month array — "
+    "per-group state is calendar-bounded (~80 months), never "
+    "fact-sized, so the construction is unchanged at 100 TB. The fold "
+    "(seed = first value, acc' = 0.2*x + 0.8*acc) is sequentially "
+    "identical to DuckDB's list_reduce over the same sorted list, so "
+    "every smoothed double is bit-equal.",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2
+),
+g AS (
+  SELECT o_orderpriority,
+         list(month ORDER BY month) AS months,
+         list(rev ORDER BY month) AS revs
+  FROM m GROUP BY 1
+)
+SELECT o_orderpriority,
+       months[i] AS month,
+       revs[i] AS revenue,
+       list_reduce(revs[1:i], (acc, x) -> 0.2*x + 0.8*acc) AS ewma
+FROM g, UNNEST(generate_series(1, len(revs))) AS t(i)
+ORDER BY o_orderpriority, month
+""",
+)
+def q85_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("rev"))
+    grouped = monthly.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list(F.struct("month", "rev"))).alias("arr")
+    )
+    revs = F.transform(F.col("arr"), lambda s: s.rev)
+    ewma_i = lambda i: F.aggregate(  # noqa: E731
+        F.slice(revs, F.lit(2), i - 1),
+        F.element_at(revs, F.lit(1)),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    rows = grouped.select(
+        "o_orderpriority",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("arr")),
+                lambda i: F.struct(
+                    F.element_at(F.col("arr"), i).month.alias("month"),
+                    F.element_at(F.col("arr"), i).rev.alias("revenue"),
+                    ewma_i(i).alias("ewma"),
+                ),
+            )
+        ).alias("r"),
+    )
+    return rows.select(
+        "o_orderpriority", "r.month", "r.revenue", "r.ewma"
+    ).orderBy("o_orderpriority", "month")
