@@ -1197,3 +1197,101 @@ def d16_top_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("chunk_hash"))
         .limit(REPEAT_TOP_K)
     )
+
+
+from european_public_data_pipeline_spark.operators.text import (  # noqa: E402
+    STOPWORDS as _TEXT_STOPWORDS,
+    _SQL_TOKENS as _SQL_TOKENS_FOR_D17,
+)
+
+_EN_STOPWORDS = _TEXT_STOPWORDS["en"]
+
+
+@register(
+    "d17_cluster_representatives",
+    category="dedup",
+    doc="Dedup RESOLVE step, production form: within each near-duplicate "
+    "cluster (d08's connected components) keep the HIGHEST-QUALITY "
+    "document (t02's composite score, doc_id tie-break) instead of the "
+    "arbitrary min-id survivor — keep-best is what curation pipelines "
+    "actually ship, since near-dup groups often mix a clean original "
+    "with truncated/boilerplated copies. Shape: cluster ids come from "
+    "the iterative min-label propagation (graph-sized state), quality "
+    "is row-local HOFs, and the representative is one argmax window "
+    "over the cluster key. The oracle recomputes the identical "
+    "transitive closure (recursive CTE) and the identical quality "
+    "expression, so the chosen representative matches bit-for-bit.",
+    oracle=f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+quality AS (
+  SELECT doc_id,
+         0.25 * (CAST(least(n_tokens, 100) AS DOUBLE) / 100)
+           + 0.25 * (CAST(n_stop AS DOUBLE) / n_tokens)
+           + 0.25 * (1 - CAST(max_freq AS DOUBLE) / n_tokens)
+           + 0.25 * (1 - CAST(n_nonalpha AS DOUBLE) / n_tokens) AS quality_score
+  FROM (
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           len(list_filter(w, t -> list_contains({_EN_STOPWORDS!r}, t))) AS n_stop,
+           list_max(list_transform(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)))) AS max_freq,
+           len(list_filter(w, t -> NOT regexp_matches(t, '^[A-Za-z]+$'))) AS n_nonalpha
+    FROM (SELECT doc_id, {_SQL_TOKENS_FOR_D17} AS w FROM documents)
+  )
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       MAX(CASE WHEN rk = 1 THEN doc_id END) AS rep_doc_id,
+       MAX(CASE WHEN rk = 1 THEN quality_score END) AS rep_quality
+FROM (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY q.quality_score DESC, c.doc_id) AS rk
+  FROM comp c JOIN quality q USING (doc_id)
+)
+GROUP BY cluster_id
+ORDER BY cluster_id
+""",
+)
+def d17_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.text import t02_quality_score
+
+    comp = d08_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = t02_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = comp.join(quality, "doc_id").withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias("rep_doc_id"),
+            F.max(F.when(F.col("rk") == 1, F.col("quality_score"))).alias(
+                "rep_quality"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
