@@ -509,3 +509,60 @@ def sm08_quality_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", "bucket")
         .orderBy("doc_id")
     )
+
+
+UPSAMPLE_STEP = 300  # one emitted copy per 300 chars of cumulative mass
+
+
+@register(
+    "sm09_weighted_upsampling",
+    category="sampling",
+    doc="Deterministic weighted upsampling (systematic resampling): each "
+    "document is emitted floor(cumw_i/step) - floor(cumw_{i-1}/step) "
+    "times, where cumw is the running n_chars mass per language in "
+    "doc_id order — longer documents repeat proportionally more, total "
+    "output is mass/step rows, and (unlike RNG multinomial draws) the "
+    "result is reproducible bit-for-bit across engines and re-runs. "
+    "This is the upweighting half of a training mixture (sm01-sm08 "
+    "downsample; epoch recipes also need controlled repetition). One "
+    "lang-keyed window cumsum (range-partitionable sort, sm06's "
+    "contract) + a row-local sequence explode; all arithmetic is exact "
+    "integers.",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, doc_id, n_chars,
+         SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id) AS cumw
+  FROM documents
+),
+k AS (
+  SELECT lang, doc_id, n_chars,
+         cumw // {UPSAMPLE_STEP} - (cumw - n_chars) // {UPSAMPLE_STEP} AS n_copies
+  FROM c
+)
+SELECT lang, doc_id, n_chars, CAST(n_copies AS BIGINT) AS n_copies, CAST(i AS BIGINT) AS copy_idx
+FROM k, UNNEST(generate_series(1, CAST(n_copies AS BIGINT))) AS t(i)
+WHERE n_copies > 0
+ORDER BY lang, doc_id, copy_idx
+""",
+)
+def sm09_weighted_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    c = docs.withColumn("cumw", F.sum("n_chars").over(w))
+    k = c.withColumn(
+        "n_copies",
+        F.expr(f"cumw div {UPSAMPLE_STEP}")
+        - F.expr(f"(cumw - n_chars) div {UPSAMPLE_STEP}"),
+    ).filter(F.col("n_copies") > 0)
+    return (
+        k.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            "n_copies",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+        .orderBy("lang", "doc_id", "copy_idx")
+    )
