@@ -1199,29 +1199,7 @@ def d16_top_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from european_public_data_pipeline_spark.operators.text import (  # noqa: E402
-    STOPWORDS as _TEXT_STOPWORDS,
-    _SQL_TOKENS as _SQL_TOKENS_FOR_D17,
-)
-
-_EN_STOPWORDS = _TEXT_STOPWORDS["en"]
-
-
-@register(
-    "d17_cluster_representatives",
-    category="dedup",
-    doc="Dedup RESOLVE step, production form: within each near-duplicate "
-    "cluster (d08's connected components) keep the HIGHEST-QUALITY "
-    "document (t02's composite score, doc_id tie-break) instead of the "
-    "arbitrary min-id survivor — keep-best is what curation pipelines "
-    "actually ship, since near-dup groups often mix a clean original "
-    "with truncated/boilerplated copies. Shape: cluster ids come from "
-    "the iterative min-label propagation (graph-sized state), quality "
-    "is row-local HOFs, and the representative is one argmax window "
-    "over the cluster key. The oracle recomputes the identical "
-    "transitive closure (recursive CTE) and the identical quality "
-    "expression, so the chosen representative matches bit-for-bit.",
-    oracle=f"""
+_D17_ORACLE_TEMPLATE = f"""
 WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
@@ -1253,11 +1231,11 @@ quality AS (
   FROM (
     SELECT doc_id,
            len(w) AS n_tokens,
-           len(list_filter(w, t -> list_contains({_EN_STOPWORDS!r}, t))) AS n_stop,
+           len(list_filter(w, t -> list_contains({{en_stopwords}}, t))) AS n_stop,
            list_max(list_transform(list_distinct(w),
                     t -> len(list_filter(w, x -> x = t)))) AS max_freq,
            len(list_filter(w, t -> NOT regexp_matches(t, '^[A-Za-z]+$'))) AS n_nonalpha
-    FROM (SELECT doc_id, {_SQL_TOKENS_FOR_D17} AS w FROM documents)
+    FROM (SELECT doc_id, {{sql_tokens}} AS w FROM documents)
   )
 )
 SELECT cluster_id,
@@ -1273,7 +1251,41 @@ FROM (
 )
 GROUP BY cluster_id
 ORDER BY cluster_id
-""",
+"""
+
+
+def _d17_oracle() -> str:
+    # Lazy import: text.py itself imports the registry, and the registry
+    # package imports this module — a module-level import here would make the
+    # import graph entry-point-dependent (tests importing text first saw a
+    # partially initialized module). register() resolves callable oracles on
+    # first use, after all modules are loaded.
+    from european_public_data_pipeline_spark.operators.text import (
+        STOPWORDS as _TEXT_STOPWORDS,
+        _SQL_TOKENS as _SQL_TOKENS_FOR_D17,
+    )
+
+    _EN_STOPWORDS = _TEXT_STOPWORDS["en"]
+    return _D17_ORACLE_TEMPLATE.format(
+        en_stopwords=repr(_EN_STOPWORDS), sql_tokens=_SQL_TOKENS_FOR_D17
+    )
+
+
+@register(
+    "d17_cluster_representatives",
+    category="dedup",
+    doc="Dedup RESOLVE step, production form: within each near-duplicate "
+    "cluster (d08's connected components) keep the HIGHEST-QUALITY "
+    "document (t02's composite score, doc_id tie-break) instead of the "
+    "arbitrary min-id survivor — keep-best is what curation pipelines "
+    "actually ship, since near-dup groups often mix a clean original "
+    "with truncated/boilerplated copies. Shape: cluster ids come from "
+    "the iterative min-label propagation (graph-sized state), quality "
+    "is row-local HOFs, and the representative is one argmax window "
+    "over the cluster key. The oracle recomputes the identical "
+    "transitive closure (recursive CTE) and the identical quality "
+    "expression, so the chosen representative matches bit-for-bit.",
+    oracle=_d17_oracle,
 )
 def d17_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.operators.text import t02_quality_score
