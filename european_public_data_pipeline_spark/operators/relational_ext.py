@@ -994,3 +994,109 @@ def q85_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.select(
         "o_orderpriority", "r.month", "r.revenue", "r.ewma"
     ).orderBy("o_orderpriority", "month")
+
+
+@register(
+    "q87_mad_outliers",
+    category="aggregate",
+    doc="Robust per-group outlier detection via median absolute deviation "
+    "— the heavy-tail-safe alternative to q56's z-scores (mean/stddev "
+    "are themselves dragged by the outliers they are meant to flag). "
+    "Exact medians are built from first principles so both engines "
+    "agree bit-for-bit: row_number + partition count pick the middle "
+    "one-or-two ranks per group, AVG of those values IS the median "
+    "(identical (a+b)/2 float arithmetic in Spark and DuckDB, no "
+    "interpolating quantile implementation in the loop). Two keyed "
+    "window passes (value rank, then |x-med| rank) + broadcast of the "
+    "group-sized median/MAD relations. Scale: exact grouped median "
+    "costs one sort per key group; at 100 TB swap the rank windows for "
+    "approx_percentile(0.5) (fixed-size mergeable sketch, q14's path) "
+    "and keep the identical flagging rule. Flag threshold is the "
+    "textbook 3-sigma-equivalent 3*1.4826*MAD, written as the single "
+    "double literal 4.4478 in both engines.",
+    oracle="""
+WITH e AS (SELECT event_type, value FROM events),
+r1 AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e
+),
+med AS (
+  SELECT event_type, AVG(value) AS median
+  FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, abs(e.value - m.median) AS adev, m.median
+  FROM e JOIN med m ON e.event_type = m.event_type
+),
+r2 AS (
+  SELECT event_type, adev,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev
+),
+mad AS (
+  SELECT event_type, AVG(adev) AS mad
+  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+  GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(d.median) AS median,
+       MAX(m.mad) AS mad,
+       CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN d.adev > CAST(4.4478 AS DOUBLE) * m.mad
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS outlier_share
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def q87_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+
+    def _grouped_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        w_rank = Window.partitionBy("event_type").orderBy(col)
+        w_all = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            col,
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        mid = ranked.filter(
+            (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+            | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+        )
+        return mid.groupBy("event_type").agg(F.avg(col).alias(out))
+
+    med = _grouped_median(e, "value", "median")
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "median",
+        F.abs(F.col("value") - F.col("median")).alias("adev"),
+    )
+    mad = _grouped_median(dev.select("event_type", "adev"), "adev", "mad")
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    is_out = F.when(
+        F.col("adev") > F.lit(4.4478) * F.col("mad"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("median").alias("median"),
+            F.max("mad").alias("mad"),
+            F.sum(is_out).alias("n_outliers"),
+            (F.sum(is_out).cast("double") / F.count(F.lit(1))).alias(
+                "outlier_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

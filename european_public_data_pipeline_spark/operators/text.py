@@ -1105,3 +1105,84 @@ def t17_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_micro"), F.asc("doc_id"))
     )
+
+
+@register(
+    "t18_zipf_slope",
+    category="text",
+    doc="Zipf law fit over the corpus head: log-log OLS slope of "
+    "frequency vs rank for the top-1000 tokens — the one-number "
+    "distribution-shape diagnostic (natural text ~ -1; templated or "
+    "synthetic corpora flatten it) run before mixing a new source into "
+    "training data. Determinism: ln(rank) and ln(tf) are fixed-pointed "
+    "to integer micro-nats (floor*1e6, t14's construction) so all five "
+    "OLS sums are exact bigint folds, order-independent across "
+    "partitions and engines; slope/intercept are then identical double "
+    "arithmetic on identical exact integers. Shape: one explode + "
+    "map-side-combined groupBy to vocabulary size, top-k via "
+    "orderBy().limit(k) (TakeOrderedAndProject — per-partition top-k, "
+    "driver merge, no single-partition sort of a 100 TB vocabulary), "
+    "rank assigned by posexplode of the one sorted k-row array, one "
+    "single-row aggregate for the sums.",
+    oracle=f"""
+WITH tf AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY token
+),
+top AS (SELECT token, tf FROM tf ORDER BY tf DESC, token LIMIT 1000),
+xy AS (
+  SELECT CAST(floor(ln(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM top
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT n, sx, sy, sxy, sxx,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS zipf_slope
+FROM s
+""",
+)
+def t18_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    top = tf.orderBy(F.desc("tf"), F.asc("token")).limit(1000)
+    # Rank WITHOUT a window: sort the collected k-row array (k bounded at
+    # 1000) and posexplode — pos+1 is exactly ROW_NUMBER ordered by
+    # (tf DESC, token) because struct sort is lexicographic on
+    # (-tf, token).
+    arr = top.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("tf")).alias("neg_tf"), "token", "tf"))
+        ).alias("a")
+    )
+    xy = arr.select(F.posexplode("a").alias("pos", "s")).select(
+        F.floor(F.log((F.col("pos") + 1).cast("double")) * 1e6)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("s.tf").cast("double")) * 1e6).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("zipf_slope"),
+    )
