@@ -1056,47 +1056,71 @@ ORDER BY d.event_type
 """,
 )
 def q87_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape (q44's domain trick, generalized to order statistics):
+    # the ONLY fact-sized operation is one (event_type, value) groupBy —
+    # uniform keys, map-side combined. Both medians then come from the
+    # cumulative distribution over the value DOMAIN (distinct measurement
+    # values per group — bounded for fixed-precision metrics), NOT from
+    # row_number over the fact, which would sort all rows inside
+    # #event_type window partitions (parallelism = #groups: measured 5x
+    # skew at 100x rows). Value-at-rank-r is the domain row whose
+    # cumulative count first covers r; the median is (v1+v2)/2 exactly as
+    # in the rank formulation (bit-equal: AVG of one-or-two picked rows ==
+    # (v1+v2)/2 in IEEE), so the oracle keeps the textbook rank SQL.
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value")
 
-    def _grouped_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        w_rank = Window.partitionBy("event_type").orderBy(col)
+    def _median_from_domain(dom: DataFrame, col: str, out: str) -> DataFrame:
+        """dom: (event_type, <col>, cnt) distinct-value histogram."""
+        w_cum = Window.partitionBy("event_type").orderBy(col)
         w_all = Window.partitionBy("event_type")
-        ranked = df.select(
+        cum = dom.select(
             "event_type",
             col,
-            F.row_number().over(w_rank).alias("rn"),
-            F.count(F.lit(1)).over(w_all).alias("n"),
+            "cnt",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("n"),
         )
-        mid = ranked.filter(
-            (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
-            | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
-        )
-        return mid.groupBy("event_type").agg(F.avg(col).alias(out))
+        r1 = ((F.col("n") + 1) / 2).cast("long")
+        r2 = ((F.col("n") + 2) / 2).cast("long")
+        covers = lambda r: (F.col("cum") - F.col("cnt") < r) & (r <= F.col("cum"))  # noqa: E731
+        v1 = F.max(F.when(covers(r1), F.col(col)))
+        v2 = F.max(F.when(covers(r2), F.col(col)))
+        return cum.groupBy("event_type").agg(((v1 + v2) / 2).alias(out))
 
-    med = _grouped_median(e, "value", "median")
-    dev = e.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "value",
-        "median",
-        F.abs(F.col("value") - F.col("median")).alias("adev"),
+    dom = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    med = _median_from_domain(dom, "value", "median")
+    # |x - median| folds onto the domain too: the deviation histogram is a
+    # re-key of (value, cnt) — no second fact scan anywhere.
+    dev_dom = (
+        dom.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "median",
+            F.abs(F.col("value") - F.col("median")).alias("adev"),
+            "cnt",
+        )
+        .groupBy("event_type", "median", "adev")
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    mad = _grouped_median(dev.select("event_type", "adev"), "adev", "mad")
-    flagged = dev.join(F.broadcast(mad), "event_type")
-    is_out = F.when(
-        F.col("adev") > F.lit(4.4478) * F.col("mad"), F.lit(1)
-    ).otherwise(F.lit(0))
+    mad = _median_from_domain(
+        dev_dom.select("event_type", "adev", "cnt"), "adev", "mad"
+    )
+    flagged = dev_dom.join(F.broadcast(mad), "event_type")
+    out_cnt = F.sum(
+        F.when(F.col("adev") > F.lit(4.4478) * F.col("mad"), F.col("cnt")).otherwise(
+            F.lit(0)
+        )
+    )
     return (
         flagged.groupBy("event_type")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cnt").alias("n_events"),
             F.max("median").alias("median"),
             F.max("mad").alias("mad"),
-            F.sum(is_out).alias("n_outliers"),
-            (F.sum(is_out).cast("double") / F.count(F.lit(1))).alias(
-                "outlier_share"
-            ),
+            out_cnt.alias("n_outliers"),
+            (out_cnt.cast("double") / F.sum("cnt")).alias("outlier_share"),
         )
         .orderBy("event_type")
     )
