@@ -467,3 +467,63 @@ def q77_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "q88_rolling_median",
+    category="window",
+    doc="Per-user rolling median (last-7-events frame) of purchase values "
+    "— windowed ORDER STATISTICS, the robust moving smoother that mean-"
+    "based rolling frames (q09/q39) cannot give: one spike drags a "
+    "rolling mean for 7 rows but leaves the rolling median untouched. "
+    "Shape: one user-keyed shuffle (high-cardinality partition key — no "
+    "skew), collect_list over a ROWS 6 PRECEDING frame, then the median "
+    "is a row-local sort of a <=7-element array and the same "
+    "(a[r1]+a[r2])/2 middle-rank arithmetic as q87, bit-equal to the "
+    "identical list construction in DuckDB (no engine median() in the "
+    "loop on either side). Frame state is bounded by the frame width, "
+    "never partition size — unchanged at 100 TB.",
+    oracle="""
+WITH p AS (
+  SELECT user_id, event_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+fr AS (
+  SELECT user_id, event_id, value,
+         list_sort(list(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS w
+  FROM p
+)
+SELECT user_id, event_id, value,
+       (w[(len(w) + 1) // 2] + w[(len(w) + 2) // 2]) / 2 AS rolling_median
+FROM fr
+ORDER BY user_id, event_id
+""",
+)
+def q88_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    r1 = ((n + 1) / 2).cast("int")
+    r2 = ((n + 2) / 2).cast("int")
+    med = (F.element_at(arr, r1) + F.element_at(arr, r2)) / 2
+    return (
+        p.select(
+            "user_id",
+            "event_id",
+            "value",
+            med.alias("rolling_median"),
+        )
+        .orderBy("user_id", "event_id")
+    )
