@@ -1263,3 +1263,165 @@ def s11_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s12: product quantization (the IVF-PQ memory side)
+
+PQ_SUB = 4        # subspaces
+PQ_SUBDIM = DIM // PQ_SUB
+PQ_CODES = 16     # centroids per subspace codebook
+
+
+def _pq_hash_sql(col: str) -> str:
+    return f"CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 7) AS BIGINT)"
+
+
+def _pq_sqdist_sql(sub: str) -> str:
+    """Squared L2 between vector v and centroid cent on subspace {sub} (0-based),
+    as a sequential left fold (bit-equal to the Spark aggregate)."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUBDIM}), i -> "
+        f"(CAST(v[{sub} * {PQ_SUBDIM} + i] AS DOUBLE) - CAST(cent[{sub} * {PQ_SUBDIM} + i] AS DOUBLE))"
+        f" * (CAST(v[{sub} * {PQ_SUBDIM} + i] AS DOUBLE) - CAST(cent[{sub} * {PQ_SUBDIM} + i] AS DOUBLE))"
+        f"), (a, b) -> a + b)"
+    )
+
+
+@register(
+    "s12_product_quantization",
+    category="similarity",
+    doc="Product quantization of the embedding corpus — the memory half "
+    "of the IVF-PQ index every production-scale ANN system serves from "
+    "(s04 is the routing half): 64 dims -> 4 subspace codes of 4 bits "
+    "each, a 64x compression. Codebooks are built deterministically so "
+    "both engines agree bit-for-bit: the 16 sample vectors with the "
+    "smallest portable md5 hash of vec_id are the centroids (k-means "
+    "refinement is s07's machinery; sampling isolates the PQ mechanics "
+    "from iteration count). Per vector per subspace the assignment is "
+    "an argmin over 16 sequential-fold squared distances — row-local "
+    "array HOFs over a broadcast 16-row codebook, ZERO shuffle until "
+    "the final label rollup. Audit outputs: occupied-cell count per "
+    "label (codeword diversity — collapsed cells mean the codebook "
+    "can't separate the corpus) and exact fixed-point mean "
+    "reconstruction error (s06's DECIMAL(38,0) recipe). At 100 TB: "
+    "codebook is O(codes x dim) regardless of corpus, assignment is "
+    "embarrassingly parallel, the one shuffle is the label-keyed "
+    "aggregate.",
+    oracle=f"""
+WITH cb AS (
+  SELECT embedding AS cent,
+         ROW_NUMBER() OVER (ORDER BY {_pq_hash_sql('vec_id')}, vec_id) - 1 AS code
+  FROM embeddings
+  ORDER BY {_pq_hash_sql('vec_id')}, vec_id
+  LIMIT {PQ_CODES}
+),
+dists AS (
+  SELECT e.vec_id, e.label, s.sub, cb.code,
+         CASE s.sub
+           WHEN 0 THEN {_pq_sqdist_sql('0')}
+           WHEN 1 THEN {_pq_sqdist_sql('1')}
+           WHEN 2 THEN {_pq_sqdist_sql('2')}
+           ELSE {_pq_sqdist_sql('3')}
+         END AS d
+  FROM (SELECT vec_id, label, embedding AS v FROM embeddings) e
+  CROSS JOIN (SELECT unnest(generate_series(0, {PQ_SUB} - 1)) AS sub) s
+  CROSS JOIN cb
+),
+assign AS (
+  SELECT vec_id, label, sub, code, d,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+  FROM dists
+),
+per_vec AS (
+  SELECT vec_id, label,
+         CAST(list_reduce(list(code ORDER BY sub),
+              (a, b) -> a * {PQ_CODES} + b) AS BIGINT) AS codeword,
+         list_reduce(list(d ORDER BY sub), (a, b) -> a + b) AS sqerr
+  FROM assign WHERE rn = 1
+  GROUP BY vec_id, label
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(COUNT(DISTINCT codeword) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(floor(sqerr * 1000000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+         / 1000000000000.0 / COUNT(*) AS mean_sqerr
+FROM per_vec
+GROUP BY label
+ORDER BY label
+""",
+)
+def s12_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    sample = (
+        emb.select(h.alias("h"), "vec_id", "embedding")
+        .orderBy("h", "vec_id")
+        .limit(PQ_CODES)
+    )
+    # One-row broadcast codebook: array of 16 structs sorted by (h, vec_id)
+    # — the array INDEX is the code, identical to the oracle's ROW_NUMBER.
+    cbrow = sample.agg(
+        F.sort_array(F.collect_list(F.struct("h", "vec_id", "embedding"))).alias("cb")
+    )
+    joined = emb.crossJoin(F.broadcast(cbrow))
+
+    def sqdist(sub: int, cent: F.Column) -> F.Column:
+        def step(acc: F.Column, i: F.Column) -> F.Column:
+            a = F.element_at(F.col("embedding"), sub * PQ_SUBDIM + i).cast("double")
+            b = F.element_at(cent, sub * PQ_SUBDIM + i).cast("double")
+            return acc + (a - b) * (a - b)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(PQ_SUBDIM)), F.lit(0.0), step
+        )
+
+    def best(sub: int) -> F.Column:
+        # array_min on (d, code) structs IS argmin with smallest-code
+        # tie-break — lexicographic struct ordering, same as the oracle's
+        # ORDER BY d, code.
+        return F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PQ_CODES - 1)),
+                lambda c: F.struct(
+                    sqdist(sub, F.element_at(F.col("cb"), c + 1).embedding).alias(
+                        "d"
+                    ),
+                    c.alias("code"),
+                ),
+            )
+        )
+
+    bests = joined.select(
+        "label", *[best(s).alias(f"b{s}") for s in range(PQ_SUB)]
+    )
+    codeword = (
+        (
+            (F.col("b0.code").cast("bigint") * PQ_CODES + F.col("b1.code"))
+            * PQ_CODES
+            + F.col("b2.code")
+        )
+        * PQ_CODES
+        + F.col("b3.code")
+    )
+    sqerr = F.col("b0.d") + F.col("b1.d") + F.col("b2.d") + F.col("b3.d")
+    per_vec = bests.select(
+        "label", codeword.alias("codeword"), sqerr.alias("sqerr")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("codeword").alias("n_cells"),
+            (
+                F.sum(F.floor(F.col("sqerr") * 1e12).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 1e12
+                / F.count(F.lit(1))
+            ).alias("mean_sqerr"),
+        )
+        .orderBy("label")
+    )
