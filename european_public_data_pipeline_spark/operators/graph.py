@@ -192,3 +192,100 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_triangles"), F.asc("node"))
         .limit(100)
     )
+
+
+@register(
+    "g03_degree_powerlaw",
+    category="graph",
+    doc="Degree distribution of the purchase graph with a log-log "
+    "power-law fit — the scale-free-ness diagnostic run before choosing "
+    "a partitioning strategy (a heavy-tailed degree distribution is "
+    "exactly when vertex-cut / salting of hub nodes matters; a flat one "
+    "means plain hash partitioning is fine). Pipeline: distinct-edge "
+    "relation (the one fact-sized, map-side-combinable shuffle) -> "
+    "per-node degree (node-cardinality) -> degree histogram "
+    "(degree-cardinality) -> micro-nat OLS of ln(n_nodes) on "
+    "ln(degree) over the histogram points (t18's exact-integer "
+    "recipe). Output: histogram size, total nodes/edges as exact "
+    "integers, and the fitted slope.",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY src),
+hist AS (
+  SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM deg GROUP BY degree
+),
+xy AS (
+  SELECT CAST(floor(ln(CAST(degree AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(n_nodes AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM hist
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM xy
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes_total,
+         CAST(SUM(degree) AS BIGINT) AS sum_degree
+  FROM deg
+)
+SELECT s.n_points, tot.n_nodes_total, tot.sum_degree,
+       (CAST(s.n_points AS DOUBLE) * CAST(s.sxy AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sy AS DOUBLE))
+         / (CAST(s.n_points AS DOUBLE) * CAST(s.sxx AS DOUBLE) - CAST(s.sx AS DOUBLE) * CAST(s.sx AS DOUBLE))
+         AS powerlaw_slope
+FROM s CROSS JOIN tot
+""",
+)
+def g03_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+    xy = hist.select(
+        F.floor(F.log(F.col("degree").cast("double")) * 1e6).cast("long").alias("x"),
+        F.floor(F.log(F.col("n_nodes").cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes_total"),
+        F.sum("degree").alias("sum_degree"),
+    )
+    nd = F.col("n_points").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "n_points",
+            "n_nodes_total",
+            "sum_degree",
+            ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias(
+                "powerlaw_slope"
+            ),
+        )
+    )

@@ -1186,3 +1186,74 @@ def t18_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sy", "sxy", "sxx",
         ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("zipf_slope"),
     )
+
+
+@register(
+    "t19_heaps_law_fit",
+    category="text",
+    doc="Heaps' law fit across sources: each source contributes one "
+    "(total tokens N, distinct vocabulary V) point and the V = K*N^beta "
+    "growth law is fit by log-log OLS — the vocabulary-growth "
+    "diagnostic that says whether a new source keeps adding novel "
+    "types (natural text: beta ~0.4-0.6) or is template spam (beta -> "
+    "0). Same determinism recipe as t18: ln values fixed-pointed to "
+    "integer micro-nats so the OLS sums are exact bigint folds; "
+    "slope/intercept are identical double arithmetic on exact "
+    "integers. Shape: ONE corpus explode + one (source, token) "
+    "shuffle; both N (sum of counts) and V (row count) then fall out "
+    "of the same aggregated relation in a source-keyed second "
+    "aggregate that is source-cardinality-sized. Nothing rescans the "
+    "corpus; at 100 TB the only fact-sized op is the first combinable "
+    "groupBy.",
+    oracle=f"""
+WITH tf AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents)
+  GROUP BY source, token
+),
+pts AS (
+  SELECT source,
+         CAST(floor(ln(CAST(SUM(cnt) AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM tf GROUP BY source
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT n, sx, sy, sxy, sxx,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS heaps_beta
+FROM s
+""",
+)
+def t19_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pts = tf.groupBy("source").agg(
+        F.floor(F.log(F.sum("cnt").cast("double")) * 1e6).cast("long").alias("x"),
+        F.floor(F.log(F.count(F.lit(1)).cast("double")) * 1e6)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxyd, sxxd = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return s.select(
+        "n", "sx", "sy", "sxy", "sxx",
+        ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("heaps_beta"),
+    )
