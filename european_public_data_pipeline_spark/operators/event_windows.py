@@ -527,3 +527,74 @@ def q88_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "q89_twap",
+    category="window",
+    doc="Per-user time-weighted average value (TWAP) — the correct "
+    "aggregate for IRREGULARLY-sampled signals (sensor readings, "
+    "prices), where a plain AVG over-weights chatty periods: each "
+    "reading is held until the next one, so its weight is the gap to "
+    "the next event. Shape: one user-keyed shuffle, lead() for the "
+    "hold duration, then a combinable aggregate — no arrays, no "
+    "re-scan. Determinism: durations are exact epoch-microsecond "
+    "BIGINTs (unix_micros == epoch_us), values are exact centi-units "
+    "(2-decimal money-style doubles, round(v*100) identical in both "
+    "engines), and the value x duration dot product accumulates as "
+    "DECIMAL(38,0) — partition-order invariant, hash-exact. The final "
+    "TWAP is one identical double division. At 100 TB the partition "
+    "key is user_id (cardinality grows with data), per-row state is "
+    "O(1) — the canonical embarrassingly-scalable window shape.",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         CAST(round(value * 100) AS BIGINT) AS v_c,
+         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS w_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(w_us) AS BIGINT) AS held_us,
+         SUM(CAST(v_c * w_us AS DECIMAL(38,0))) AS vw
+  FROM seq WHERE w_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_events, held_us,
+       CAST(vw AS DOUBLE) / CAST(held_us AS DOUBLE) / 100.0 AS twap
+FROM agg
+WHERE held_us > 0
+ORDER BY user_id
+""",
+)
+def q89_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("v_c"),
+        (
+            F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")
+        ).alias("w_us"),
+    ).filter(F.col("w_us").isNotNull())
+    agg = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("w_us").alias("held_us"),
+        F.sum((F.col("v_c") * F.col("w_us")).cast("decimal(38,0)")).alias("vw"),
+    )
+    return (
+        agg.filter(F.col("held_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "held_us",
+            (
+                F.col("vw").cast("double") / F.col("held_us").cast("double") / 100.0
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
