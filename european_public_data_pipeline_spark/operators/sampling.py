@@ -566,3 +566,94 @@ def sm09_weighted_upsampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "doc_id", "copy_idx")
     )
+
+
+def _sm10_oracle() -> str:
+    # Lazy: composes dedup's shingle/closure SQL; a module-level import of
+    # dedup here would re-enter plans/__init__ during partial init (same
+    # hazard as d17's oracle).
+    from european_public_data_pipeline_spark.operators.dedup import (
+        _SQL_SHINGLES,
+        JACCARD_THRESHOLD,
+    )
+
+    cluster_hash = (
+        "CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT)"
+    )
+    return f"""
+WITH RECURSIVE sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(id, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+labeled AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN {cluster_hash} % 10000 < {SPLIT_BP['train']} THEN 'train'
+              WHEN {cluster_hash} % 10000 < {SPLIT_BP['train'] + SPLIT_BP['val']} THEN 'val'
+              ELSE 'test' END AS split
+  FROM comp
+)
+SELECT doc_id, cluster_id, split,
+       CASE WHEN COUNT(*) OVER (PARTITION BY cluster_id) > 1 THEN 1 ELSE 0 END
+         AS in_multi_cluster
+FROM labeled
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sm10_leakage_safe_split",
+    category="sampling",
+    doc="Train/val/test split that CANNOT leak near-duplicates across "
+    "splits: the split label is a pure function of the near-dup CLUSTER "
+    "id (d08's connected components), not the document id — every "
+    "member of a duplicate cluster lands in the same split by "
+    "construction, closing the classic evaluation-contamination hole "
+    "in hash-per-document splits (a paraphrased copy of a test doc in "
+    "train inflates eval). Same growth-stable basis-point rule as "
+    "sm05. Cost beyond d08's cluster assignment: a narrow projected "
+    "hash expression and one cluster-keyed window flag — the cluster "
+    "relation is corpus-sized but the split adds no extra corpus "
+    "shuffle.",
+    oracle=_sm10_oracle,
+)
+def sm10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import (
+        base_hash28,
+        d08_dup_clusters,
+    )
+    from pyspark.sql import Window
+
+    comp = d08_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    bucket = base_hash28(F.col("cluster_id").cast("string")) % 10000
+    split = (
+        F.when(bucket < SPLIT_BP["train"], F.lit("train"))
+        .when(bucket < SPLIT_BP["train"] + SPLIT_BP["val"], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    w = Window.partitionBy("cluster_id")
+    return (
+        comp.select("doc_id", "cluster_id", split.alias("split"))
+        .withColumn(
+            "in_multi_cluster",
+            F.when(F.count(F.lit(1)).over(w) > 1, F.lit(1)).otherwise(F.lit(0)),
+        )
+        .orderBy("doc_id")
+    )
