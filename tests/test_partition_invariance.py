@@ -1,0 +1,52 @@
+"""Partition-count invariance: the determinism engineering claim, tested.
+
+Every oracle-parity result is only trustworthy in production if it does not
+depend on HOW the data was partitioned. Each determinism recipe in the
+codebase (exact DECIMAL sums, integer micro-nat folds, sequential
+left-associated dot products, portable md5 hashing, rank-constructed
+medians) is represented here by one query, executed under 3 and 32 shuffle
+partitions on the same session; results must be BIT-identical (floats
+compared by exact equality, not tolerance).
+
+A failure means some aggregate accumulates IEEE doubles in partition order
+— exactly the class of bug the exact-decimal / fixed-point recipes exist
+to prevent.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from european_public_data_pipeline_spark import plans
+
+# One query per determinism recipe.
+CASES = [
+    "q01_pricing_summary",      # exact DECIMAL money sums
+    "q15_moments_exact",        # integer-cents exact moments
+    "t14_unigram_cross_entropy",  # micro-nat surprisal folds
+    "t18_zipf_slope",           # micro-nat OLS sums
+    "q87_mad_outliers",         # rank-constructed medians over the domain
+    "q89_twap",                 # DECIMAL(38,0) value x duration dot product
+    "s12_product_quantization", # sequential-fold distances + fixed-point MSE
+    "sm09_weighted_upsampling", # cumulative exact-integer resampling
+    "g01_pagerank",             # fixed-point contribution accumulators
+    "d04_minhash_lsh_pairs",    # portable md5 hashing end to end
+]
+
+
+def _rows(spark, name, sf_dir, partitions):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        df = plans.all_specs()[name].builder(spark, sf_dir)
+        cols = sorted(df.columns)
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_partition_count_invariance(spark, sf_small, name):
+    a = _rows(spark, name, sf_small, 3)
+    b = _rows(spark, name, sf_small, 32)
+    assert a == b, f"{name}: result depends on shuffle partition count"
