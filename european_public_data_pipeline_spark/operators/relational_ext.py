@@ -1124,3 +1124,127 @@ def q87_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q90_array_functions",
+    category="scalar-functions",
+    doc="Array scalar surface (the collection-type complement of q24's "
+    "strings and q35's maps): per order, the line-quantity list is "
+    "rebuilt deterministically (sort_array over (linenumber, qty) "
+    "structs — collect_list order is partition-dependent, struct sort "
+    "fixes it) and then exercised with the higher-order toolkit: "
+    "array_sort, array_distinct, slice, array_max, array_position, "
+    "zip_with dot product against discounts, and an aggregate() "
+    "sequential fold — everything row-local after the one orderkey "
+    "shuffle; per-order arrays are bounded by lines-per-order (<=7), "
+    "never corpus-sized. Each expression has the exact DuckDB list_* "
+    "twin; the fold is left-associated in both engines.",
+    oracle="""
+WITH lines AS (
+  SELECT l_orderkey,
+         list_sort(list({'ln': l_linenumber, 'qty': l_quantity, 'disc': l_discount}))
+           AS rows_sorted
+  FROM lineitem
+  WHERE l_orderkey <= 2000
+  GROUP BY l_orderkey
+),
+arr AS (
+  SELECT l_orderkey,
+         list_transform(rows_sorted, r -> CAST(r.qty AS DOUBLE)) AS qtys,
+         list_transform(rows_sorted, r -> CAST(r.disc AS DOUBLE)) AS discs
+  FROM lines
+)
+SELECT l_orderkey,
+       CAST(len(qtys) AS INTEGER) AS n_lines,
+       list_sort(qtys) AS qtys_sorted,
+       CAST(len(list_distinct(qtys)) AS INTEGER) AS n_distinct_qty,
+       qtys[1:2] AS first_two,
+       list_max(qtys) AS max_qty,
+       CAST(list_position(qtys, list_max(qtys)) AS INTEGER) AS argmax_pos,
+       list_reduce(
+         list_transform(generate_series(1, len(qtys)),
+                        i -> qtys[i] * discs[i]),
+         (a, b) -> a + b) AS qty_disc_dot,
+       list_reduce(qtys, (a, b) -> a + b) AS qty_sum_fold
+FROM arr
+ORDER BY l_orderkey
+""",
+)
+def q90_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    grouped = li.groupBy("l_orderkey").agg(
+        F.sort_array(
+            F.collect_list(F.struct("l_linenumber", "l_quantity", "l_discount"))
+        ).alias("rows_sorted")
+    )
+    arr = grouped.select(
+        "l_orderkey",
+        F.transform("rows_sorted", lambda r: r.l_quantity.cast("double")).alias(
+            "qtys"
+        ),
+        F.transform("rows_sorted", lambda r: r.l_discount.cast("double")).alias(
+            "discs"
+        ),
+    )
+    qtys = F.col("qtys")
+    dot = F.aggregate(
+        F.zip_with("qtys", "discs", lambda q, d: q * d),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return arr.select(
+        "l_orderkey",
+        F.size(qtys).alias("n_lines"),
+        F.array_sort(qtys).alias("qtys_sorted"),
+        F.size(F.array_distinct(qtys)).alias("n_distinct_qty"),
+        F.slice(qtys, 1, 2).alias("first_two"),
+        F.array_max(qtys).alias("max_qty"),
+        F.array_position(qtys, F.array_max(qtys)).cast("int").alias("argmax_pos"),
+        dot.alias("qty_disc_dot"),
+        F.aggregate(qtys, F.lit(0.0), lambda a, b: a + b).alias("qty_sum_fold"),
+    ).orderBy("l_orderkey")
+
+
+@register(
+    "q91_date_functions",
+    category="scalar-functions",
+    doc="Calendar scalar surface (the date complement of q24 strings / "
+    "q90 arrays / q35 maps, beyond F1-F5's period-code parsing): month "
+    "arithmetic with end-of-month clamping (add_months == + INTERVAL "
+    "MONTH in both engines), day arithmetic, pure day-count datediff, "
+    "last_day, quarter / year / dayofyear extraction, and month "
+    "truncation — all row-local Catalyst expressions that constant-fold "
+    "and push through scans; no UDF anywhere near a date.",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS plus_3_months,
+       CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus_30_days,
+       CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_1992,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+def q91_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).cast("timestamp").alias("plus_3_months"),
+        F.date_add(d, 30).cast("timestamp").alias("plus_30_days"),
+        F.datediff(d, F.to_date(F.lit("1992-01-01"))).alias("days_since_1992"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.year(d).alias("yr"),
+        F.dayofyear(d).alias("doy"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    ).orderBy("o_orderkey")
