@@ -1235,3 +1235,111 @@ def q78_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", F.col("val_dec").cast("double").alias("part_value"))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
+
+
+@register(
+    "q92_inflight_sweep",
+    category="window",
+    doc="Temporal state reconstruction — orders in flight on the first of "
+    "each month (order placed, last line not yet shipped) — solved as an "
+    "interval SWEEP instead of the naive point-in-range join: a probe x "
+    "intervals range join multiplies the fact by the probe count (80 "
+    "months here; unbounded in general), while counting boundary events "
+    "reduces everything after one orderkey-keyed shuffle to two "
+    "day-grain histograms (calendar-bounded, ~2.5k rows). in_flight(d) "
+    "= #starts <= d minus #ends < d. The cumulative reads run as "
+    "row-local higher-order folds over the one collected day-axis "
+    "array (q85's pattern — no partition-less window anywhere), so the "
+    "whole reconstruction costs one fact join + one fact aggregate at "
+    "any scale. The oracle cross-joins probes x intervals — the same "
+    "semantics by brute force.",
+    oracle="""
+WITH iv AS (
+  SELECT o.o_orderkey,
+         CAST(o.o_orderdate AS DATE) AS s,
+         MAX(CAST(l.l_shipdate AS DATE)) AS e
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT CAST(date_trunc('month', MIN(s)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(e)) AS DATE) AS hi
+  FROM iv
+),
+months AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS m
+  FROM bounds
+)
+SELECT m.m AS month,
+       CAST(COALESCE(SUM(CASE WHEN iv.s <= m.m THEN 1 END), 0) AS BIGINT)
+         AS starts_cum,
+       CAST(COALESCE(SUM(CASE WHEN iv.e < m.m THEN 1 END), 0) AS BIGINT)
+         AS ends_cum,
+       CAST(COALESCE(SUM(CASE WHEN iv.s <= m.m THEN 1 END), 0)
+            - COALESCE(SUM(CASE WHEN iv.e < m.m THEN 1 END), 0) AS BIGINT)
+         AS in_flight
+FROM months m CROSS JOIN iv
+GROUP BY m.m
+ORDER BY m.m
+""",
+)
+def q92_inflight_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    iv = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.first(F.col("o_orderdate").cast("date")).alias("s"),
+            F.max(F.col("l_shipdate").cast("date")).alias("e"),
+        )
+    )
+    sh = iv.groupBy(F.col("s").alias("day")).agg(F.count(F.lit(1)).alias("n_s"))
+    eh = iv.groupBy(F.col("e").alias("day")).agg(F.count(F.lit(1)).alias("n_e"))
+    axis = (
+        sh.join(eh, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_s", F.lit(0)).alias("n_s"),
+            F.coalesce("n_e", F.lit(0)).alias("n_e"),
+        )
+    )
+    # One bounded row: the sorted day axis plus the month probe sequence.
+    row = axis.agg(
+        F.sort_array(F.collect_list(F.struct("day", "n_s", "n_e"))).alias("arr")
+    ).select(
+        "arr",
+        F.sequence(
+            F.date_trunc("month", F.element_at(F.col("arr"), 1).day).cast("date"),
+            F.date_trunc("month", F.element_at(F.col("arr"), -1).day).cast("date"),
+            F.expr("INTERVAL 1 MONTH"),
+        ).alias("months"),
+    )
+    probed = row.select(
+        F.explode(
+            F.transform(
+                F.col("months"),
+                lambda m: F.struct(
+                    m.alias("month"),
+                    F.aggregate(
+                        F.col("arr"),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc
+                        + F.when(x.day <= m, x.n_s).otherwise(F.lit(0)),
+                    ).alias("starts_cum"),
+                    F.aggregate(
+                        F.col("arr"),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc
+                        + F.when(x.day < m, x.n_e).otherwise(F.lit(0)),
+                    ).alias("ends_cum"),
+                ),
+            )
+        ).alias("r")
+    )
+    return probed.select(
+        F.col("r.month").alias("month"),
+        F.col("r.starts_cum").alias("starts_cum"),
+        F.col("r.ends_cum").alias("ends_cum"),
+        (F.col("r.starts_cum") - F.col("r.ends_cum")).alias("in_flight"),
+    ).orderBy("month")
