@@ -209,3 +209,79 @@ def merge_by_key(
         "updated": updated,
         "unchanged_in_scope": n_scoped - updated,
     }
+
+
+def delete_by_key(
+    spark: SparkSession,
+    target_path: str,
+    delete_keys: DataFrame,
+    keys: list[str],
+    partition_col: str | None = None,
+) -> dict[str, int]:
+    """Hard delete by key (the right-to-erasure / retention primitive):
+    remove every target row whose ``keys`` match a row of ``delete_keys``,
+    rewriting ONLY the partitions that contain a matching key.
+
+    Scale shape (same layout as ``merge_by_key``): locating the affected
+    partitions is a column-pruned key scan + semi join; the rewrite is an
+    anti join over just those partitions via dynamic partition overwrite;
+    partitions without a matching key are never opened, let alone
+    rewritten. A partition emptied by the delete is removed through the
+    FS API (dynamic overwrite cannot express "write zero rows here").
+
+    Returns ``{"deleted": n, "partitions_rewritten": n,
+    "partitions_removed": n}`` — the audit numbers an erasure request
+    must report. Deleting keys that do not exist is a no-op counted as 0.
+    """
+    dk = delete_keys.select(*keys).distinct()
+    target = spark.read.parquet(target_path)
+
+    if partition_col:
+        touched = [
+            r[0]
+            for r in (
+                target.join(dk, keys, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            )
+        ]
+        if not touched:
+            return {"deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
+        scoped = target.filter(F.col(partition_col).isin(touched))
+    else:
+        scoped = target
+
+    kept = scoped.join(dk, keys, "left_anti")
+    n_scoped = scoped.count()
+    # Materialize before overwriting the files the plan reads from.
+    kept = kept.localCheckpoint(eager=True)
+    n_kept = kept.count()
+
+    if partition_col:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            kept.write.partitionBy(partition_col).mode("overwrite").parquet(
+                target_path
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        out_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
+        removed = 0
+        for p in touched:
+            if p not in out_parts:
+                _delete_partition_dir(spark, target_path, f"{partition_col}={p}")
+                removed += 1
+        return {
+            "deleted": n_scoped - n_kept,
+            "partitions_rewritten": len(touched) - removed,
+            "partitions_removed": removed,
+        }
+
+    kept.write.mode("overwrite").parquet(target_path)
+    return {
+        "deleted": n_scoped - n_kept,
+        "partitions_rewritten": 1,
+        "partitions_removed": 0,
+    }

@@ -1,0 +1,93 @@
+"""Keyed hard delete (right-to-erasure primitive): partition-scoped rewrite,
+physical preservation of unaffected partitions, emptied-partition removal,
+audit statistics, idempotency.
+"""
+
+from __future__ import annotations
+
+import os
+
+from european_public_data_pipeline_spark.pipeline.merge import (
+    delete_by_key,
+    merge_by_key,
+)
+
+
+def _rows(spark, path):
+    return {
+        (r["k"], r["lang"]): r["v"] for r in spark.read.parquet(path).collect()
+    }
+
+
+def _seed(spark, path):
+    df = spark.createDataFrame(
+        [(1, "en", "a"), (2, "en", "b"), (3, "de", "c"), (4, "de", "d"), (5, "fr", "e")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+
+
+def _keys(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_delete_removes_rows_and_reports_stats(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    stats = delete_by_key(spark, path, _keys(spark, [2, 4]), ["k"], "lang")
+    assert stats == {"deleted": 2, "partitions_rewritten": 2, "partitions_removed": 0}
+    assert _rows(spark, path) == {(1, "en"): "a", (3, "de"): "c", (5, "fr"): "e"}
+
+
+def test_delete_never_opens_unaffected_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    de_dir = os.path.join(path, "lang=de")
+    before = {
+        f: os.path.getmtime(os.path.join(de_dir, f))
+        for f in os.listdir(de_dir)
+        if f.endswith(".parquet")
+    }
+    delete_by_key(spark, path, _keys(spark, [1]), ["k"], "lang")
+    after = {
+        f: os.path.getmtime(os.path.join(de_dir, f))
+        for f in os.listdir(de_dir)
+        if f.endswith(".parquet")
+    }
+    assert before == after  # de partition files physically untouched
+
+
+def test_delete_removes_emptied_partition_dir(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    stats = delete_by_key(spark, path, _keys(spark, [5]), ["k"], "lang")
+    assert stats == {"deleted": 1, "partitions_rewritten": 0, "partitions_removed": 1}
+    assert not os.path.exists(os.path.join(path, "lang=fr"))
+    assert _rows(spark, path) == {
+        (1, "en"): "a",
+        (2, "en"): "b",
+        (3, "de"): "c",
+        (4, "de"): "d",
+    }
+
+
+def test_delete_missing_keys_is_noop_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    stats = delete_by_key(spark, path, _keys(spark, [99]), ["k"], "lang")
+    assert stats == {"deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
+    delete_by_key(spark, path, _keys(spark, [2]), ["k"], "lang")
+    again = delete_by_key(spark, path, _keys(spark, [2]), ["k"], "lang")
+    assert again["deleted"] == 0
+    assert _rows(spark, path) == {(1, "en"): "a", (3, "de"): "c", (4, "de"): "d", (5, "fr"): "e"}
+
+
+def test_delete_unpartitioned_table(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, df, keys=["k"])
+    stats = delete_by_key(spark, path, _keys(spark, [1]), ["k"])
+    assert stats["deleted"] == 1
+    assert _rows(spark, path) == {(2, "y"): "b"}
