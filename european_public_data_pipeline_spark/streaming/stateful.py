@@ -155,3 +155,99 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming TWAP — q89's batch twin as per-key stream state.
+
+TWAP_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType(), True),
+        T.StructField("last_v_c", T.LongType(), True),
+        T.StructField("n_gaps", T.LongType(), True),
+        T.StructField("held_us", T.LongType(), True),
+        T.StructField("vw_str", T.StringType(), True),  # exact int, unbounded
+        T.StructField("n_late", T.LongType(), True),
+    ]
+)
+
+TWAP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("held_us", T.LongType(), True),
+        T.StructField("twap", T.DoubleType(), True),
+        T.StructField("n_late", T.LongType(), True),
+    ]
+)
+
+
+def _update_twap(
+    key: tuple[Any, ...], pdfs: Iterable["pd.DataFrame"], state: GroupState
+) -> Iterator["pd.DataFrame"]:
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        last_us, last_vc, n_gaps, held, vw_s, late = state.get
+        vw = int(vw_s)
+    else:
+        last_us, last_vc, n_gaps, held, vw, late = None, None, 0, 0, 0, 0
+
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if frames:
+        batch = pd.concat(frames).sort_values(["ts_us", "event_id"])
+        for ts_us, v_c in zip(batch["ts_us"], batch["v_c"]):
+            ts_us = int(ts_us)
+            v_c = int(v_c)
+            if last_us is not None and ts_us < last_us:
+                late += 1  # arrived behind the frontier: gap already closed
+                continue
+            if last_us is not None:
+                w = ts_us - last_us
+                held += w
+                vw += last_vc * w
+                n_gaps += 1
+            last_us, last_vc = ts_us, v_c
+    state.update((last_us, last_vc, n_gaps, held, str(vw), late))
+    twap = (float(vw) / float(held) / 100.0) if held > 0 else None
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n_gaps],
+            "held_us": [held],
+            "twap": [twap],
+            "n_late": [late],
+        }
+    )
+
+
+def streaming_twap(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user time-weighted average as per-key stream state (q89's batch
+    twin — PLANS.md documents the batch shape): each arriving event closes
+    the previous event's hold interval, so the state is O(1) per key —
+    frontier timestamp, frontier value, and three exact accumulators. The
+    value x duration dot product is an arbitrary-precision integer carried
+    as a string state column (the state store has no DECIMAL(38,0)), so
+    the streaming TWAP is bit-equal to the batch aggregate, not a float
+    approximation. Rows behind a key's frontier cannot reopen a closed
+    interval — they are dropped and COUNTED (``n_late``), the watermark
+    bounds how long that can happen. Heavy math stays JVM-side: the
+    micro-batch reaches Python as (ts_us, centi-value) int64 pairs.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = events.withWatermark("ts", watermark).select(
+        "ts",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        F.col("event_id"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update_twap,
+        outputStructType=TWAP_OUTPUT_SCHEMA,
+        stateStructType=TWAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

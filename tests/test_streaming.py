@@ -303,3 +303,51 @@ def test_streaming_cms_equals_batch(spark, events_dir, tmp_path):
         for r in cms_cells(batch_df.select("user_id"), "user_id").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_twap_equals_batch(spark, events_dir):
+    """q89's stream twin: the stateful per-key TWAP over an AvailableNow run
+    must equal the batch lead()-window aggregate on the same slice —
+    including the exact integer dot product, not just within tolerance."""
+    from pyspark.sql import Window
+
+    from european_public_data_pipeline_spark.streaming.stateful import streaming_twap
+
+    stream = read_events_stream(spark, events_dir)
+    got = (
+        run_available_now(streaming_twap(stream), "t_twap", output_mode="update")
+        .filter(F.col("held_us") > 0)
+    )
+    # "update" memory sink keeps every emitted row; the final state per user
+    # is the row with the largest n_events (monotone accumulator).
+    latest = got.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "held_us", "twap")).alias("s")
+    ).select("user_id", "s.n_events", "s.held_us", "s.twap")
+
+    batch = spark.read.parquet(events_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = batch.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("w_us"),
+    ).filter(F.col("w_us").isNotNull())
+    want = (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w_us").alias("held_us"),
+            F.sum((F.col("v_c") * F.col("w_us")).cast("decimal(38,0)")).alias("vw"),
+        )
+        .filter(F.col("held_us") > 0)
+        .select(
+            "user_id",
+            "n_events",
+            "held_us",
+            (F.col("vw").cast("double") / F.col("held_us").cast("double") / 100.0)
+            .alias("twap"),
+        )
+    )
+    cols = ["user_id", "n_events", "held_us", "twap"]
+    assert _rows(latest, cols) == _rows(want, cols)
+    # No late drops in an in-order single AvailableNow pass.
+    assert got.agg(F.max("n_late")).collect()[0][0] == 0
