@@ -351,3 +351,65 @@ def test_streaming_twap_equals_batch(spark, events_dir):
     assert _rows(latest, cols) == _rows(want, cols)
     # No late drops in an in-order single AvailableNow pass.
     assert got.agg(F.max("n_late")).collect()[0][0] == 0
+
+
+def test_streaming_twap_drops_and_counts_late_rows(spark, tmp_path):
+    """A row arriving behind a key's frontier in a LATER micro-batch cannot
+    reopen the closed interval: it is dropped and counted, and the exact
+    accumulators are unaffected. Two AvailableNow runs over an accreting
+    source directory with a shared checkpoint exercise the state-store
+    round-trip (including the string-carried big-int dot product)."""
+    import datetime as dt
+
+    from european_public_data_pipeline_spark.streaming.stateful import streaming_twap
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def run():
+        q = (
+            streaming_twap(read_events_stream(spark, src))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 10.0, "{}"),
+            (2, t0 + dt.timedelta(seconds=10), 1, "view", 20.0, "{}"),
+            (3, t0 + dt.timedelta(seconds=30), 1, "view", 30.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(src)
+    run()
+
+    spark.createDataFrame(
+        [
+            (4, t0 + dt.timedelta(seconds=5), 1, "view", 99.0, "{}"),  # LATE
+            (5, t0 + dt.timedelta(seconds=40), 1, "view", 40.0, "{}"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+
+    final = (
+        spark.read.parquet(sink)
+        .orderBy(F.desc("n_events"))
+        .limit(1)
+        .collect()[0]
+    )
+    # Gaps closed: 10s@10.00, 20s@20.00, 10s@30.00 — the late 99.0 never
+    # enters; twap = (1000*1e7 + 2000*2e7 + 3000*1e7)/4e7/100 = 20.0 exactly.
+    assert final["n_events"] == 3
+    assert final["held_us"] == 40_000_000
+    assert final["twap"] == 20.0
+    assert final["n_late"] == 1
