@@ -111,6 +111,23 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Key-only stream dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``): unlike ``dropDuplicates``, the
+    event-time column is NOT part of the key, so a replayed event whose
+    timestamp drifted (retry with a re-stamped ts, at-least-once source
+    re-delivery) still collapses onto the original as long as both fall
+    inside the watermark horizon — the semantics a production exactly-once
+    ingest actually needs. State per key is evicted once the watermark
+    passes it, so memory is bounded by the horizon, not the stream.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def enrich_stream(
     events: DataFrame, customers: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

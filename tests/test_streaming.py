@@ -413,3 +413,31 @@ def test_streaming_twap_drops_and_counts_late_rows(spark, tmp_path):
     assert final["held_us"] == 40_000_000
     assert final["twap"] == 20.0
     assert final["n_late"] == 1
+
+
+def test_dedup_within_watermark_collapses_restamped_replays(spark, events_dir, tmp_path):
+    """Replays with a DRIFTED timestamp (re-stamped retry) must still
+    collapse under dropDuplicatesWithinWatermark — the case key+ts
+    dropDuplicates cannot handle (the drifted copy has a different ts and
+    survives)."""
+    from european_public_data_pipeline_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+
+    drift_dir = str(tmp_path / "events_drift")
+    base = spark.read.parquet(events_dir)
+    restamped = base.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 90 SECONDS")
+    )
+    base.unionAll(restamped).repartition(6).write.parquet(drift_dir)
+
+    stream = read_events_stream(spark, drift_dir)
+    got = run_available_now(
+        dedup_stream_within_watermark(stream), "t_dedup_wm", output_mode="append"
+    )
+    assert got.count() == base.count()  # every drifted replay collapsed
+    # Control: key+ts dedup keeps the drifted copies (2x the rows).
+    got_plain = run_available_now(
+        dedup_stream(stream), "t_dedup_plain", output_mode="append"
+    )
+    assert got_plain.count() == 2 * base.count()
