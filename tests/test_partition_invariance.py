@@ -31,6 +31,9 @@ CASES = [
     "sm09_weighted_upsampling", # cumulative exact-integer resampling
     "g01_pagerank",             # fixed-point contribution accumulators
     "d04_minhash_lsh_pairs",    # portable md5 hashing end to end
+    "q85_ewma_smoothing",       # long centi-unit sums + row-local prefix folds
+    "q92_inflight_sweep",       # boundary-event histograms + HOF prefix sums
+    "t19_heaps_law_fit",        # per-source micro-nat OLS points
 ]
 
 
