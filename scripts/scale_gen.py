@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Regenerate the synthetic scaled extensions used for PLANS.md's 10x/100x
+measurements (crossJoin a copies range, offset the join keys, symlink the
+unchanged tables). Dirs land under /tmp and do NOT survive rounds — re-run
+this script before measuring.
+
+Usage: python scripts/scale_gen.py  (builds all four extensions, idempotent)
+
+  /tmp/sx100_events  events x100 (event_id offset)
+  /tmp/sx10_docs     documents x10 (doc_id offset, text perturbed per copy)
+  /tmp/sx10_emb      embeddings x10 (vec_id offset)
+  /tmp/sx100_facts   orders+lineitem x100 (orderkey offset, dims shared)
+
+Measurement protocol (see .claude/skills/verify/SKILL.md): build a FRESH
+DataFrame per timed run (prior actions leave reusable shuffle outputs that
+fake ~0.1s timings), min-of-2+ runs, check `uptime` first.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.session import get_spark
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def link_others(dst: str, scaled: set[str]) -> None:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        if t in scaled:
+            continue
+        p = f"{dst}/{t}.parquet"
+        if not os.path.exists(p):
+            os.symlink(f"{SRC}/{t}.parquet", p)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale-gen", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dst = "/tmp/sx100_events"
+    if not os.path.exists(f"{dst}/events.parquet"):
+        e = spark.read.parquet(f"{SRC}/events.parquet")
+        n = e.count()
+        copies = spark.range(100).withColumnRenamed("id", "copy")
+        (
+            e.crossJoin(copies)
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n))
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/events.parquet")
+        )
+    link_others(dst, {"events"})
+
+    dst = "/tmp/sx10_docs"
+    if not os.path.exists(f"{dst}/documents.parquet"):
+        d = spark.read.parquet(f"{SRC}/documents.parquet")
+        n = d.count()
+        copies = spark.range(10).withColumnRenamed("id", "copy")
+        (
+            d.crossJoin(copies)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n))
+            .withColumn(
+                "text",
+                F.when(F.col("copy") == 0, F.col("text")).otherwise(
+                    F.concat(
+                        F.col("text"), F.lit(" variant"), F.col("copy").cast("string")
+                    )
+                ),
+            )
+            .withColumn("n_chars", F.length("text"))
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/documents.parquet")
+        )
+        # NOTE: every doc gains ~10 near-copies, so near-dup PAIR counts are
+        # quadratic in the copy count — d04/d17/sm10 super-linearity on this
+        # corpus is output-driven, not a plan defect (PLANS.md).
+    link_others(dst, {"documents"})
+
+    dst = "/tmp/sx10_emb"
+    if not os.path.exists(f"{dst}/embeddings.parquet"):
+        e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+        n = e.count()
+        copies = spark.range(10).withColumnRenamed("id", "copy")
+        (
+            e.crossJoin(copies)
+            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * F.lit(n))
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/embeddings.parquet")
+        )
+    link_others(dst, {"embeddings"})
+
+    dst = "/tmp/sx100_facts"
+    if not os.path.exists(f"{dst}/lineitem.parquet"):
+        o = spark.read.parquet(f"{SRC}/orders.parquet")
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        maxo = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        copies = spark.range(100).withColumnRenamed("id", "copy")
+        (
+            o.crossJoin(copies)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("copy") * F.lit(maxo))
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/orders.parquet")
+        )
+        (
+            li.crossJoin(copies)
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("copy") * F.lit(maxo))
+            .drop("copy")
+            .write.mode("overwrite")
+            .parquet(f"{dst}/lineitem.parquet")
+        )
+    link_others(dst, {"orders", "lineitem"})
+    print("scale extensions ready: sx100_events sx10_docs sx10_emb sx100_facts")
+
+
+if __name__ == "__main__":
+    main()
