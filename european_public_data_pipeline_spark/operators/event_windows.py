@@ -598,3 +598,82 @@ def q89_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q93_conversion_latency",
+    category="window",
+    doc="View-to-purchase conversion latency distribution — the funnel "
+    "TIMING report that q45's conversion counts lack: each purchase is "
+    "paired with the user's most recent preceding view via one ordered "
+    "window (MAX of the monotone view timestamp over the preceding "
+    "frame IS the most recent — no self-join, no per-row scan-back), "
+    "then latencies land in power-of-two second buckets. Bucketing is "
+    "length(bin(x)) — the binary-representation length equals "
+    "floor(log2)+1 as EXACT integer arithmetic, dodging the "
+    "floor(log2(double)) boundary-ulp hazard entirely. Everything "
+    "after the one user-keyed shuffle is a bucket-cardinality "
+    "aggregate of exact integers. The same shape prices any "
+    "time-to-event analysis (signup->first-purchase, error->recovery).",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         MAX(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_us
+  FROM events
+),
+lat AS (
+  SELECT (ts_us - prev_view_us) // 1000000 AS lat_s
+  FROM seq
+  WHERE event_type = 'purchase' AND prev_view_us IS NOT NULL
+)
+SELECT CAST(length(bin(lat_s + 1)) AS INTEGER) AS bucket_log2,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(MIN(lat_s) AS BIGINT) AS min_lat_s,
+       CAST(MAX(lat_s) AS BIGINT) AS max_lat_s,
+       CAST(SUM(lat_s) AS BIGINT) AS sum_lat_s
+FROM lat
+GROUP BY 1
+ORDER BY bucket_log2
+""",
+)
+def q93_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    seq = events.select(
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.max(F.when(F.col("event_type") == "view", ts_us)).over(w).alias(
+            "prev_view_us"
+        ),
+    )
+    lat = (
+        seq.filter(
+            (F.col("event_type") == "purchase") & F.col("prev_view_us").isNotNull()
+        )
+        .select(
+            ((F.col("ts_us") - F.col("prev_view_us")) / 1000000)
+            .cast("long")
+            .alias("lat_s")
+        )
+    )
+    return (
+        lat.groupBy(
+            F.length(F.bin(F.col("lat_s") + 1)).cast("int").alias("bucket_log2")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.min("lat_s").alias("min_lat_s"),
+            F.max("lat_s").alias("max_lat_s"),
+            F.sum("lat_s").alias("sum_lat_s"),
+        )
+        .orderBy("bucket_log2")
+    )

@@ -1257,3 +1257,99 @@ def t19_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", "sx", "sy", "sxy", "sxx",
         ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)).alias("heaps_beta"),
     )
+
+
+@register(
+    "t20_source_kl_divergence",
+    category="text",
+    doc="Per-source KL divergence from the corpus unigram distribution — "
+    "the distribution-shift gate run before admitting a new source into "
+    "a training mix (high KL = off-domain or templated; near-zero = "
+    "redundant with what the corpus already has). Per-token terms "
+    "cnt_s * (ln cnt_s - ln total_s - ln cnt_corpus + ln total_corpus) "
+    "are fixed-pointed to integer micro-nats and summed as "
+    "DECIMAL(38,0) (t14's recipe at corpus magnitudes), so the fold is "
+    "partition-order invariant and cross-engine exact; KL(nats) is one "
+    "final double division. Shape: ONE corpus explode feeds both the "
+    "(source, token) and token aggregations (vocabulary-sized "
+    "relations); the per-source probe joins on the token key. Nothing "
+    "rescans the corpus; every source's token set is a subset of the "
+    "corpus vocabulary, so no zero-denominator terms exist.",
+    oracle=f"""
+WITH tok AS (SELECT source, unnest({_SQL_TOKENS}) AS token FROM documents),
+st AS (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt_s
+  FROM tok GROUP BY source, token
+),
+stot AS (
+  SELECT source, CAST(SUM(cnt_s) AS BIGINT) AS total_s FROM st GROUP BY source
+),
+vocab AS (
+  SELECT token, CAST(SUM(cnt_s) AS BIGINT) AS cnt_all FROM st GROUP BY token
+),
+ctot AS (SELECT CAST(SUM(cnt_all) AS BIGINT) AS total_all FROM vocab),
+terms AS (
+  SELECT st.source,
+         st.cnt_s
+           * CAST(floor((ln(CAST(st.cnt_s AS DOUBLE)) - ln(CAST(stot.total_s AS DOUBLE))
+                         - ln(CAST(v.cnt_all AS DOUBLE)) + ln(CAST(ct.total_all AS DOUBLE)))
+                        * 1e6) AS BIGINT) AS micronats
+  FROM st
+  JOIN stot ON stot.source = st.source
+  JOIN vocab v ON v.token = st.token
+  CROSS JOIN ctot ct
+)
+SELECT t.source,
+       s.total_s AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab_s,
+       CAST(SUM(CAST(t.micronats AS DECIMAL(38,0))) AS DOUBLE) AS sum_micronats,
+       CAST(SUM(CAST(t.micronats AS DECIMAL(38,0))) AS DOUBLE) / 1e6
+         / CAST(s.total_s AS DOUBLE) AS kl_nats
+FROM terms t JOIN stot s ON s.source = t.source
+GROUP BY t.source, s.total_s
+ORDER BY t.source
+""",
+)
+def t20_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt_s"))
+    stot = st.groupBy("source").agg(F.sum("cnt_s").alias("total_s"))
+    vocab = st.groupBy("token").agg(F.sum("cnt_s").alias("cnt_all"))
+    ctot = vocab.agg(F.sum("cnt_all").alias("total_all"))
+    ln = lambda c: F.log(F.col(c).cast("double"))  # noqa: E731
+    terms = (
+        st.join(F.broadcast(stot), "source")
+        .join(vocab, "token")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "total_s",
+            (
+                F.col("cnt_s")
+                * F.floor(
+                    (ln("cnt_s") - ln("total_s") - ln("cnt_all") + ln("total_all"))
+                    * 1e6
+                ).cast("long")
+            ).alias("micronats"),
+        )
+    )
+    return (
+        terms.groupBy("source", "total_s")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_s"),
+            F.sum(F.col("micronats").cast("decimal(38,0)")).cast("double").alias(
+                "sum_micronats"
+            ),
+        )
+        .select(
+            "source",
+            F.col("total_s").alias("n_tokens"),
+            "vocab_s",
+            "sum_micronats",
+            (F.col("sum_micronats") / 1e6 / F.col("total_s").cast("double")).alias(
+                "kl_nats"
+            ),
+        )
+        .orderBy("source")
+    )
