@@ -34,6 +34,8 @@ CASES = [
     "q85_ewma_smoothing",       # long centi-unit sums + row-local prefix folds
     "q92_inflight_sweep",       # boundary-event histograms + HOF prefix sums
     "t19_heaps_law_fit",        # per-source micro-nat OLS points
+    "t20_source_kl_divergence", # DECIMAL(38,0) micro-nat term folds
+    "q93_conversion_latency",   # ordered-window pairing + exact bit-length buckets
 ]
 
 
