@@ -677,3 +677,112 @@ def q93_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_log2")
     )
+
+
+@register(
+    "q94_cohort_ltv",
+    category="window",
+    doc="Cohort lifetime-value curves — the revenue-weighted twin of "
+    "q46's retention triangle: users are cohorted by first-seen week, "
+    "purchase revenue lands in (cohort, week-offset) cells, and each "
+    "cohort's curve is the CUMULATIVE revenue per cohort member by "
+    "age. Shape: two user-keyed aggregates (first-seen, cohort sizes) "
+    "+ one (cohort, offset) cell aggregate in exact centi-units; the "
+    "cumulative prefix runs ROW-LOCALLY over each cohort's collected "
+    "offset array (q85's fold pattern — offsets are calendar-bounded, "
+    "never fact-sized, and no partition-less window exists). "
+    "cum_cents stays an exact integer fold; LTV-per-user is one final "
+    "double division per cell.",
+    oracle="""
+WITH first_week AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+),
+sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM first_week GROUP BY cohort_week
+),
+cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('week', f.cohort_week,
+                        CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+           AS week_offset,
+         CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events e
+  JOIN first_week f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT cohort_week, week_offset,
+         SUM(cents) OVER (PARTITION BY cohort_week ORDER BY week_offset) AS cum_cents
+  FROM cells
+)
+SELECT c.cohort_week, c.week_offset,
+       CAST(c.cum_cents AS BIGINT) AS cum_cents,
+       s.cohort_size,
+       CAST(c.cum_cents AS DOUBLE) / 100.0 / CAST(s.cohort_size AS DOUBLE)
+         AS ltv_per_user
+FROM cum c JOIN sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.week_offset
+""",
+)
+def q94_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_week = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    sizes = first_week.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(first_week, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.datediff(
+                F.date_trunc("week", "ts").cast("date"), F.col("cohort_week")
+            ).cast("long")
+            .alias("days"),
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+        .select(
+            "cohort_week", (F.col("days") / 7).cast("long").alias("week_offset"), "cents"
+        )
+    )
+    # Cumulative per cohort WITHOUT a window: collect each cohort's
+    # calendar-bounded (offset, cents) cells into one sorted array and fold
+    # prefix sums row-locally (q85's construction).
+    grouped = cells.groupBy("cohort_week").agg(
+        F.array_sort(F.collect_list(F.struct("week_offset", "cents"))).alias("arr")
+    )
+    cums = F.transform(
+        F.sequence(F.lit(1), F.size("arr")),
+        lambda i: F.struct(
+            F.element_at(F.col("arr"), i).week_offset.alias("week_offset"),
+            F.aggregate(
+                F.slice(F.col("arr"), 1, i),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x.cents,
+            ).alias("cum_cents"),
+        ),
+    )
+    rows = grouped.select("cohort_week", F.explode(cums).alias("r")).select(
+        "cohort_week", "r.week_offset", "r.cum_cents"
+    )
+    return (
+        rows.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cum_cents",
+            "cohort_size",
+            (
+                F.col("cum_cents").cast("double")
+                / 100.0
+                / F.col("cohort_size").cast("double")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
