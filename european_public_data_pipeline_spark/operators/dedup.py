@@ -1307,3 +1307,100 @@ def d17_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "d18_threshold_sensitivity",
+    category="dedup",
+    doc="Dedup-threshold calibration report: exact-Jaccard candidate "
+    "pairs are computed ONCE (d03's posting-list machinery) and then "
+    "counted under a sweep of thresholds (0.5-0.9) together with the "
+    "implied removal rate — the report a curation run reads BEFORE "
+    "committing to JACCARD_THRESHOLD, since pair volume (and thus "
+    "removed-document count) is highly nonlinear in the cutoff. One "
+    "extra aggregation over the pair relation, zero extra corpus "
+    "scans; at 100 TB the pair relation is the already-bounded LSH "
+    "candidate set. Removal estimate = distinct d2 docs (keep-min-id "
+    "convention) — exact for pair-shaped duplicate structure, a "
+    "lower bound when clusters chain (d08 resolves exactly).",
+    oracle=f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS isect
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT d1, d2,
+         CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) AS j
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+),
+thresholds AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS thr),
+n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+SELECT t.thr AS threshold,
+       CAST(COALESCE(SUM(CASE WHEN j.j >= t.thr THEN 1 END), 0) AS BIGINT)
+         AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN j.j >= t.thr THEN j.d2 END) AS BIGINT)
+         AS n_docs_removed,
+       CAST(COUNT(DISTINCT CASE WHEN j.j >= t.thr THEN j.d2 END) AS DOUBLE)
+         / (SELECT n FROM n_docs) AS removal_rate
+FROM thresholds t CROSS JOIN jac j
+GROUP BY t.thr
+ORDER BY t.thr
+""",
+)
+def d18_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = (
+        inter.join(n1, "d1")
+        .join(n2, "d2")
+        .select(
+            "d1",
+            "d2",
+            (
+                F.col("isect").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("isect"))
+            ).alias("j"),
+        )
+    )
+    n_docs = docs.count()
+    thr_df = spark.createDataFrame(
+        [(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    return (
+        F.broadcast(thr_df)
+        .crossJoin(jac)
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("j") >= F.col("threshold"), 1)), F.lit(0)
+            ).alias("n_pairs"),
+            F.countDistinct(
+                F.when(F.col("j") >= F.col("threshold"), F.col("d2"))
+            ).alias("n_docs_removed"),
+        )
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_removed",
+            (F.col("n_docs_removed").cast("double") / F.lit(n_docs)).alias(
+                "removal_rate"
+            ),
+        )
+        .orderBy("threshold")
+    )
