@@ -140,39 +140,58 @@ _DRIVER_GREEN_R3 = frozenset({
     "t14_unigram_cross_entropy",
 })
 
-# Errored in round 3 (events-loader regression, fixed in round 4) —
-# re-check first.
-_DRIVER_FAILED_LAST = ("q18_event_hourly_windows", "q55_sliding_mau")
-
-# Implementation or oracle modified after the query's latest green verdict:
-# the round-4 events-loader rewrite (tables.py) changed the input path of
-# every events query, so all r2-green events queries must re-earn their
-# verdict before the untouched green tail; q25/d07 were upgraded in round 4
-# from rows-only to bounds-audit oracles and have never been value-checked.
-_MODIFIED_SINCE_VERDICT = (
-    "q17_events_json_extract", "q19_sessionization", "q22_session_windows",
-    "q23_sliding_windows", "q31_asof_join", "q35_json_map_functions",
-    "q43_stream_enrichment", "q45_funnel_conversion",
+# Hash-green in CORRECTNESS_r04.json (freshest verdicts — checked last).
+# Every name here was green on all three criteria in round 4, including the
+# 13 events queries re-earning their verdict after the round-4 loader fix
+# and q25/d07's first value-checked (bounds-audit) verdicts.
+_DRIVER_GREEN_R4 = frozenset({
+    "d07_ml_minhash_lsh", "d15_cross_source_duplication",
+    "d16_top_repeated_chunks", "d17_cluster_representatives",
+    "d18_threshold_sensitivity", "g02_triangle_count", "g03_degree_powerlaw",
+    "q17_events_json_extract", "q18_event_hourly_windows",
+    "q19_sessionization", "q22_session_windows", "q23_sliding_windows",
+    "q25_approx_distinct", "q31_asof_join", "q35_json_map_functions",
+    "q43_stream_enrichment", "q44_price_histogram", "q45_funnel_conversion",
     "q46_retention_cohorts", "q47_salted_skew_agg",
-    "q53_full_outer_reconciliation", "q25_approx_distinct",
-    "d07_ml_minhash_lsh", "q44_price_histogram",
-)
-
-
-# The driver reaches ~50 rows per round, so with ~56 never-checked round-4
-# registrations some spill to the next round. Order the never segment by
-# verification value: the LLM-pipeline mandate families (sketches, sampling,
-# graph) and novel plan shapes first — their correctness claims rest on the
-# driver hash, unlike the key-bounded scalar-surface demos (q90/q91), whose
-# full row set is equally exercised by the local parity suite.
-_NEVER_FIRST = (
-    "q79_cms_heavy_hitters", "q80_bloom_membership_audit",
-    "q81_bloom_pruned_join", "q83_sketch_mergeability",
+    "q53_full_outer_reconciliation", "q55_sliding_mau",
+    "q62_hourly_ohlc_bars", "q66_user_running_totals",
+    "q74_referential_orphans", "q75_distribution_drift",
+    "q76_longest_daily_streak", "q77_event_transition_matrix",
+    "q78_value_concentration", "q79_cms_heavy_hitters",
+    "q80_bloom_membership_audit", "q81_bloom_pruned_join",
+    "q82_variant_json_path", "q83_sketch_mergeability",
+    "q85_ewma_smoothing", "q87_mad_outliers", "q92_inflight_sweep",
+    "s09_embedding_quality_audit", "s10_ml_brp_lsh_audit",
+    "s11_truncated_dim_recall", "s12_product_quantization",
     "sm08_quality_budget_mixture", "sm09_weighted_upsampling",
-    "sm10_leakage_safe_split", "g02_triangle_count", "g03_degree_powerlaw",
-    "q92_inflight_sweep", "q78_value_concentration",
+    "sm10_leakage_safe_split", "t15_pii_redaction", "t16_langid_confusion",
+    "t17_bm25_scoring", "t18_zipf_slope", "t19_heaps_law_fit",
+    "t20_source_kl_divergence",
+})
+
+# Nothing failed in round 4 (50/50 green).
+_DRIVER_FAILED_LAST: tuple[str, ...] = ()
+
+# Implementation or oracle modified after the query's latest green verdict
+# (round-5 changes to already-green queries land here as they happen).
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ()
+
+
+# Round-5 priority (VERDICT r4 #1): the 20 round-4 registrations the 50-row
+# budget never reached — all pass local DuckDB parity, and a green here
+# makes the cumulative driver record 163/163.
+_NEVER_FIRST = (
+    "q60_sole_late_supplier", "q61_acquisition_prospects",
+    "q63_top_supplier_with_ties", "q64_part_supplier_variety",
+    "q65_market_share", "q67_small_quantity_revenue",
+    "q68_dominant_supplier_parts", "q69_disjunctive_pushdown",
+    "q70_returned_items", "q71_product_profit",
+    "q72_order_history_strings", "q73_spend_percentile_rank",
+    "q84_recursive_reachability", "q88_rolling_median", "q89_twap",
+    "q90_array_functions", "q91_date_functions", "q93_conversion_latency",
+    "q94_cohort_ltv", "m05_payload_windows",
 )
-_NEVER_LAST = ("q90_array_functions", "q91_date_functions")
+_NEVER_LAST: tuple[str, ...] = ()
 
 
 def _driver_order() -> list[str]:
@@ -180,16 +199,26 @@ def _driver_order() -> list[str]:
     failed = [n for n in _DRIVER_FAILED_LAST if n in _REGISTRY]
     modified = [n for n in _MODIFIED_SINCE_VERDICT if n in _REGISTRY]
     head = set(failed) | set(modified)
-    greens = _DRIVER_GREEN_R1 | _DRIVER_GREEN_R2 | _DRIVER_GREEN_R3
+    rounds = (
+        _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
+        _DRIVER_GREEN_R4,
+    )
+    greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]
     n_first = [n for n in _NEVER_FIRST if n in never]
     n_last = [n for n in _NEVER_LAST if n in never]
     n_mid = [n for n in never if n not in set(n_first) | set(n_last)]
     never = n_first + n_mid + n_last
-    green_r1 = [n for n in names if n in _DRIVER_GREEN_R1 and n not in head]
-    green_r2 = [n for n in names if n in _DRIVER_GREEN_R2 and n not in head]
-    green_r3 = [n for n in names if n in _DRIVER_GREEN_R3 and n not in head]
-    return failed + modified + never + green_r1 + green_r2 + green_r3
+    # Greens ordered stalest-first; a name re-greened in a later round sits
+    # with its FRESHEST verdict, so earlier rounds exclude later members.
+    ordered_greens: list[str] = []
+    for i, rnd in enumerate(rounds):
+        fresher = frozenset().union(*rounds[i + 1:]) if i + 1 < len(rounds) else frozenset()
+        ordered_greens += [
+            n for n in names
+            if n in rnd and n not in fresher and n not in head
+        ]
+    return failed + modified + never + ordered_greens
 
 
 def all_specs() -> dict[str, QuerySpec]:
