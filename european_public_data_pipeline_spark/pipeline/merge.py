@@ -54,6 +54,41 @@ def _delete_partition_dir(spark: SparkSession, target_path: str, part_dir: str) 
         fs.delete(path, True)
 
 
+def _partition_dir_name(spark: SparkSession, partition_col: str, value_str: str | None) -> str:
+    """Directory fragment (``col=escaped-value``) for one partition value,
+    escaped by the SAME function Spark's file commit protocol uses
+    (``ExternalCatalogUtils.getPartitionPathString``): Hive ``%XX`` escapes
+    for ``/ : % #`` etc. and ``__HIVE_DEFAULT_PARTITION__`` for null/empty.
+    A hand-built ``f"{col}={value}"`` would miss those encodings and leave
+    an emptied partition's stale files readable — fatal for the
+    right-to-erasure path.
+    """
+    jvm = spark.sparkContext._jvm
+    utils = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    return utils.getPartitionPathString(partition_col, value_str)
+
+
+def _collect_partition_values(
+    df: DataFrame, partition_col: str
+) -> tuple[list, set]:
+    """Distinct partition values as ``(raw values, Spark-cast strings)``.
+
+    The raw values feed ``isin`` filters (value space); the strings feed
+    directory-name construction — cast WITH Spark so date/timestamp
+    partitions render exactly as the writer renders them, not as Python
+    ``str()`` would.
+    """
+    rows = (
+        df.select(
+            F.col(partition_col).alias("_v"),
+            F.col(partition_col).cast("string").alias("_s"),
+        )
+        .distinct()
+        .collect()
+    )
+    return [r["_v"] for r in rows], {r["_s"] for r in rows}
+
+
 def merge_by_key(
     spark: SparkSession,
     target_path: str,
@@ -153,7 +188,7 @@ def merge_by_key(
                 .distinct()
             )
             touched_df = upd_parts.union(moved_parts).distinct()
-        touched = [r[0] for r in touched_df.collect()]
+        touched, touched_str = _collect_partition_values(touched_df, partition_col)
         scoped = target.filter(F.col(partition_col).isin(touched))
     else:
         scoped = target
@@ -189,14 +224,11 @@ def merge_by_key(
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         # Dynamic overwrite never touches partitions absent from the
         # output — delete any touched partition the merge emptied.
-        out_parts = {
-            r[0] for r in merged.select(partition_col).distinct().collect()
-        }
-        for p in touched:
-            if p not in out_parts:
-                _delete_partition_dir(
-                    spark, target_path, f"{partition_col}={p}"
-                )
+        _, out_str = _collect_partition_values(merged, partition_col)
+        for s in touched_str - out_str:
+            _delete_partition_dir(
+                spark, target_path, _partition_dir_name(spark, partition_col, s)
+            )
     else:
         merged.write.mode("overwrite").parquet(target_path)
 
@@ -237,15 +269,9 @@ def delete_by_key(
     target = spark.read.parquet(target_path)
 
     if partition_col:
-        touched = [
-            r[0]
-            for r in (
-                target.join(dk, keys, "left_semi")
-                .select(partition_col)
-                .distinct()
-                .collect()
-            )
-        ]
+        touched, touched_str = _collect_partition_values(
+            target.join(dk, keys, "left_semi"), partition_col
+        )
         if not touched:
             return {"deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
         scoped = target.filter(F.col(partition_col).isin(touched))
@@ -267,12 +293,13 @@ def delete_by_key(
             )
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        out_parts = {r[0] for r in kept.select(partition_col).distinct().collect()}
+        _, out_str = _collect_partition_values(kept, partition_col)
         removed = 0
-        for p in touched:
-            if p not in out_parts:
-                _delete_partition_dir(spark, target_path, f"{partition_col}={p}")
-                removed += 1
+        for s in touched_str - out_str:
+            _delete_partition_dir(
+                spark, target_path, _partition_dir_name(spark, partition_col, s)
+            )
+            removed += 1
         return {
             "deleted": n_scoped - n_kept,
             "partitions_rewritten": len(touched) - removed,

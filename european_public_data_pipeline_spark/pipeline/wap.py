@@ -29,8 +29,6 @@ scan up front.
 
 from __future__ import annotations
 
-import shutil
-
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,6 +57,16 @@ def write_audit_publish(
     """
     spark = df.sparkSession
     staging = staging_path or f"{path}__staging"
+
+    if (
+        suite._expected_columns is None
+        and not suite._scalar_checks
+        and not suite._unique_keys
+        and not suite._continuity
+    ):
+        # Fail BEFORE the staging write: an empty suite is a declaration
+        # bug, not a passing audit — publishing ungated would defeat WAP.
+        raise ValueError("write_audit_publish: suite declares no checks")
 
     parts: list[DataFrame] = []
 
@@ -118,8 +126,21 @@ def write_audit_publish(
     # — on object stores this step is the gold manifest/pointer update,
     # pipeline/gold.py).
     write_partitioned(spark.read.parquet(staging), path, partition_cols)
-    shutil.rmtree(staging, ignore_errors=True)
+    _delete_dir(spark, staging)
     return checks
+
+
+def _delete_dir(spark: SparkSession, path_str: str) -> None:
+    """Remove the staging directory through the Hadoop FS API so cleanup
+    behaves identically on HDFS/object stores, where a local
+    ``shutil.rmtree`` would silently leave it forever (same pattern as
+    ``merge._delete_partition_dir``)."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
 
 
 def quarantine_report(spark: SparkSession, staging_path: str) -> DataFrame:

@@ -163,6 +163,7 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
 TWAP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts_us", T.LongType(), True),
+        T.StructField("last_eid", T.LongType(), True),
         T.StructField("last_v_c", T.LongType(), True),
         T.StructField("n_gaps", T.LongType(), True),
         T.StructField("held_us", T.LongType(), True),
@@ -189,18 +190,26 @@ def _update_twap(
 
     (user_id,) = key
     if state.exists:
-        last_us, last_vc, n_gaps, held, vw_s, late = state.get
+        last_us, last_eid, last_vc, n_gaps, held, vw_s, late = state.get
         vw = int(vw_s)
     else:
-        last_us, last_vc, n_gaps, held, vw, late = None, None, 0, 0, 0, 0
+        last_us, last_eid, last_vc, n_gaps, held, vw, late = (
+            None, None, None, 0, 0, 0, 0,
+        )
 
     frames = [pdf for pdf in pdfs if len(pdf)]
     if frames:
         batch = pd.concat(frames).sort_values(["ts_us", "event_id"])
-        for ts_us, v_c in zip(batch["ts_us"], batch["v_c"]):
+        for ts_us, eid, v_c in zip(batch["ts_us"], batch["event_id"], batch["v_c"]):
             ts_us = int(ts_us)
+            eid = int(eid)
             v_c = int(v_c)
-            if last_us is not None and ts_us < last_us:
+            # The frontier is the (ts, event_id) pair — the batch twin's
+            # ORDER BY ts, event_id tie-break. A tied timestamp whose
+            # event_id orders BEFORE the frontier event belongs behind it
+            # (its zero-width interval is already closed); treating it as
+            # in-order would wrongly replace the held value.
+            if last_us is not None and (ts_us, eid) <= (last_us, last_eid):
                 late += 1  # arrived behind the frontier: gap already closed
                 continue
             if last_us is not None:
@@ -208,8 +217,8 @@ def _update_twap(
                 held += w
                 vw += last_vc * w
                 n_gaps += 1
-            last_us, last_vc = ts_us, v_c
-    state.update((last_us, last_vc, n_gaps, held, str(vw), late))
+            last_us, last_eid, last_vc = ts_us, eid, v_c
+    state.update((last_us, last_eid, last_vc, n_gaps, held, str(vw), late))
     twap = (float(vw) / float(held) / 100.0) if held > 0 else None
     yield pd.DataFrame(
         {

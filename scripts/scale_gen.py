@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Regenerate the synthetic scaled extensions used for PLANS.md's 10x/100x
-measurements (crossJoin a copies range, offset the join keys, symlink the
-unchanged tables). Dirs land under /tmp and do NOT survive rounds — re-run
+measurements (crossJoin a copies range, offset the join keys by max(id)+1 so sparse
+id spaces cannot collide, symlink the unchanged tables). Dirs land under /tmp and do NOT survive rounds — re-run
 this script before measuring.
 
 Usage: python scripts/scale_gen.py  (builds all four extensions, idempotent)
@@ -51,11 +51,11 @@ def main() -> None:
     dst = "/tmp/sx100_events"
     if not os.path.exists(f"{dst}/events.parquet"):
         e = spark.read.parquet(f"{SRC}/events.parquet")
-        n = e.count()
+        stride = e.agg(F.max("event_id")).collect()[0][0] + 1
         copies = spark.range(100).withColumnRenamed("id", "copy")
         (
             e.crossJoin(copies)
-            .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(n))
+            .withColumn("event_id", F.col("event_id") + F.col("copy") * F.lit(stride))
             .drop("copy")
             .write.mode("overwrite")
             .parquet(f"{dst}/events.parquet")
@@ -65,11 +65,11 @@ def main() -> None:
     dst = "/tmp/sx10_docs"
     if not os.path.exists(f"{dst}/documents.parquet"):
         d = spark.read.parquet(f"{SRC}/documents.parquet")
-        n = d.count()
+        stride = d.agg(F.max("doc_id")).collect()[0][0] + 1
         copies = spark.range(10).withColumnRenamed("id", "copy")
         (
             d.crossJoin(copies)
-            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(n))
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * F.lit(stride))
             .withColumn(
                 "text",
                 F.when(F.col("copy") == 0, F.col("text")).otherwise(
@@ -91,11 +91,11 @@ def main() -> None:
     dst = "/tmp/sx10_emb"
     if not os.path.exists(f"{dst}/embeddings.parquet"):
         e = spark.read.parquet(f"{SRC}/embeddings.parquet")
-        n = e.count()
+        stride = e.agg(F.max("vec_id")).collect()[0][0] + 1
         copies = spark.range(10).withColumnRenamed("id", "copy")
         (
             e.crossJoin(copies)
-            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * F.lit(n))
+            .withColumn("vec_id", F.col("vec_id") + F.col("copy") * F.lit(stride))
             .drop("copy")
             .write.mode("overwrite")
             .parquet(f"{dst}/embeddings.parquet")

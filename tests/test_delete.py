@@ -91,3 +91,55 @@ def test_delete_unpartitioned_table(spark, tmp_path):
     stats = delete_by_key(spark, path, _keys(spark, [1]), ["k"])
     assert stats["deleted"] == 1
     assert _rows(spark, path) == {(2, "y"): "b"}
+
+
+def test_delete_emptied_partition_with_escaped_value(spark, tmp_path):
+    """Partition values Spark Hive-escapes on write (':' '/' '%') — the
+    emptied directory name must be derived with the SAME escaping, or the
+    erased rows' stale files survive (ADVICE r4, merge.py)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b/c%d", "x"), (2, "a:b/c%d", "y"), (3, "plain", "z")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+    # The escaped dir exists on disk, not the raw name.
+    assert os.path.exists(os.path.join(path, "lang=a%3Ab%2Fc%25d"))
+    stats = delete_by_key(spark, path, _keys(spark, [1, 2]), ["k"], "lang")
+    assert stats == {"deleted": 2, "partitions_rewritten": 0, "partitions_removed": 1}
+    assert not os.path.exists(os.path.join(path, "lang=a%3Ab%2Fc%25d"))
+    assert _rows(spark, path) == {(3, "plain"): "z"}
+
+
+def test_delete_emptied_date_partition(spark, tmp_path):
+    """Non-string partition column: dir names must render the value as the
+    writer renders it (Spark cast-to-string), not Python str()."""
+    import datetime
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, datetime.date(2024, 1, 2), "a"),
+            (2, datetime.date(2024, 3, 4), "b"),
+        ],
+        "k long, d date, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="d")
+    stats = delete_by_key(spark, path, _keys(spark, [1]), ["k"], "d")
+    assert stats == {"deleted": 1, "partitions_rewritten": 0, "partitions_removed": 1}
+    assert not os.path.exists(os.path.join(path, "d=2024-01-02"))
+    assert {r["k"] for r in spark.read.parquet(path).collect()} == {2}
+
+
+def test_merge_emptied_escaped_partition_is_removed(spark, tmp_path):
+    """Same latent pattern in merge_by_key: a key moving OUT of an escaped
+    partition must remove that partition's directory."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a:b", "x"), (2, "plain", "y")], "k long, lang string, v string"
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+    moved = spark.createDataFrame([(1, "plain", "x2")], "k long, lang string, v string")
+    merge_by_key(spark, path, moved, keys=["k"], partition_col="lang")
+    assert not os.path.exists(os.path.join(path, "lang=a%3Ab"))
+    assert _rows(spark, path) == {(1, "plain"): "x2", (2, "plain"): "y"}

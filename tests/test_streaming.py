@@ -415,6 +415,70 @@ def test_streaming_twap_drops_and_counts_late_rows(spark, tmp_path):
     assert final["n_late"] == 1
 
 
+def test_streaming_twap_tied_ts_straddling_batches_is_late(spark, tmp_path):
+    """A tied-timestamp event whose event_id orders BEFORE the frontier
+    event, arriving in a LATER micro-batch, is behind the (ts, event_id)
+    frontier: it must be dropped as late — not close a zero-width gap and
+    replace the held value (ADVICE r4, stateful.py). The batch twin's
+    ORDER BY ts, event_id places it before the frontier event, so its
+    interval is zero-width either way; the held value going forward must
+    stay the larger-event_id event's."""
+    import datetime as dt
+
+    from european_public_data_pipeline_spark.streaming.stateful import streaming_twap
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+    def run():
+        q = (
+            streaming_twap(read_events_stream(spark, src))
+            .writeStream.foreachBatch(
+                lambda df, bid: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [
+            (1, t0, 1, "view", 10.0, "{}"),
+            (3, t0 + dt.timedelta(seconds=10), 1, "view", 30.0, "{}"),
+        ],
+        schema,
+    ).write.parquet(src)
+    run()
+
+    # Tied ts (=frontier's 10s) but SMALLER event_id, in a later batch.
+    spark.createDataFrame(
+        [
+            (2, t0 + dt.timedelta(seconds=10), 1, "view", 99.0, "{}"),
+            (4, t0 + dt.timedelta(seconds=20), 1, "view", 40.0, "{}"),
+        ],
+        schema,
+    ).write.mode("append").parquet(src)
+    run()
+
+    final = (
+        spark.read.parquet(sink)
+        .orderBy(F.desc("n_events"))
+        .limit(1)
+        .collect()[0]
+    )
+    # Gaps: 10s@10.00 then 10s@30.00 — event 2's 99.0 never becomes the
+    # held value; twap = (1000*1e7 + 3000*1e7)/2e7/100 = 20.0 exactly.
+    assert final["n_events"] == 2
+    assert final["held_us"] == 20_000_000
+    assert final["twap"] == 20.0
+    assert final["n_late"] == 1
+
+
 def test_dedup_within_watermark_collapses_restamped_replays(spark, events_dir, tmp_path):
     """Replays with a DRIFTED timestamp (re-stamped retry) must still
     collapse under dropDuplicatesWithinWatermark — the case key+ts

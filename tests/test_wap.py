@@ -95,3 +95,14 @@ def test_publish_is_partition_scoped(spark, tmp_path):
         read_partitioned(spark, path).groupBy("geo").count().collect()
     )
     assert counts == {"LU": 6, "FR": 6}
+
+
+def test_empty_suite_rejected_before_any_write(spark, tmp_path):
+    """A suite declaring no checks is a declaration bug: fail fast, before
+    the staging write (ADVICE r4, wap.py)."""
+    path = str(tmp_path / "tbl")
+    df = batch(spark)
+    with pytest.raises(ValueError, match="declares no checks"):
+        write_audit_publish(df, check_suite(df), path, ["geo"])
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + "__staging")
