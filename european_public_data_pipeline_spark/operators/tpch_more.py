@@ -13,6 +13,9 @@ re-scan per row.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -752,17 +755,7 @@ def q64_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q65_market_share",
-    category="join",
-    doc="TPC-H Q8 shape (national market share): for one region's "
-    "customers, the share of yearly revenue delivered by suppliers of "
-    "one nation. Conditional-sum-over-sum per year — both numerator and "
-    "denominator from ONE aggregation pass (a CASE inside the sum), "
-    "never two scans. All dimensions broadcast; the fact shuffles once "
-    "for the year rollup. Exact decimal sums; the final share is one "
-    "IEEE division of two exact values, bit-stable across engines.",
-    oracle="""
+_Q65_ORACLE = """
 SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
        CAST(SUM(CASE WHEN sn.n_name = 'KENYA'
                      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
@@ -778,15 +771,19 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation sn ON s.s_nationkey = sn.n_nationkey
 GROUP BY 1
 ORDER BY o_year
-""",
-)
-def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+"""
+
+
+def _market_share_rollup(spark: SparkSession, sf_dir: str, fact: DataFrame) -> DataFrame:
+    """q65's dimension chain + conditional share rollup over an already-
+    joined lineitem x orders relation (columns l_suppkey, l_extendedprice,
+    l_discount, o_custkey, o_orderdate). Shared by the plain and the
+    bucketed-layout variants so their results are definitionally the same
+    computation after the fact-fact join."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
-    s = load_table(spark, sf_dir, "supplier")
+    sup = load_table(spark, sf_dir, "supplier")
     cn = n.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
@@ -798,11 +795,10 @@ def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        fact.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("cn_region") == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -813,6 +809,66 @@ def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+@register(
+    "q65_market_share",
+    category="join",
+    doc="TPC-H Q8 shape (national market share): for one region's "
+    "customers, the share of yearly revenue delivered by suppliers of "
+    "one nation. Conditional-sum-over-sum per year — both numerator and "
+    "denominator from ONE aggregation pass (a CASE inside the sum), "
+    "never two scans. All dimensions broadcast; the fact shuffles once "
+    "for the year rollup. Exact decimal sums; the final share is one "
+    "IEEE division of two exact values, bit-stable across engines. "
+    "q95_bucketed_market_share is the same computation over a bucketed "
+    "layout where the fact-fact join plans zero Exchange.",
+    oracle=_Q65_ORACLE,
+)
+def q65_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey)
+    return _market_share_rollup(spark, sf_dir, fact)
+
+
+@register(
+    "q95_bucketed_market_share",
+    category="join",
+    doc="q65's market share over a BUCKETED fact layout — the 100 TB "
+    "answer to the genuine lineitem x orders orderkey shuffle (measured "
+    "15x at 100x for the plain join, PLANS.md): both facts are written "
+    "once with bucketBy(16, orderkey) + sortBy, after which the "
+    "fact-fact join is a zero-Exchange sort-merge join — Catalyst "
+    "recognizes the matching bucket partitioning, so neither 100 TB "
+    "side ever rides the wire again for ANY orderkey join. The builder "
+    "pays the one-time layout write per call to stay self-contained "
+    "(production does it in the ingest pipeline); the plan assertion "
+    "lives in tests/test_scale_joins.py and the result is hash-identical "
+    "to q65 by construction (same oracle, shared rollup).",
+    oracle=_Q65_ORACLE,
+)
+def q95_bucketed_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.scale_joins import (
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    lt, ot = f"bkt_lineitem_{tag}", f"bkt_orders_{tag}"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    write_bucketed(li, lt, "l_orderkey", n_buckets=16)
+    write_bucketed(o, ot, "o_orderkey", n_buckets=16)
+    fact = (
+        spark.table(lt)
+        .hint("merge")  # pin SMJ so the co-location shows at toy scale too
+        .join(spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return _market_share_rollup(spark, sf_dir, fact)
 
 
 @register(

@@ -98,3 +98,20 @@ def test_bucketed_aggregation_reuses_bucket_partitioning(spark, bucketed_tables)
     # pre-partitioned scan.
     agg = spark.table(left).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     assert "Exchange" not in physical_plan(agg)
+
+
+def test_q95_bucketed_fact_join_plans_no_orderkey_exchange(spark, sf_small):
+    """q95: the lineitem x orders join over the bucketed layout must plan
+    NO Exchange on either fact side (the aggregation/sort exchanges after
+    the join are expected), and its result must equal plain q65's."""
+    from european_public_data_pipeline_spark import plans
+
+    specs = plans.all_specs()
+    q95 = specs["q95_bucketed_market_share"].builder(spark, sf_small)
+    plan = physical_plan(q95)
+    assert "SortMergeJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "orderkey" not in line.lower(), line  # facts never shuffle
+    q65 = specs["q65_market_share"].builder(spark, sf_small)
+    assert sorted(map(tuple, q95.collect())) == sorted(map(tuple, q65.collect()))
