@@ -1478,3 +1478,122 @@ def d18_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "d19_span_contamination",
+    category="dedup",
+    doc="Span-level decontamination localization — the step AFTER d10's "
+    "doc-level flag: for every training document sharing 5-gram spans "
+    "with the benchmark split, WHERE the overlap sits (first/last span "
+    "position), how many matching spans, how many contiguous islands "
+    "they merge into, and how many tokens excising the islands would "
+    "remove (with the ratio to doc length) — the excision work order a "
+    "surgical decontamination pass executes instead of dropping whole "
+    "documents. Shape: positioned 5-gram relation (row-local explode, "
+    "corpus-token-sized like d10's), benchmark shingle set broadcast to "
+    "the probe side, then gaps-and-islands (lag + running sum windows) "
+    "over MATCHED spans only — a relation proportional to the "
+    "contamination, not the corpus. All island arithmetic is integer — "
+    "bit-exact parity; the ratio is one exact-int division.",
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, len(words) AS n_tokens, i AS p,
+         concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4]) AS shingle
+  FROM (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+       UNNEST(generate_series(1, len(words) - {CONTAM_NGRAM - 1})) AS t(i)
+),
+split AS (SELECT doc_id, {_HASH_DOC_SQL} % {CONTAM_MOD} = 0 AS is_bench FROM documents),
+bench AS (SELECT DISTINCT shingle FROM pos JOIN split USING (doc_id) WHERE is_bench),
+hits AS (
+  SELECT p.doc_id, p.n_tokens, p.p
+  FROM pos p
+  JOIN split s ON s.doc_id = p.doc_id AND NOT s.is_bench
+  JOIN bench b ON b.shingle = p.shingle
+),
+isl AS (
+  SELECT doc_id, n_tokens, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {CONTAM_NGRAM - 1} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM (SELECT doc_id, n_tokens, p,
+               LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM hits)
+),
+agg_isl AS (
+  SELECT doc_id, n_tokens, island_id,
+         MIN(p) AS i_start, MAX(p) + {CONTAM_NGRAM - 1} AS i_end,
+         COUNT(*) AS n_in_island
+  FROM isl GROUP BY doc_id, n_tokens, island_id
+)
+SELECT doc_id,
+       CAST(SUM(n_in_island) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MIN(i_start) AS BIGINT) AS first_pos,
+       CAST(MAX(i_end) - {CONTAM_NGRAM - 1} AS BIGINT) AS last_pos,
+       CAST(SUM(i_end - i_start + 1) AS BIGINT) AS covered_tokens,
+       CAST(SUM(i_end - i_start + 1) AS DOUBLE) / n_tokens AS covered_ratio
+FROM agg_isl
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+""",
+)
+def d19_span_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = CONTAM_NGRAM
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", w.alias("w")).withColumn("n_tokens", F.size("w"))
+    shingle = F.concat_ws(
+        " ", *[F.element_at("w", F.col("p") + i) for i in range(n)]
+    )
+    # Guard: sequence(1, k) with k < 1 would COUNT DOWN in Spark; docs
+    # shorter than the n-gram emit no spans.
+    pos = (
+        base.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.col("n_tokens") - (n - 1))).alias("p"),
+        )
+        .select("doc_id", "n_tokens", "p", shingle.alias("shingle"))
+        .withColumn(
+            "is_bench",
+            base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0,
+        )
+        .cache()  # feeds the benchmark-set branch AND the probe branch
+    )
+    bench = pos.filter(F.col("is_bench")).select("shingle").distinct()
+    hits = (
+        pos.filter(~F.col("is_bench"))
+        .join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id", "n_tokens", "p")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("p")
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = hits.withColumn("prev", F.lag("p").over(w_doc)).withColumn(
+        "island_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull() | (F.col("p") - F.col("prev") > n - 1), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    agg_isl = isl.groupBy("doc_id", "n_tokens", "island_id").agg(
+        F.min("p").alias("i_start"),
+        (F.max("p") + (n - 1)).alias("i_end"),
+        F.count(F.lit(1)).alias("n_in_island"),
+    )
+    covered = F.sum(F.col("i_end") - F.col("i_start") + 1)
+    return (
+        agg_isl.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.sum("n_in_island").alias("n_spans"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.min("i_start").alias("first_pos"),
+            (F.max("i_end") - (n - 1)).alias("last_pos"),
+            covered.alias("covered_tokens"),
+            (covered.cast("double") / F.col("n_tokens")).alias("covered_ratio"),
+        )
+        .drop("n_tokens")
+        .orderBy("doc_id")
+    )

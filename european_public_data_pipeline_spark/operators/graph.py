@@ -323,3 +323,78 @@ def g03_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_SQL_LPA_ITER = """
+  SELECT node, label FROM (
+    SELECT c.node, c.label,
+           ROW_NUMBER() OVER (PARTITION BY c.node ORDER BY c.cnt DESC, c.label) AS rn
+    FROM (SELECT u.dst AS node, l.label, COUNT(*) AS cnt
+          FROM und u JOIN {lbl} l ON l.node = u.src
+          GROUP BY u.dst, l.label) c
+  ) WHERE rn = 1
+"""
+
+
+@register(
+    "g04_label_propagation",
+    category="graph",
+    doc="Two synchronous label-propagation iterations (community "
+    "detection) over the undirected customer-supplier purchase graph, "
+    "labels initialized to node ids: each step every node adopts its "
+    "neighbors' most frequent label, ties broken by SMALLEST label — "
+    "the deterministic variant of LPA (classic LPA breaks ties "
+    "randomly, which would be irreproducible AND unverifiable). "
+    "Complements the iterative family: d08 converges data-dependently, "
+    "g01 is fixed-iteration over doubles, g04 is fixed-iteration over "
+    "pure integers. Per step: one shuffle of edge-carried labels keyed "
+    "on dst (map-side combined into (node, label) counts), then a "
+    "node-keyed argmax via max(struct(cnt, -label)) — no rank window, "
+    "no driver loop. Integer-only arithmetic: bit-exact parity; the "
+    "oracle unrolls both steps with the same tie-break.",
+    oracle=f"""
+WITH e AS (
+  SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+und AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+l1 AS ({_SQL_LPA_ITER.format(lbl='l0')}),
+l2 AS ({_SQL_LPA_ITER.format(lbl='l1')})
+SELECT node, label AS community FROM l2 ORDER BY node
+""",
+)
+def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()  # feeds the init label set and both propagation steps
+    labels = und.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+
+    def step(lbl: DataFrame) -> DataFrame:
+        counts = (
+            und.join(lbl, und.src == lbl.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg")))
+        return counts.groupBy(F.col("n2").alias("node")).agg(
+            (-best.getField("neg")).alias("label")
+        )
+
+    return (
+        step(step(labels))
+        .select("node", F.col("label").alias("community"))
+        .orderBy("node")
+    )

@@ -35,7 +35,22 @@ def write_bucketed(
     sort_col: str | None = None,
 ) -> None:
     """Persist as a bucketed, sorted managed table: the one-time shuffle
-    that makes every later join/aggregation on ``bucket_col`` shuffle-free."""
+    that makes every later join/aggregation on ``bucket_col`` shuffle-free.
+
+    A FRESH session (in-memory catalog) pointed at a warehouse directory
+    holding a previous session's table data refuses ``saveAsTable`` with
+    LOCATION_ALREADY_EXISTS — the location is orphaned from the new
+    catalog's perspective. Drop any catalog entry AND remove a stale
+    orphaned location before writing so the helper is rerun-safe across
+    sessions (the correctness driver re-runs builders in new sessions)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
+    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.bucketBy(n_buckets, bucket_col).sortBy(sort_col or bucket_col)
     w.mode("overwrite").saveAsTable(table)
 

@@ -1425,3 +1425,104 @@ def s12_product_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "s13_mips_topk",
+    category="similarity",
+    doc="Maximum-inner-product search (the retrieval objective when "
+    "embeddings are trained with dot-product scoring, e.g. DPR-style "
+    "retrievers) plus an audit of the standard norm-augmentation "
+    "reduction to cosine ANN: with M = max corpus norm, augmenting each "
+    "corpus vector c to [c, sqrt(M² - |c|²)] makes its norm exactly M, "
+    "so cosine([q, 0], φ(c)) = ip / (|q|·M) — the reduction every "
+    "cosine-bucketed index (s02 LSH, s04 IVF) needs to serve MIPS. "
+    "The augmented cosine is computed in that collapsed closed form "
+    "(avoids sqrt(M²-|c|²) going NaN on the max-norm vector via fp "
+    "underflow). Per query: top-5 by raw inner product and the same "
+    "rank's neighbor under the augmented-cosine ordering, with an "
+    "agreement flag — rank flips can only come from fp rounding in the "
+    "constant division, and the audit proves the reduction preserves "
+    "the ranking on this corpus. Exact baseline shape (s01's class): "
+    "query set broadcast, corpus scanned once, per-query windows over "
+    "10 query groups; the scaled serving path is the SAME reduction "
+    "feeding s02/s04 buckets. All dot products are sequential "
+    "left-folds — bit-equal to the oracle's list_reduce.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+m AS (SELECT MAX(nrm) AS mx FROM e),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_dot('q.embedding', 'c.embedding')} AS ip,
+         {_sql_dot('q.embedding', 'c.embedding')} / (q.nrm * m.mx) AS aug_cos
+  FROM e q JOIN e c ON q.vec_id < {N_QUERIES} AND c.vec_id != q.vec_id
+  CROSS JOIN m
+),
+mips AS (
+  SELECT query_id, neighbor_id, ip,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rank
+  FROM scored
+),
+aug AS (
+  SELECT query_id, neighbor_id AS aug_neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY aug_cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT mips.query_id, mips.rank, mips.neighbor_id, mips.ip,
+       aug.aug_neighbor_id,
+       mips.neighbor_id = aug.aug_neighbor_id AS agree
+FROM mips JOIN aug ON aug.query_id = mips.query_id AND aug.rank = mips.rank
+WHERE mips.rank <= {TOP_K}
+ORDER BY mips.query_id, mips.rank
+""",
+)
+def s13_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", dvec().alias("vec"), norm().alias("nrm"))
+    mx = e.agg(F.max("nrm").alias("mx"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cvec"))
+    ip = dot_fold(F.col("qvec"), F.col("cvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            ip.alias("ip"),
+            (ip / (F.col("qnrm") * F.col("mx"))).alias("aug_cos"),
+        )
+    )
+    w_ip = Window.partitionBy("query_id").orderBy(F.desc("ip"), F.asc("neighbor_id"))
+    w_aug = Window.partitionBy("query_id").orderBy(
+        F.desc("aug_cos"), F.asc("neighbor_id")
+    )
+    mips = scored.select(
+        "query_id", "neighbor_id", "ip", F.row_number().over(w_ip).alias("rank")
+    ).filter(F.col("rank") <= TOP_K)
+    aug = scored.select(
+        "query_id",
+        F.col("neighbor_id").alias("aug_neighbor_id"),
+        F.row_number().over(w_aug).alias("rank"),
+    )
+    return (
+        mips.join(aug, ["query_id", "rank"])
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "ip",
+            "aug_neighbor_id",
+            (F.col("neighbor_id") == F.col("aug_neighbor_id")).alias("agree"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1353,3 +1353,103 @@ def t20_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "t21_bigram_surprisal",
+    category="text",
+    doc="Top-50 most-surprising documents under the corpus BIGRAM "
+    "language model — the context-aware step beyond t14's unigram "
+    "filter (production quality filters are n-gram KenLM scorers; the "
+    "bigram model is the Spark-native rung of that ladder: unusual "
+    "token SEQUENCES score high even when every token is common). "
+    "p(w2|w1) = cnt(w1 w2) / cnt(w1 ·), so per-occurrence surprisal "
+    "-ln p is the DIFFERENCE of two integer micro-nat terms "
+    "(floor(ln(ctx)*1e6) - floor(ln(big)*1e6)) — per-doc sums are exact "
+    "integer folds, engine- and partition-order-independent. Shape: one "
+    "positioned explode builds the bigram relation (corpus-linear), a "
+    "bigram-keyed aggregate builds the model, the context marginal is a "
+    "SECOND aggregate OF THE MODEL (bigram-vocab-sized, not corpus-"
+    "sized), the probe re-joins on the bigram key, one doc-keyed "
+    "aggregate, then TakeOrdered 50 — never a global sort.",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+big AS (
+  SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS bigram, ws[i] AS ctx
+  FROM tok, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+bmodel AS (SELECT bigram, ANY_VALUE(ctx) AS ctx, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM big GROUP BY bigram),
+cmodel AS (SELECT ctx, CAST(SUM(c12) AS BIGINT) AS c1 FROM bmodel GROUP BY ctx),
+sur AS (
+  SELECT b.bigram,
+         CAST(floor(ln(CAST(c.c1 AS DOUBLE)) * 1e6) AS BIGINT)
+           - CAST(floor(ln(CAST(b.c12 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS micronats
+  FROM bmodel b JOIN cmodel c ON c.ctx = b.ctx
+)
+SELECT doc_id, n_bigrams, sum_micronats, avg_micronats FROM (
+  SELECT g.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         CAST(SUM(s.micronats) AS BIGINT) AS sum_micronats,
+         CAST(CAST(SUM(s.micronats) AS BIGINT) AS DOUBLE) / COUNT(*)
+           AS avg_micronats
+  FROM big g JOIN sur s ON s.bigram = g.bigram
+  GROUP BY g.doc_id
+)
+ORDER BY avg_micronats DESC, doc_id
+LIMIT 50
+""",
+)
+def t21_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = tokens()
+    base = docs.select("doc_id", ws.alias("ws"))
+    # Positioned bigram relation; docs under 2 tokens emit nothing (the
+    # sequence guard — Spark's sequence(1, 0) would count DOWN).
+    big = (
+        base.withColumn("n", F.size("ws"))
+        .filter(F.col("n") >= 2)
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.col("n") - 1)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.element_at("ws", F.col("i")), F.element_at("ws", F.col("i") + 1)
+            ).alias("bigram"),
+            F.element_at("ws", F.col("i")).alias("ctx"),
+        )
+        .cache()  # feeds the model build AND the probe join
+    )
+    bmodel = big.groupBy("bigram").agg(
+        F.first("ctx").alias("ctx"), F.count(F.lit(1)).alias("c12")
+    )
+    cmodel = bmodel.groupBy("ctx").agg(F.sum("c12").alias("c1"))
+    sur = bmodel.join(cmodel, "ctx").select(
+        "bigram",
+        (
+            F.floor(F.log(F.col("c1").cast("double")) * 1e6).cast("long")
+            - F.floor(F.log(F.col("c12").cast("double")) * 1e6).cast("long")
+        ).alias("micronats"),
+    )
+    return (
+        big.join(sur, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("micronats").alias("sum_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_micronats",
+            (F.col("sum_micronats").cast("double") / F.col("n_bigrams")).alias(
+                "avg_micronats"
+            ),
+        )
+        .orderBy(F.desc("avg_micronats"), F.asc("doc_id"))
+        .limit(50)
+    )
