@@ -1255,3 +1255,137 @@ def q91_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofyear(d).alias("doy"),
         F.date_trunc("month", d).cast("date").alias("month_start"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "q96_incremental_agg_maintenance",
+    category="aggregate",
+    doc="Algebraic materialized-view maintenance — the 100 TB answer to "
+    "'refresh the dashboard aggregate': the per-priority order summary "
+    "(count, exact decimal revenue, first/last date, derived average) is "
+    "maintained by MERGING a stored base aggregate with the new delta "
+    "batch's aggregate — combine(count)=sum, combine(sum)=sum, "
+    "combine(min/max)=min/max, avg DERIVED from (sum, count) at read "
+    "time (avg is not algebraic on its own; storing sum+count makes it "
+    "so). The base relation is never re-scanned: the merge unions two "
+    "AGGREGATE-sized relations (here #priorities rows each) — q83 "
+    "proves the same property for sketches, this is the exact-aggregate "
+    "counterpart every warehouse MV refresh relies on. The oracle "
+    "recomputes from ALL rows — hash-equality IS the maintenance "
+    "correctness proof.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       MIN(CAST(o_orderdate AS DATE)) AS first_date,
+       MAX(CAST(o_orderdate AS DATE)) AS last_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q96_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1996-01-01"
+    base = o.filter(F.col("o_orderdate") < cutoff)
+    delta = o.filter(F.col("o_orderdate") >= cutoff)
+
+    def partial(df: DataFrame) -> DataFrame:
+        # The storable MV state: every column algebraic (mergeable).
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(dec("o_totalprice")).alias("s_total"),
+            F.min(F.col("o_orderdate").cast("date")).alias("first_date"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        )
+
+    merged = (
+        partial(base)
+        .unionByName(partial(delta))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("s_total").alias("s_total"),
+            F.min("first_date").alias("first_date"),
+            F.max("last_date").alias("last_date"),
+        )
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("s_total").cast("double").alias("sum_total"),
+        "first_date",
+        "last_date",
+        (F.col("s_total").cast("double") / F.col("n_orders")).alias("avg_total"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "q97_snapshot_changelog",
+    category="join",
+    doc="Changelog (CDC) derivation from two table snapshots — the "
+    "inverse of MERGE: given yesterday's and today's state of a keyed "
+    "table, emit the insert/update/delete stream that transforms one "
+    "into the other (what warehouses without a transaction log must "
+    "reconstruct to feed downstream incremental consumers). Synthetic "
+    "deterministic snapshots from the customer table: snapshot A lacks "
+    "custkey%13==0 (later inserts), snapshot B lacks custkey%11==0 "
+    "(deletes) and shifts acctbal by +10 where custkey%7==0 (updates). "
+    "One full-outer join on the key, change typed by null-side and "
+    "value inequality, unchanged rows dropped — the join shuffles both "
+    "snapshots once on the key; at 100 TB partition both snapshots on "
+    "ingest date-independent key ranges (or bucket them, q95) so the "
+    "diff is co-located.",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 <> 0
+),
+b AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN a.c_custkey IS NULL THEN 'insert'
+            WHEN b.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.c_acctbal AS old_bal,
+       b.c_acctbal AS new_bal
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR a.c_acctbal <> b.c_acctbal
+ORDER BY c_custkey
+""",
+)
+def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_bal")
+    )
+    b = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10
+        ).otherwise(F.col("c_acctbal")).alias("new_bal"),
+    )
+    joined = a.join(b, a.a_key == b.b_key, "full_outer")
+    change = (
+        F.when(F.col("a_key").isNull(), F.lit("insert"))
+        .when(F.col("b_key").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        joined.filter(
+            F.col("a_key").isNull()
+            | F.col("b_key").isNull()
+            | (F.col("old_bal") != F.col("new_bal"))
+        )
+        .select(
+            F.coalesce(F.col("a_key"), F.col("b_key")).alias("c_custkey"),
+            change.alias("change_type"),
+            "old_bal",
+            "new_bal",
+        )
+        .orderBy("c_custkey")
+    )
