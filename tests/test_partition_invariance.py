@@ -36,6 +36,11 @@ CASES = [
     "t19_heaps_law_fit",        # per-source micro-nat OLS points
     "t20_source_kl_divergence", # DECIMAL(38,0) micro-nat term folds
     "q93_conversion_latency",   # ordered-window pairing + exact bit-length buckets
+    "t21_bigram_surprisal",     # integer micro-nat differences, doc folds, top-k
+    "g04_label_propagation",    # integer argmax via max(struct(cnt, -label))
+    "s13_mips_topk",            # sequential-fold dots + constant-division ranking
+    "d19_span_contamination",   # gaps-and-islands integer arithmetic
+    "q96_incremental_agg_maintenance",  # algebraic merge of DECIMAL partials
 ]
 
 
