@@ -1,0 +1,99 @@
+"""Streaming materialized-view maintenance via foreachBatch — q96's
+algebraic aggregate merge applied continuously (SURVEY.md §2.11 / §2.7).
+
+Each micro-batch is aggregated to the SAME storable partial state q96
+maintains (count / exact centi-unit sum / min / max — every column
+algebraic), then merged into the parquet-backed MV by unioning two
+aggregate-sized relations and re-aggregating: the historical raw data is
+never re-scanned, which is the entire point of an MV at 100 TB — the
+refresh cost is O(batch + |MV|), not O(history).
+
+Exactly-once: a foreachBatch body can be re-invoked for the SAME batch_id
+after a mid-write crash. A plain "merge what arrives" would double-count
+the replay, so the MV carries the highest batch id it has absorbed
+(``applied_batch``) and a batch at or below it is a no-op — idempotence at
+batch granularity, the same guard ``sinks.write_stream_exactly_once`` gets
+from per-batch partition overwrite. The overwrite itself goes through
+``localCheckpoint`` first (a plan cannot overwrite files it is lazily
+reading — merge.py's rule).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+
+def _batch_partial(batch_df: DataFrame, batch_id: int) -> DataFrame:
+    """The algebraic MV state for one batch of events: all columns
+    mergeable (sum/sum/min/max/max); money as exact centi-unit longs."""
+    return batch_df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.lit(batch_id).cast("long").alias("applied_batch"),
+    )
+
+
+def merge_event_summary(
+    spark: SparkSession, mv_path: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """Merge one micro-batch into the MV at ``mv_path`` (idempotent per
+    batch_id; see module docstring)."""
+    partial = _batch_partial(batch_df, batch_id)
+    try:
+        mv = spark.read.parquet(mv_path)
+        exists = True
+    except AnalysisException:
+        exists = False
+    if not exists:
+        partial.write.mode("overwrite").parquet(mv_path)
+        return
+    if mv.agg(F.max("applied_batch")).collect()[0][0] >= batch_id:
+        return  # replayed batch: already absorbed
+    merged = (
+        mv.unionByName(partial)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_c").alias("sum_value_c"),
+            F.min("first_ts").alias("first_ts"),
+            F.max("last_ts").alias("last_ts"),
+            F.max("applied_batch").alias("applied_batch"),
+        )
+        .localCheckpoint(eager=True)  # materialize before self-overwrite
+    )
+    merged.write.mode("overwrite").parquet(mv_path)
+
+
+def maintain_event_summary(
+    stream_df: DataFrame, mv_path: str, checkpoint_path: str
+):
+    """Run the maintenance over all available input (Trigger.AvailableNow).
+    Re-invoking with the same checkpoint absorbs ONLY new input; the MV at
+    ``mv_path`` always equals a full recompute over everything committed."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: merge_event_summary(spark, mv_path, df, bid)
+        )
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def recompute_event_summary(events: DataFrame) -> DataFrame:
+    """The full-recompute twin (what the MV must always equal, minus the
+    bookkeeping column)."""
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
