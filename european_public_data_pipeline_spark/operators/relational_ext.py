@@ -1389,3 +1389,86 @@ def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "q98_hll_sketch_rollup",
+    category="aggregation",
+    doc="Datasketches HLL rollup — the production form of q25's distinct "
+    "counting: per-month customer sketches (hll_sketch_agg, lgK=12) "
+    "that MERGE to the yearly/total grain (hll_union_agg) without "
+    "re-scanning the fact, the property that lets a 100 TB deployment "
+    "keep per-partition sketches and answer any coarser distinct-count "
+    "rollup from sketch unions alone. Oracle-checked surface is the "
+    "q25 bounds-audit pattern (sketch bytes aren't reproducible in "
+    "DuckDB): exact per-period distinct counts plus booleans asserting "
+    "(a) every period estimate lands within 5% of exact (3x the lgK=12 "
+    "rsd of ~1.6%), and (b) the union-of-monthly-sketches estimate agrees with the "
+    "one-pass whole-table sketch estimate to within 2% — the "
+    "mergeability audit (the two are NOT bit-identical: a union "
+    "promotes sparse-mode sketches to the dense HLL target, measured "
+    "1491 vs 1494 at sf0.01, both within bound of exact 1500). The "
+    "oracle emits the same exact counts with literal TRUEs.",
+    oracle="""
+SELECT period, exact_customers, hll_within_bound, merged_equals_direct FROM (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS period,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+         TRUE AS hll_within_bound,
+         TRUE AS merged_equals_direct
+  FROM orders
+  GROUP BY 1
+  UNION ALL
+  SELECT 'TOTAL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT), TRUE, TRUE
+  FROM orders
+)
+ORDER BY period
+""",
+)
+def q98_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bound = 0.05
+    monthly = o.groupBy(
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("period")
+    ).agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+    month_rows = monthly.select(
+        "period",
+        "exact_customers",
+        (
+            F.abs(
+                F.expr("hll_sketch_estimate(sk)") - F.col("exact_customers")
+            )
+            <= bound * F.col("exact_customers")
+        ).alias("hll_within_bound"),
+        F.lit(True).alias("merged_equals_direct"),
+    )
+    total = (
+        monthly.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("merged_est")
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.countDistinct("o_custkey").alias("exact_customers"),
+                    F.expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))").alias(
+                        "direct_est"
+                    ),
+                )
+            )
+        )
+        .select(
+            F.lit("TOTAL").alias("period"),
+            "exact_customers",
+            (
+                F.abs(F.col("merged_est") - F.col("exact_customers"))
+                <= bound * F.col("exact_customers")
+            ).alias("hll_within_bound"),
+            (
+                F.abs(F.col("merged_est") - F.col("direct_est"))
+                <= 0.02 * F.col("direct_est")
+            ).alias("merged_equals_direct"),
+        )
+    )
+    return month_rows.unionByName(total).orderBy("period")
