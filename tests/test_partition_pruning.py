@@ -38,3 +38,26 @@ def test_partition_filter_prunes_directories(spark, tmp_path):
     if not n_parts.isEmpty():
         assert n_parts.get().value() == 1
     assert scan.select("geo").distinct().collect() == [("LU",)]
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DYNAMIC partition pruning: when the partition-column predicate only
+    materializes at runtime (a filter on the JOINED dimension, not on the
+    fact), the fact scan must still prune directories — Catalyst injects a
+    dynamicpruning subquery into the scan's PartitionFilters. This is the
+    plan shape that saves the 100 TB fact scan when the calendar dim is
+    filtered to a week."""
+    fact_path = str(tmp_path / "fact")
+    rows = [(d, i, float(i)) for d in range(10) for i in range(20)]
+    fact = spark.createDataFrame(rows, "d int, k int, v double")
+    write_partitioned(fact, fact_path, ["d"])
+    dim = spark.createDataFrame(
+        [(d, "keep" if d in (3, 7) else "drop") for d in range(10)],
+        "d int, tag string",
+    )
+    joined = read_partitioned(spark, fact_path).join(dim, "d").filter(
+        "tag = 'keep'"
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert joined.count() == 2 * 20
