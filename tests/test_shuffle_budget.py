@@ -30,6 +30,10 @@ BUDGETS = [
     ("q26_shipping_priority", 50_000, 2),  # broadcast star + top-10 agg
     ("q79_cms_heavy_hitters", 50_000, 4),  # sketch cells are constant-size
     ("q81_bloom_pruned_join", 200_000, 5),  # only Bloom survivors shuffle
+    # MV maintenance: both partials map-side combine to #priorities rows,
+    # the merge unions aggregate-sized relations (1.6 KB measured) — a
+    # budget blowout here means the merge started re-shuffling raw rows.
+    ("q96_incremental_agg_maintenance", 8_000, 3),
 ]
 
 
