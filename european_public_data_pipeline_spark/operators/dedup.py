@@ -1657,3 +1657,116 @@ def d20_fuzzy_entity_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("name_a", "name_b")
     )
+
+
+CDC_WINDOW_BASE = 257  # polynomial base for the 4-token boundary window
+CDC_DIVISOR = 16       # expected chunk length ~= divisor tokens
+
+
+@register(
+    "d21_cdc_chunk_dedup",
+    category="dedup",
+    doc="Content-defined chunking dedup — the shift-invariant upgrade of "
+    "d11's fixed 10-token windows: chunk boundaries are cut where a "
+    "rolling 4-token polynomial hash ≡ 0 (mod 16), so boundaries are a "
+    "function of LOCAL content and an insertion early in a document "
+    "re-chunks only the surrounding chunk instead of shifting every "
+    "window after it (the CDC property storage dedup systems — and "
+    "incremental corpus dedup — rely on). Per doc: boundary positions "
+    "via a row-local HOF filter, chunk md5s via one HOF transform over "
+    "the start list; cross-doc: one chunk-hash-keyed aggregate counts "
+    "distinct docs per chunk, and the probe join scores each doc's "
+    "duplicated-chunk ratio. All hashing is integer/md5 — bit-exact "
+    "parity; the only shuffles are the chunk-hash aggregate and the "
+    "probe join, both corpus-chunk-linear (~1/16 of the token count).",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+),
+h AS (
+  SELECT doc_id, ws, len(ws) AS n,
+         list_transform(ws, t -> CAST('0x' || substr(md5(t), 1, 7) AS BIGINT)) AS hv
+  FROM base
+),
+cuts AS (
+  SELECT doc_id, ws, n,
+         list_filter(
+           CASE WHEN n >= 5 THEN generate_series(2, n - 3) ELSE [] END,
+           i -> ((((hv[i] * {CDC_WINDOW_BASE} + hv[i+1]) * {CDC_WINDOW_BASE} + hv[i+2]) * {CDC_WINDOW_BASE} + hv[i+3]) % {CDC_DIVISOR}) = 0
+         ) AS cs
+  FROM h
+),
+starts AS (
+  SELECT doc_id, ws, n, list_concat([CAST(1 AS BIGINT)], cs) AS ss FROM cuts
+),
+chunks AS (
+  SELECT doc_id, n,
+         list_transform(generate_series(1, len(ss)),
+            j -> md5(array_to_string(ws[ss[j] : coalesce(ss[j+1] - 1, n)], ' '))) AS chs
+  FROM starts
+),
+ex AS (SELECT doc_id, unnest(chs) AS chunk_hash FROM chunks),
+stats AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS docs_with FROM ex GROUP BY chunk_hash
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN s.docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM ex e JOIN stats s ON s.chunk_hash = e.chunk_hash
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def d21_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", ws.alias("ws")).withColumn("n", F.size("ws"))
+    hv = F.transform(
+        F.col("ws"), lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("bigint")
+    )
+    b = F.lit(CDC_WINDOW_BASE)
+
+    def wh(i):
+        e = lambda k: F.element_at(F.col("hv"), k)  # noqa: E731 (1-based)
+        return ((e(i) * b + e(i + 1)) * b + e(i + 2)) * b + e(i + 3)
+
+    # Boundary window starts in [2, n-3]; shorter docs are one chunk.
+    # (sequence(2, k) with k < 2 would count DOWN in Spark — guard it.)
+    idx = F.when(
+        F.col("n") >= 5, F.sequence(F.lit(2), F.col("n") - 3)
+    ).otherwise(F.array().cast("array<int>"))
+    withcuts = base.withColumn("hv", hv).withColumn(
+        "ss",
+        F.concat(
+            F.array(F.lit(1)),
+            F.filter(idx, lambda i: wh(i) % CDC_DIVISOR == 0),
+        ),
+    )
+    # Chunk j spans tokens [ss[j], next_start - 1] (or n for the last);
+    # F.get is 0-based so get(ss, j) IS the 1-based j+1 element, null OOB.
+    start = lambda j: F.element_at(F.col("ss"), j)  # noqa: E731
+    end = lambda j: F.coalesce(F.get(F.col("ss"), j) - 1, F.col("n"))  # noqa: E731
+    chs = F.transform(
+        F.sequence(F.lit(1), F.size("ss")),
+        lambda j: F.md5(
+            F.array_join(F.slice("ws", start(j), end(j) - start(j) + 1), " ")
+        ),
+    )
+    ex = withcuts.select(
+        "doc_id", F.explode(chs).alias("chunk_hash")
+    ).cache()  # feeds the chunk-frequency aggregate AND the probe join
+    stats = ex.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    dup = F.sum(F.when(F.col("docs_with") > 1, 1).otherwise(0))
+    return (
+        ex.join(stats, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
