@@ -657,3 +657,123 @@ def sm10_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+SM11_SEED = "sm11"
+
+
+@register(
+    "sm11_temperature_sweep",
+    category="sampling",
+    doc="Temperature-sweep calibration for the multilingual mixture — "
+    "d18's sweep pattern applied to sm07: per-language weights, implied "
+    "sampling rates, and realized sample counts under tau in {1, 2, 4, "
+    "uniform} side by side, the table read before committing to a "
+    "mixture temperature. Determinism without pow(): the swept "
+    "exponents are chosen so every scaling is a chain of IEEE-exact "
+    "ops — p^1 (identity), p^(1/2) (sqrt), p^(1/4) (sqrt of sqrt), "
+    "p^0 (uniform) — each fixed-pointed (floor*1e9) before the "
+    "normalizing integer sum. Scale shape: the corpus is aggregated "
+    "ONCE into a (lang, hash-bucket) histogram (q44's domain trick — "
+    "at most 10k buckets per language); every temperature's realized "
+    "count is then a histogram lookup, so sweeping more temperatures "
+    "costs zero additional corpus scans.",
+    oracle=f"""
+WITH per_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per_lang),
+taus(tau) AS (VALUES ('t1'), ('t2'), ('t4'), ('uniform')),
+scaled AS (
+  SELECT t.tau, p.lang, p.n_docs,
+         CAST(floor(CASE t.tau
+            WHEN 't1' THEN CAST(p.n_docs AS DOUBLE) / tot.total
+            WHEN 't2' THEN sqrt(CAST(p.n_docs AS DOUBLE) / tot.total)
+            WHEN 't4' THEN sqrt(sqrt(CAST(p.n_docs AS DOUBLE) / tot.total))
+            ELSE 1.0 END * 1e9) AS BIGINT) AS s
+  FROM per_lang p CROSS JOIN tot CROSS JOIN taus t
+),
+wts AS (
+  SELECT tau, lang, n_docs,
+         CAST(s AS DOUBLE) / (SELECT CAST(SUM(s2.s) AS BIGINT)
+                              FROM scaled s2 WHERE s2.tau = scaled.tau) AS weight
+  FROM scaled
+),
+rates AS (
+  SELECT w.tau, w.lang, w.n_docs, w.weight,
+         CAST(floor(least(1.0, w.weight * tot.total / w.n_docs) * 10000) AS BIGINT)
+           AS rate_bp
+  FROM wts w CROSS JOIN tot
+),
+hist AS (
+  SELECT lang,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{SM11_SEED}'), 1, 7) AS BIGINT)
+           % 10000 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT r.tau, r.lang, r.n_docs, r.weight, r.rate_bp,
+       CAST(COALESCE(SUM(h.n) FILTER (h.bucket < r.rate_bp), 0) AS BIGINT) AS n_sampled
+FROM rates r JOIN hist h ON h.lang = r.lang
+GROUP BY r.tau, r.lang, r.n_docs, r.weight, r.rate_bp
+ORDER BY r.tau, r.lang
+""",
+)
+def sm11_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = per_lang.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    taus = docs.sparkSession.createDataFrame(
+        [("t1",), ("t2",), ("t4",), ("uniform",)], "tau string"
+    )
+    p = F.col("n_docs").cast("double") / F.col("total")
+    f = (
+        F.when(F.col("tau") == "t1", p)
+        .when(F.col("tau") == "t2", F.sqrt(p))
+        .when(F.col("tau") == "t4", F.sqrt(F.sqrt(p)))
+        .otherwise(F.lit(1.0))
+    )
+    scaled = (
+        per_lang.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(taus))
+        .select(
+            "tau", "lang", "n_docs", "total",
+            F.floor(f * 1e9).cast("bigint").alias("s"),
+        )
+    )
+    sums = scaled.groupBy("tau").agg(F.sum("s").cast("bigint").alias("s_sum"))
+    rates = (
+        scaled.join(F.broadcast(sums), "tau")
+        .select(
+            "tau", "lang", "n_docs",
+            (F.col("s").cast("double") / F.col("s_sum")).alias("weight"),
+            "total",
+        )
+        .withColumn(
+            "rate_bp",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.col("weight") * F.col("total") / F.col("n_docs"),
+                )
+                * 10000
+            ).cast("bigint"),
+        )
+        .drop("total")
+    )
+    hist = docs.groupBy(
+        "lang",
+        (base_hash28(F.concat(F.col("doc_id").cast("string"), F.lit(SM11_SEED))) % 10000)
+        .alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    sampled = F.coalesce(
+        F.sum(F.when(F.col("bucket") < F.col("rate_bp"), F.col("n"))), F.lit(0)
+    ).cast("bigint")
+    return (
+        rates.join(hist, "lang")
+        .groupBy("tau", "lang", "n_docs", "weight", "rate_bp")
+        .agg(sampled.alias("n_sampled"))
+        .orderBy("tau", "lang")
+    )
