@@ -326,3 +326,114 @@ def m05_payload_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "window_idx")
     )
+
+
+CDC_BYTE_DIV = 64  # expected ~64-byte chunks
+
+
+@register(
+    "m06_payload_cdc_dedup",
+    category="multimodal",
+    doc="Storage-level dedup of media payloads via BYTE-granular "
+    "content-defined chunking — d21's CDC principle applied to the "
+    "binary object itself (the dedup a blob store runs: re-encoded or "
+    "re-wrapped media shares most byte chunks even when object hashes "
+    "differ). Boundaries cut where a 4-byte polynomial of raw byte "
+    "values ≡ 0 (mod 64) — integer arithmetic on byte values, no "
+    "per-position digest; chunk md5s come from one HOF transform over "
+    "the cut list; cross-object chunk-hash aggregate + probe join "
+    "score each object's duplicated-byte-chunk ratio. Same demo grain "
+    "as m05 (doc_id < 100) and the same ASCII-payload oracle "
+    "assumption; at 100 TB the boundary scan is the one byte-linear "
+    "row-local pass (production uses a gear-table UDF for it), and "
+    "everything after is chunk-relation-sized.",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents WHERE doc_id < 100
+),
+cuts AS (
+  SELECT doc_id, text, n,
+         list_filter(
+           CASE WHEN n >= 5 THEN generate_series(2, n - 3) ELSE [] END,
+           i -> ((((ascii(substring(text, CAST(i AS INTEGER), 1)) * 31
+                   + ascii(substring(text, CAST(i AS INTEGER) + 1, 1))) * 31
+                   + ascii(substring(text, CAST(i AS INTEGER) + 2, 1))) * 31
+                   + ascii(substring(text, CAST(i AS INTEGER) + 3, 1))) % {CDC_BYTE_DIV}) = 0
+         ) AS cs
+  FROM base
+),
+starts AS (
+  SELECT doc_id, text, n, list_concat([CAST(1 AS BIGINT)], cs) AS ss FROM cuts
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(ss)),
+            j -> md5(substring(text, CAST(ss[j] AS INTEGER),
+                               CAST(coalesce(ss[j+1] - 1, n) - ss[j] + 1 AS INTEGER)))) AS chs
+  FROM starts
+),
+ex AS (SELECT doc_id, unnest(chs) AS chunk_hash FROM chunks),
+stats AS (
+  SELECT chunk_hash, COUNT(DISTINCT doc_id) AS docs_with FROM ex GROUP BY chunk_hash
+)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN s.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN s.docs_with > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM ex e JOIN stats s ON s.chunk_hash = e.chunk_hash
+GROUP BY e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def m06_payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    base = docs.select(
+        "doc_id", "text", F.octet_length("text").cast("bigint").alias("n")
+    )
+
+    def byte(i):
+        return F.ascii(F.col("text").substr(i.cast("int"), F.lit(1)))
+
+    def wh(i):
+        return (
+            (byte(i) * 31 + byte(i + 1)) * 31 + byte(i + 2)
+        ) * 31 + byte(i + 3)
+
+    idx = F.when(
+        F.col("n") >= 5, F.sequence(F.lit(2).cast("bigint"), F.col("n") - 3)
+    ).otherwise(F.array().cast("array<bigint>"))
+    withcuts = base.withColumn(
+        "ss",
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            F.filter(idx, lambda i: wh(i) % CDC_BYTE_DIV == 0),
+        ),
+    )
+    start = lambda j: F.element_at(F.col("ss"), j.cast("int"))  # noqa: E731
+    end = lambda j: F.coalesce(  # noqa: E731
+        F.get(F.col("ss"), j.cast("int")) - 1, F.col("n")
+    )
+    chs = F.transform(
+        F.sequence(F.lit(1), F.size("ss")),
+        lambda j: F.md5(
+            F.col("text").substr(
+                start(j).cast("int"), (end(j) - start(j) + 1).cast("int")
+            )
+        ),
+    )
+    ex = withcuts.select("doc_id", F.explode(chs).alias("chunk_hash")).cache()
+    stats = ex.groupBy("chunk_hash").agg(
+        F.countDistinct("doc_id").alias("docs_with")
+    )
+    dup = F.sum(F.when(F.col("docs_with") > 1, 1).otherwise(0))
+    return (
+        ex.join(stats, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            dup.alias("n_dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )
