@@ -1,0 +1,128 @@
+"""Versioned manifests: snapshot isolation + time travel on plain parquet
+(SURVEY.md §2.1 S11 generalized).
+
+The reference publishes a ``LATEST.json`` pointer that names the newest
+quality-passed batch (/root/reference/src/quality/check_hicp_quality.py:155-158,
+consumed at load_hicp_to_sql.py:15-29) — one mutable pointer, no history.
+This module is the lakehouse-shaped generalization, the poor man's
+Iceberg/Delta log:
+
+- ``publish_version`` writes the batch's files under an immutable
+  ``data/v<N>/`` prefix, then commits ``manifest/<N>.json`` (the file
+  list + row count) via write-temp-then-rename, and finally swaps the
+  ``LATEST`` pointer. Readers NEVER list data directories — they read
+  the file list from a manifest, so a half-written publish is invisible
+  (the manifest appears only after its data files are complete) and a
+  reader holding manifest N is untouched by later publishes: snapshot
+  isolation without a transactional store.
+- ``read_version`` loads exactly the files a manifest names — ``None``
+  for the current pointer, an integer for time travel.
+- ``rollback`` re-points LATEST at an older manifest WITHOUT touching
+  data (instant, reversible — the operational escape hatch after a bad
+  load).
+
+All file IO goes through the Hadoop FileSystem API so the behavior is
+identical on local disk, HDFS, and object stores (the wap.py/merge.py
+rule). At 100 TB the manifest is KB-sized regardless of table size; the
+pointer swap is one rename-class operation.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _fs(spark: SparkSession, path_str: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    return jvm, path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+
+
+def _write_json(spark: SparkSession, path_str: str, payload: dict) -> None:
+    """Write-temp-then-rename through the Hadoop FS: the commit point is
+    the rename, so a crashed writer leaves only an ignorable .tmp."""
+    jvm, fs = _fs(spark, path_str)
+    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    final = jvm.org.apache.hadoop.fs.Path(path_str)
+    out = fs.create(tmp, True)
+    out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
+    out.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)
+
+
+def _read_json(spark: SparkSession, path_str: str) -> dict:
+    jvm, fs = _fs(spark, path_str)
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    stream = fs.open(p)
+    try:
+        # py4j copies byte arrays ONE-WAY, so stream.readFully(buf) would
+        # mutate a JVM-side copy Python never sees — decode on the JVM.
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+        return json.loads(text)
+    finally:
+        stream.close()
+
+
+def versions(spark: SparkSession, table_path: str) -> list[int]:
+    """Committed manifest versions, ascending (empty for a fresh path)."""
+    jvm, fs = _fs(spark, table_path)
+    mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/manifest")
+    if not fs.exists(mdir):
+        return []
+    out = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if name.endswith(".json") and name[:-5].isdigit():
+            out.append(int(name[:-5]))
+    return sorted(out)
+
+
+def publish_version(df: DataFrame, table_path: str) -> int:
+    """Publish ``df`` as the table's next version; returns the version."""
+    spark = df.sparkSession
+    n = (versions(spark, table_path) or [0])[-1] + 1
+    data_dir = f"{table_path}/data/v{n:08d}"
+    df.write.mode("overwrite").parquet(data_dir)
+    jvm, fs = _fs(spark, data_dir)
+    files = sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    rows = spark.read.parquet(data_dir).count()
+    _write_json(
+        spark,
+        f"{table_path}/manifest/{n:08d}.json",
+        {"version": n, "files": files, "row_count": rows,
+         "published_at": time.time()},
+    )
+    _write_json(spark, f"{table_path}/LATEST.json", {"version": n})
+    return n
+
+
+def current_version(spark: SparkSession, table_path: str) -> int:
+    return int(_read_json(spark, f"{table_path}/LATEST.json")["version"])
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table as of ``version`` (default: the LATEST pointer).
+    Loads exactly the manifest's file list — never a directory listing."""
+    v = version if version is not None else current_version(spark, table_path)
+    m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    return spark.read.parquet(*m["files"])
+
+
+def rollback(spark: SparkSession, table_path: str, version: int) -> None:
+    """Point LATEST at an older committed version (data untouched)."""
+    if version not in versions(spark, table_path):
+        raise ValueError(f"version {version} was never committed at {table_path}")
+    _write_json(spark, f"{table_path}/LATEST.json", {"version": version})
