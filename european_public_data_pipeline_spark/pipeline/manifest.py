@@ -121,6 +121,43 @@ def read_version(
     return spark.read.parquet(*m["files"])
 
 
+def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
+    """Manifest-native write-audit-publish: the candidate version's data
+    directory IS the staging area, and the manifest commit IS the publish
+    — so unlike path-based WAP there is no second copy of the batch and
+    no quarantine directory to manage: a failed audit simply leaves the
+    data dir UNCOMMITTED (readers go through manifests and can never see
+    it) and raises; a passing audit commits the manifest + pointer.
+
+    One source scan total (wap.stage_with_audit attaches the row-level
+    constraints to the write job as observed metrics).
+    Returns the committed version.
+    """
+    from european_public_data_pipeline_spark.pipeline.wap import stage_with_audit
+    from european_public_data_pipeline_spark.quality.checks import gate
+
+    spark = df.sparkSession
+    n = (versions(spark, table_path) or [0])[-1] + 1
+    data_dir = f"{table_path}/data/v{n:08d}"
+    checks = stage_with_audit(df, suite, data_dir)
+    gate(checks)  # raises on failure; data dir stays uncommitted
+    jvm, fs = _fs(spark, data_dir)
+    files = sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    rows = spark.read.parquet(data_dir).count()
+    _write_json(
+        spark,
+        f"{table_path}/manifest/{n:08d}.json",
+        {"version": n, "files": files, "row_count": rows,
+         "published_at": time.time()},
+    )
+    _write_json(spark, f"{table_path}/LATEST.json", {"version": n})
+    return n
+
+
 def rollback(spark: SparkSession, table_path: str, version: int) -> None:
     """Point LATEST at an older committed version (data untouched)."""
     if version not in versions(spark, table_path):

@@ -40,23 +40,14 @@ from european_public_data_pipeline_spark.quality.checks import (
 )
 
 
-def write_audit_publish(
-    df: DataFrame,
-    suite: CheckSuite,
-    path: str,
-    partition_cols: list[str],
-    staging_path: str | None = None,
-) -> DataFrame:
-    """One-scan gated load. Returns the constraint table (same schema as
-    ``CheckSuite.to_dataframe``); raises ``QualityGateError`` on a failed
-    audit, leaving ``staging_path`` in place as the quarantine.
-
-    ``suite`` must be declared over ``df`` (its row-level aggregates are
-    lifted onto the write job; its keyed checks re-run on the staged
-    batch).
-    """
+def stage_with_audit(df: DataFrame, suite: CheckSuite, staging: str) -> DataFrame:
+    """The W+A core, reusable by any publish mechanism: write ``df`` ONCE
+    to ``staging`` with the suite's row-level constraints attached to the
+    same job as observed metrics, run keyed checks column-pruned on the
+    staged batch, and return the cached constraint table. The caller
+    decides what "publish" means (partition overwrite here; a manifest
+    commit in ``pipeline/manifest.publish_version_gated``)."""
     spark = df.sparkSession
-    staging = staging_path or f"{path}__staging"
 
     if (
         suite._expected_columns is None
@@ -119,6 +110,27 @@ def write_audit_publish(
         checks = checks.unionByName(p)
     checks = checks.cache()
     checks.count()
+    return checks
+
+
+def write_audit_publish(
+    df: DataFrame,
+    suite: CheckSuite,
+    path: str,
+    partition_cols: list[str],
+    staging_path: str | None = None,
+) -> DataFrame:
+    """One-scan gated load. Returns the constraint table (same schema as
+    ``CheckSuite.to_dataframe``); raises ``QualityGateError`` on a failed
+    audit, leaving ``staging_path`` in place as the quarantine.
+
+    ``suite`` must be declared over ``df`` (its row-level aggregates are
+    lifted onto the write job; its keyed checks re-run on the staged
+    batch).
+    """
+    spark = df.sparkSession
+    staging = staging_path or f"{path}__staging"
+    checks = stage_with_audit(df, suite, staging)
 
     gate(checks)  # raises on failure; staging retained as quarantine
 

@@ -69,3 +69,36 @@ def test_next_publish_after_rollback_takes_fresh_version(spark, tmp_path):
     assert publish_version(_batch(spark, ["v3"]), t) == 3
     assert _vals(read_version(spark, t)) == ["v3"]
     assert _vals(read_version(spark, t, 2)) == ["v2"]
+
+
+def test_gated_publish_commits_only_passing_batches(spark, tmp_path):
+    """Manifest-native WAP: a failing audit leaves the candidate data dir
+    UNCOMMITTED (invisible to manifest readers) and the pointer unmoved;
+    a passing batch commits normally afterwards."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version_gated,
+    )
+    from european_public_data_pipeline_spark.quality.checks import (
+        QualityGateError,
+        check_suite,
+    )
+
+    t = str(tmp_path / "tbl")
+    good = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, value double")
+    bad = spark.createDataFrame([(3, -1.0)], "k long, value double")
+
+    def suite_for(df):
+        return check_suite(df).expect_positive("value").expect_unique_key(["k"])
+
+    assert publish_version_gated(good, suite_for(good), t) == 1
+    with pytest.raises(QualityGateError):
+        publish_version_gated(bad, suite_for(bad), t)
+    # The failed batch is invisible: no new committed version, pointer
+    # still at 1, reads unaffected.
+    assert versions(spark, t) == [1]
+    assert current_version(spark, t) == 1
+    assert sorted(r["k"] for r in read_version(spark, t).collect()) == [1, 2]
+    # A later passing batch takes the NEXT free version number.
+    good2 = spark.createDataFrame([(9, 1.0)], "k long, value double")
+    assert publish_version_gated(good2, suite_for(good2), t) == 2
+    assert sorted(r["k"] for r in read_version(spark, t).collect()) == [9]
