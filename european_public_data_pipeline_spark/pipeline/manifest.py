@@ -9,22 +9,34 @@ Iceberg/Delta log:
 
 - ``publish_version`` writes the batch's files under an immutable
   ``data/v<N>/`` prefix, then commits ``manifest/<N>.json`` (the file
-  list + row count) via write-temp-then-rename, and finally swaps the
-  ``LATEST`` pointer. Readers NEVER list data directories — they read
-  the file list from a manifest, so a half-written publish is invisible
-  (the manifest appears only after its data files are complete) and a
-  reader holding manifest N is untouched by later publishes: snapshot
-  isolation without a transactional store.
+  list + row count), and finally swaps the ``LATEST`` pointer. Readers
+  NEVER list data directories — they read the file list from a manifest,
+  so a half-written publish is invisible (the manifest appears only
+  after its data files are complete) and a reader holding manifest N is
+  untouched by later publishes: snapshot isolation without a
+  transactional store.
 - ``read_version`` loads exactly the files a manifest names — ``None``
   for the current pointer, an integer for time travel.
 - ``rollback`` re-points LATEST at an older manifest WITHOUT touching
   data (instant, reversible — the operational escape hatch after a bad
   load).
 
+Commit-protocol details (round-5 review hardening):
+
+- Manifests are IMMUTABLE: the commit rename refuses to replace an
+  existing ``manifest/<N>.json`` and the rename's boolean result is
+  checked — two racing publishers cannot both claim version N; the loser
+  gets ``ConcurrentPublishError`` instead of silently clobbering the
+  winner's committed batch.
+- The LATEST pointer swap uses ``FileContext.rename(..., OVERWRITE)`` —
+  atomic on filesystems that support it, and never a delete-then-rename
+  window. Readers additionally fall back to the highest committed
+  manifest if the pointer is momentarily unreadable.
+
 All file IO goes through the Hadoop FileSystem API so the behavior is
-identical on local disk, HDFS, and object stores (the wap.py/merge.py
-rule). At 100 TB the manifest is KB-sized regardless of table size; the
-pointer swap is one rename-class operation.
+identical on local disk, HDFS, and object stores. At 100 TB the manifest
+is KB-sized regardless of table size; the pointer swap is one
+rename-class operation.
 """
 
 from __future__ import annotations
@@ -34,30 +46,47 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-
-def _fs(spark: SparkSession, path_str: str):
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(path_str)
-    return jvm, path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+from european_public_data_pipeline_spark.pipeline.fs_util import hadoop_fs
 
 
-def _write_json(spark: SparkSession, path_str: str, payload: dict) -> None:
-    """Write-temp-then-rename through the Hadoop FS: the commit point is
-    the rename, so a crashed writer leaves only an ignorable .tmp."""
-    jvm, fs = _fs(spark, path_str)
+class ConcurrentPublishError(RuntimeError):
+    """Another publisher committed this version first."""
+
+
+def _write_json(
+    spark: SparkSession, path_str: str, payload: dict, *, overwrite: bool
+) -> None:
+    """Write-temp-then-rename: the commit point is the rename, so a
+    crashed writer leaves only an ignorable ``.tmp``.
+
+    ``overwrite=False`` (manifests — immutable): refuses an existing
+    destination and surfaces a lost rename race as
+    ``ConcurrentPublishError``. ``overwrite=True`` (the LATEST pointer):
+    atomic rename-over-existing via ``FileContext`` — no window in which
+    the pointer does not exist."""
+    jvm, fs, final = hadoop_fs(spark, path_str)
     tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
-    final = jvm.org.apache.hadoop.fs.Path(path_str)
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
     out.close()
-    if fs.exists(final):
-        fs.delete(final, False)
-    fs.rename(tmp, final)
+    if overwrite:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
+        )
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+        return
+    if fs.exists(final) or not fs.rename(tmp, final):
+        fs.delete(tmp, False)
+        raise ConcurrentPublishError(
+            f"{path_str} was committed by another publisher"
+        )
 
 
 def _read_json(spark: SparkSession, path_str: str) -> dict:
-    jvm, fs = _fs(spark, path_str)
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    jvm, fs, p = hadoop_fs(spark, path_str)
     stream = fs.open(p)
     try:
         # py4j copies byte arrays ONE-WAY, so stream.readFully(buf) would
@@ -72,7 +101,7 @@ def _read_json(spark: SparkSession, path_str: str) -> dict:
 
 def versions(spark: SparkSession, table_path: str) -> list[int]:
     """Committed manifest versions, ascending (empty for a fresh path)."""
-    jvm, fs = _fs(spark, table_path)
+    jvm, fs, _ = hadoop_fs(spark, table_path)
     mdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/manifest")
     if not fs.exists(mdir):
         return []
@@ -84,31 +113,49 @@ def versions(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(out)
 
 
-def publish_version(df: DataFrame, table_path: str) -> int:
-    """Publish ``df`` as the table's next version; returns the version."""
-    spark = df.sparkSession
-    n = (versions(spark, table_path) or [0])[-1] + 1
-    data_dir = f"{table_path}/data/v{n:08d}"
-    df.write.mode("overwrite").parquet(data_dir)
-    jvm, fs = _fs(spark, data_dir)
+def _commit(spark: SparkSession, table_path: str, n: int, data_dir: str) -> int:
+    """The shared commit tail: list the staged files, write the immutable
+    manifest, swap LATEST. Raises ``ConcurrentPublishError`` (leaving the
+    data dir uncommitted) if another publisher claimed version ``n``."""
+    jvm, fs, _ = hadoop_fs(spark, data_dir)
     files = sorted(
         str(st.getPath().toString())
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
         if st.getPath().getName().endswith(".parquet")
     )
+    # Parquet count() is answered from row-group metadata — no data read.
     rows = spark.read.parquet(data_dir).count()
     _write_json(
         spark,
         f"{table_path}/manifest/{n:08d}.json",
         {"version": n, "files": files, "row_count": rows,
          "published_at": time.time()},
+        overwrite=False,
     )
-    _write_json(spark, f"{table_path}/LATEST.json", {"version": n})
+    _write_json(spark, f"{table_path}/LATEST.json", {"version": n}, overwrite=True)
     return n
 
 
+def publish_version(df: DataFrame, table_path: str) -> int:
+    """Publish ``df`` as the table's next version; returns the version."""
+    spark = df.sparkSession
+    n = (versions(spark, table_path) or [0])[-1] + 1
+    data_dir = f"{table_path}/data/v{n:08d}"
+    df.write.mode("overwrite").parquet(data_dir)
+    return _commit(spark, table_path, n, data_dir)
+
+
 def current_version(spark: SparkSession, table_path: str) -> int:
-    return int(_read_json(spark, f"{table_path}/LATEST.json")["version"])
+    """The LATEST pointer's version; falls back to the highest committed
+    manifest if the pointer is momentarily unreadable (a crashed swap —
+    the pointer lags, but committed data is never lost)."""
+    try:
+        return int(_read_json(spark, f"{table_path}/LATEST.json")["version"])
+    except Exception:
+        vs = versions(spark, table_path)
+        if not vs:
+            raise
+        return vs[-1]
 
 
 def read_version(
@@ -140,26 +187,17 @@ def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
     n = (versions(spark, table_path) or [0])[-1] + 1
     data_dir = f"{table_path}/data/v{n:08d}"
     checks = stage_with_audit(df, suite, data_dir)
-    gate(checks)  # raises on failure; data dir stays uncommitted
-    jvm, fs = _fs(spark, data_dir)
-    files = sorted(
-        str(st.getPath().toString())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
-        if st.getPath().getName().endswith(".parquet")
-    )
-    rows = spark.read.parquet(data_dir).count()
-    _write_json(
-        spark,
-        f"{table_path}/manifest/{n:08d}.json",
-        {"version": n, "files": files, "row_count": rows,
-         "published_at": time.time()},
-    )
-    _write_json(spark, f"{table_path}/LATEST.json", {"version": n})
-    return n
+    try:
+        gate(checks)  # raises on failure; data dir stays uncommitted
+    finally:
+        checks.unpersist()
+    return _commit(spark, table_path, n, data_dir)
 
 
 def rollback(spark: SparkSession, table_path: str, version: int) -> None:
     """Point LATEST at an older committed version (data untouched)."""
     if version not in versions(spark, table_path):
         raise ValueError(f"version {version} was never committed at {table_path}")
-    _write_json(spark, f"{table_path}/LATEST.json", {"version": version})
+    _write_json(
+        spark, f"{table_path}/LATEST.json", {"version": version}, overwrite=True
+    )

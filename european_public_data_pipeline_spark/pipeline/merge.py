@@ -43,15 +43,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from european_public_data_pipeline_spark.pipeline.fs_util import delete_path
+
 
 def _delete_partition_dir(spark: SparkSession, target_path: str, part_dir: str) -> None:
     """Remove one emptied partition directory through the Hadoop FS API."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    path = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{part_dir}")
-    fs = path.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(path):
-        fs.delete(path, True)
+    delete_path(spark, f"{target_path}/{part_dir}")
 
 
 def _partition_dir_name(spark: SparkSession, partition_col: str, value_str: str | None) -> str:
@@ -87,6 +84,20 @@ def _collect_partition_values(
         .collect()
     )
     return [r["_v"] for r in rows], {r["_s"] for r in rows}
+
+
+def _in_partitions(partition_col: str, touched: list) -> F.Column:
+    """NULL-safe membership filter for partition scoping. ``isin`` is
+    NULL-blind (``col.isin([None])`` is NULL, never true), which would
+    EXCLUDE the null partition's rows from the scoped read while the
+    write path still overwrites — or, in ``delete_by_key``, deletes —
+    the ``__HIVE_DEFAULT_PARTITION__`` directory: silent loss of
+    unrelated rows. Handle NULL explicitly."""
+    non_null = [v for v in touched if v is not None]
+    cond = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if any(v is None for v in touched):
+        cond = cond | F.col(partition_col).isNull()
+    return cond
 
 
 def merge_by_key(
@@ -189,7 +200,7 @@ def merge_by_key(
             )
             touched_df = upd_parts.union(moved_parts).distinct()
         touched, touched_str = _collect_partition_values(touched_df, partition_col)
-        scoped = target.filter(F.col(partition_col).isin(touched))
+        scoped = target.filter(_in_partitions(partition_col, touched))
     else:
         scoped = target
 
@@ -274,7 +285,7 @@ def delete_by_key(
         )
         if not touched:
             return {"deleted": 0, "partitions_rewritten": 0, "partitions_removed": 0}
-        scoped = target.filter(F.col(partition_col).isin(touched))
+        scoped = target.filter(_in_partitions(partition_col, touched))
     else:
         scoped = target
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
+from european_public_data_pipeline_spark.pipeline.fs_util import delete_path
 from european_public_data_pipeline_spark.pipeline.silver_io import write_partitioned
 from european_public_data_pipeline_spark.quality.checks import (
     RESULT_SCHEMA,
@@ -138,21 +139,10 @@ def write_audit_publish(
     # — on object stores this step is the gold manifest/pointer update,
     # pipeline/gold.py).
     write_partitioned(spark.read.parquet(staging), path, partition_cols)
-    _delete_dir(spark, staging)
+    # Hadoop FS delete (not shutil): identical behavior on HDFS/object
+    # stores, where a local rmtree would silently leave staging forever.
+    delete_path(spark, staging)
     return checks
-
-
-def _delete_dir(spark: SparkSession, path_str: str) -> None:
-    """Remove the staging directory through the Hadoop FS API so cleanup
-    behaves identically on HDFS/object stores, where a local
-    ``shutil.rmtree`` would silently leave it forever (same pattern as
-    ``merge._delete_partition_dir``)."""
-    jvm = spark.sparkContext._jvm
-    jsc = spark.sparkContext._jsc
-    p = jvm.org.apache.hadoop.fs.Path(path_str)
-    fs = p.getFileSystem(jsc.hadoopConfiguration())
-    if fs.exists(p):
-        fs.delete(p, True)
 
 
 def quarantine_report(spark: SparkSession, staging_path: str) -> DataFrame:

@@ -3,26 +3,37 @@ algebraic aggregate merge applied continuously (SURVEY.md §2.11 / §2.7).
 
 Each micro-batch is aggregated to the SAME storable partial state q96
 maintains (count / exact centi-unit sum / min / max — every column
-algebraic), then merged into the parquet-backed MV by unioning two
+algebraic), then merged into the stored MV by unioning two
 aggregate-sized relations and re-aggregating: the historical raw data is
 never re-scanned, which is the entire point of an MV at 100 TB — the
 refresh cost is O(batch + |MV|), not O(history).
 
-Exactly-once: a foreachBatch body can be re-invoked for the SAME batch_id
-after a mid-write crash. A plain "merge what arrives" would double-count
-the replay, so the MV carries the highest batch id it has absorbed
-(``applied_batch``) and a batch at or below it is a no-op — idempotence at
-batch granularity, the same guard ``sinks.write_stream_exactly_once`` gets
-from per-batch partition overwrite. The overwrite itself goes through
-``localCheckpoint`` first (a plan cannot overwrite files it is lazily
-reading — merge.py's rule).
+Crash and replay safety — two layers:
+
+1. The MV is stored through ``pipeline/manifest``'s versioned commit
+   protocol, NOT a plain overwrite: each merge writes a NEW immutable
+   data prefix and commits it by manifest + pointer swap. A crash
+   mid-merge therefore cannot corrupt the current MV (the old version's
+   files are never touched) — with a plain ``mode("overwrite")`` a crash
+   after the delete phase would leave the MV unreadable, and the
+   subsequent replay would silently REBUILD it from that one batch,
+   losing all accumulated history (found by round-5 review).
+2. A foreachBatch body can be re-invoked for the SAME batch_id after a
+   crash; the MV carries the highest batch id it has absorbed
+   (``applied_batch``) and a batch at or below it is a no-op —
+   idempotence at batch granularity.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.utils import AnalysisException
+
+from european_public_data_pipeline_spark.pipeline.manifest import (
+    publish_version,
+    read_version,
+    versions,
+)
 
 
 def _batch_partial(batch_df: DataFrame, batch_id: int) -> DataFrame:
@@ -41,17 +52,16 @@ def merge_event_summary(
     spark: SparkSession, mv_path: str, batch_df: DataFrame, batch_id: int
 ) -> None:
     """Merge one micro-batch into the MV at ``mv_path`` (idempotent per
-    batch_id; see module docstring)."""
+    batch_id, crash-safe via versioned commits; see module docstring)."""
     partial = _batch_partial(batch_df, batch_id)
-    try:
-        mv = spark.read.parquet(mv_path)
-        exists = True
-    except AnalysisException:
-        exists = False
-    if not exists:
-        partial.write.mode("overwrite").parquet(mv_path)
+    if not versions(spark, mv_path):
+        publish_version(partial, mv_path)
         return
-    if mv.agg(F.max("applied_batch")).collect()[0][0] >= batch_id:
+    mv = read_version(spark, mv_path)
+    # max() over an EMPTY MV (a zero-row first batch) collects as None —
+    # treat as "nothing absorbed yet", don't compare None >= int.
+    last = mv.agg(F.max("applied_batch")).collect()[0][0]
+    if last is not None and last >= batch_id:
         return  # replayed batch: already absorbed
     merged = (
         mv.unionByName(partial)
@@ -63,9 +73,8 @@ def merge_event_summary(
             F.max("last_ts").alias("last_ts"),
             F.max("applied_batch").alias("applied_batch"),
         )
-        .localCheckpoint(eager=True)  # materialize before self-overwrite
     )
-    merged.write.mode("overwrite").parquet(mv_path)
+    publish_version(merged, mv_path)
 
 
 def maintain_event_summary(
@@ -73,7 +82,8 @@ def maintain_event_summary(
 ):
     """Run the maintenance over all available input (Trigger.AvailableNow).
     Re-invoking with the same checkpoint absorbs ONLY new input; the MV at
-    ``mv_path`` always equals a full recompute over everything committed."""
+    ``mv_path`` always equals a full recompute over everything committed,
+    and prior MV states remain time-travelable (manifest versions)."""
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.foreachBatch(
@@ -86,6 +96,11 @@ def maintain_event_summary(
     )
     q.awaitTermination()
     return q
+
+
+def read_event_summary(spark: SparkSession, mv_path: str) -> DataFrame:
+    """The current MV (manifest-committed view)."""
+    return read_version(spark, mv_path)
 
 
 def recompute_event_summary(events: DataFrame) -> DataFrame:

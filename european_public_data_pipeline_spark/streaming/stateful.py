@@ -160,6 +160,11 @@ def running_user_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
 # ---------------------------------------------------------------------------
 # Streaming TWAP — q89's batch twin as per-key stream state.
 
+# NOTE: round 5 added ``last_eid`` to the state tuple (the (ts, event_id)
+# frontier tie-break). The state schema is part of a checkpoint's
+# identity: a streaming_twap checkpoint created BEFORE this change cannot
+# resume against it — start the query with a fresh checkpoint location
+# (the batch twin q89 backfills history).
 TWAP_STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_ts_us", T.LongType(), True),

@@ -143,3 +143,38 @@ def test_merge_emptied_escaped_partition_is_removed(spark, tmp_path):
     merge_by_key(spark, path, moved, keys=["k"], partition_col="lang")
     assert not os.path.exists(os.path.join(path, "lang=a%3Ab"))
     assert _rows(spark, path) == {(1, "plain"): "x2", (2, "plain"): "y"}
+
+
+def test_delete_in_null_partition_preserves_other_null_rows(spark, tmp_path):
+    """isin() is NULL-blind: deleting one key from the NULL partition must
+    rewrite that partition (keeping its other rows), not silently remove
+    the whole __HIVE_DEFAULT_PARTITION__ directory (code-review r5)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "fr", "c")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+    stats = delete_by_key(spark, path, _keys(spark, [1]), ["k"], "lang")
+    assert stats == {"deleted": 1, "partitions_rewritten": 1, "partitions_removed": 0}
+    assert _rows(spark, path) == {(2, None): "b", (3, "fr"): "c"}
+    # Emptying the null partition removes exactly its directory.
+    stats = delete_by_key(spark, path, _keys(spark, [2]), ["k"], "lang")
+    assert stats == {"deleted": 1, "partitions_rewritten": 0, "partitions_removed": 1}
+    assert not os.path.exists(os.path.join(path, "lang=__HIVE_DEFAULT_PARTITION__"))
+    assert _rows(spark, path) == {(3, "fr"): "c"}
+
+
+def test_merge_into_null_partition_preserves_other_null_rows(spark, tmp_path):
+    """Same NULL-blindness in merge_by_key's scoped read: updating one key
+    in the NULL partition must keep that partition's other rows."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, "fr", "c")],
+        "k long, lang string, v string",
+    )
+    merge_by_key(spark, path, df, keys=["k"], partition_col="lang")
+    upd = spark.createDataFrame([(1, None, "a2")], "k long, lang string, v string")
+    stats = merge_by_key(spark, path, upd, keys=["k"], partition_col="lang")
+    assert stats == {"inserted": 0, "updated": 1, "unchanged_in_scope": 1}
+    assert _rows(spark, path) == {(1, None): "a2", (2, None): "b", (3, "fr"): "c"}

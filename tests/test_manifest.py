@@ -102,3 +102,24 @@ def test_gated_publish_commits_only_passing_batches(spark, tmp_path):
     good2 = spark.createDataFrame([(9, 1.0)], "k long, value double")
     assert publish_version_gated(good2, suite_for(good2), t) == 2
     assert sorted(r["k"] for r in read_version(spark, t).collect()) == [9]
+
+
+def test_concurrent_publish_loser_gets_error_not_clobber(spark, tmp_path):
+    """Two publishers racing for the same version: the second commit of
+    manifest/<N>.json must raise ConcurrentPublishError, not replace the
+    winner's committed manifest (code-review r5)."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        ConcurrentPublishError,
+        _commit,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(_batch(spark, ["w1"]), t)  # v1 committed
+    # A racing publisher staged its own data for "version 1" and tries to
+    # commit after the winner.
+    loser_dir = str(tmp_path / "loser")
+    _batch(spark, ["loser"]).write.parquet(loser_dir)
+    with pytest.raises(ConcurrentPublishError):
+        _commit(spark, t, 1, loser_dir)
+    # Winner's data intact.
+    assert _vals(read_version(spark, t, 1)) == ["w1"]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from european_public_data_pipeline_spark.streaming.mv_maintenance import (
     maintain_event_summary,
     merge_event_summary,
+    read_event_summary,
     recompute_event_summary,
 )
 from european_public_data_pipeline_spark.streaming.windows import read_events_stream
@@ -29,7 +30,7 @@ def _rows(i0, n, etype, val):
 def _mv(spark, path):
     return {
         r["event_type"]: (r["n_events"], r["sum_value_c"], r["first_ts"], r["last_ts"])
-        for r in spark.read.parquet(path).collect()
+        for r in read_event_summary(spark, path).collect()
     }
 
 
@@ -69,6 +70,38 @@ def test_replayed_batch_is_a_noop(spark, tmp_path):
 
     # Simulate a foreachBatch retry: re-merge an already-absorbed batch id.
     replay = spark.read.parquet(src)
-    last = spark.read.parquet(mv).agg(F.max("applied_batch")).collect()[0][0]
+    last = read_event_summary(spark, mv).agg(F.max("applied_batch")).collect()[0][0]
     merge_event_summary(spark, mv, replay, int(last))
     assert _mv(spark, mv) == before  # double-count prevented
+
+
+def test_empty_first_batch_does_not_poison_the_mv(spark, tmp_path):
+    """A zero-row first batch writes an empty MV whose max(applied_batch)
+    is None — later batches must still merge (code-review r5: the None
+    comparison used to kill the query permanently)."""
+    mv = str(tmp_path / "mv")
+    empty = spark.createDataFrame([], SCHEMA)
+    merge_event_summary(spark, mv, empty, 0)
+    assert read_event_summary(spark, mv).count() == 0
+    batch = spark.createDataFrame(_rows(0, 3, "view", 2.0), SCHEMA)
+    merge_event_summary(spark, mv, batch, 1)
+    got = _mv(spark, mv)
+    assert got["view"][0] == 3 and got["view"][1] == 600
+
+
+def test_mv_history_is_versioned_and_crash_safe(spark, tmp_path):
+    """Each merge commits a NEW manifest version: the previous MV state
+    stays readable (time travel), so a crash mid-merge can never corrupt
+    the committed view — the plain-overwrite failure mode review found."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+        versions,
+    )
+
+    mv = str(tmp_path / "mv")
+    merge_event_summary(spark, mv, spark.createDataFrame(_rows(0, 2, "view", 1.0), SCHEMA), 0)
+    merge_event_summary(spark, mv, spark.createDataFrame(_rows(2, 3, "view", 1.0), SCHEMA), 1)
+    assert versions(spark, mv) == [1, 2]
+    v1 = {r["event_type"]: r["n_events"] for r in read_version(spark, mv, 1).collect()}
+    v2 = {r["event_type"]: r["n_events"] for r in read_version(spark, mv, 2).collect()}
+    assert v1["view"] == 2 and v2["view"] == 5
