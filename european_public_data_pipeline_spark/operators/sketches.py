@@ -390,3 +390,80 @@ def q83_sketch_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "n_rows", "n_keys", F.lit(n_mismatched == 0).alias("merge_identical")
     )
+
+
+@register(
+    "q99_join_size_estimate",
+    category="sketch",
+    doc="Join-cardinality estimation WITHOUT executing the join — the "
+    "AMS/CMS inner-product classic every cost-based planner needs at "
+    "100 TB (choosing broadcast vs shuffle vs bucketed strategies "
+    "before paying for the wrong one): |A ⋈ B on k| = Σ_k f_A(k)·f_B(k) "
+    "is estimated as min over the 6 hash rows of the two sketches' "
+    "cell-wise inner product. Each side's sketch is the constant-size "
+    "cell relation q79 builds (map-side combined, never key-cardinality "
+    "state); the inner product joins two ≤6x4096-cell relations — the "
+    "whole estimate costs two fact scans and KB-sized shuffles. "
+    "Oracle-checked surface is the q25/q79 bounds-audit pattern: exact "
+    "side counts and the exact join size, plus booleans asserting the "
+    "estimate never undershoots (CMS products only collide upward) and "
+    "lands within the eps·|A|·|B| guarantee (eps = e/4096; failure "
+    "probability e^-6 per the min over rows — deterministic here with "
+    "fixed seeds and data).",
+    oracle="""
+SELECT CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_left,
+       CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS n_right,
+       CAST((SELECT COUNT(*)
+             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_orderpriority = '1-URGENT') AS BIGINT) AS exact_join_rows,
+       TRUE AS estimate_at_least_exact,
+       TRUE AS estimate_within_bound
+""",
+)
+def q99_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    ca = cms_cells(li, "k").select(
+        "hash_id", "bucket", F.col("cell_count").alias("ca")
+    )
+    cb = cms_cells(o, "k").select(
+        "hash_id", "bucket", F.col("cell_count").alias("cb")
+    )
+    # Inner product per hash row, min across rows — both relations are
+    # <= d*w cells, so this join is KB-sized regardless of fact size.
+    est = (
+        ca.join(cb, ["hash_id", "bucket"])
+        .groupBy("hash_id")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+        .agg(F.min("ip").alias("cms_join_estimate"))
+    )
+    counts = (
+        li.agg(F.count(F.lit(1)).alias("n_left"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_right"))))
+        .crossJoin(
+            F.broadcast(
+                li.join(o, "k").agg(F.count(F.lit(1)).alias("exact_join_rows"))
+            )
+        )
+    )
+    eps = 2.718281828459045 / CMS_WIDTH
+    return counts.crossJoin(F.broadcast(est)).select(
+        "n_left",
+        "n_right",
+        "exact_join_rows",
+        (F.col("cms_join_estimate") >= F.col("exact_join_rows")).alias(
+            "estimate_at_least_exact"
+        ),
+        (
+            F.col("cms_join_estimate")
+            <= F.col("exact_join_rows")
+            + F.lit(eps) * F.col("n_left") * F.col("n_right")
+        ).alias("estimate_within_bound"),
+    )
