@@ -1472,3 +1472,50 @@ def q98_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return month_rows.unionByName(total).orderBy("period")
+
+
+@register(
+    "q100_changelog_apply",
+    category="join",
+    doc="Changelog APPLY — q97's inverse, closing the CDC round trip: "
+    "given snapshot A and the insert/update/delete stream, reconstruct "
+    "snapshot B. Apply semantics in ONE pass: full-outer join snapshot "
+    "to changelog on the key; deletes drop the row, inserts/updates "
+    "take the changelog's value, untouched rows pass through — the "
+    "standard CDC consumer every downstream replica runs. The proof is "
+    "the oracle: it computes snapshot B DIRECTLY (same definition q97 "
+    "uses), so hash-equality means apply(A, derive(A, B)) == B — "
+    "derive and apply are exact inverses. One key-partitioned shuffle; "
+    "at 100 TB co-locate snapshot and changelog on the key (bucketing, "
+    "q95) and the apply is exchange-free.",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+FROM customer WHERE c_custkey % 11 <> 0
+ORDER BY c_custkey
+""",
+)
+def q100_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+
+    c = load_table(spark, sf_dir, "customer")
+    snap_a = c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val")
+    )
+    changelog = all_specs()["q97_snapshot_changelog"].builder(spark, sf_dir)
+    cl = changelog.select(
+        F.col("c_custkey").alias("ck"), "change_type", "new_bal"
+    )
+    applied = (
+        snap_a.join(cl, snap_a.k == cl.ck, "full_outer")
+        .filter(
+            F.col("change_type").isNull()  # untouched: pass through
+            | (F.col("change_type") != "delete")
+        )
+        .select(
+            F.coalesce(F.col("k"), F.col("ck")).alias("c_custkey"),
+            # insert/update take the changelog value; untouched keeps A's.
+            F.coalesce(F.col("new_bal"), F.col("val")).alias("c_acctbal"),
+        )
+    )
+    return applied.orderBy("c_custkey")
