@@ -201,3 +201,21 @@ def rollback(spark: SparkSession, table_path: str, version: int) -> None:
     _write_json(
         spark, f"{table_path}/LATEST.json", {"version": version}, overwrite=True
     )
+
+
+def table_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """The table's commit history as a DataFrame (Iceberg's DESCRIBE
+    HISTORY shape): one row per committed version with row count, file
+    count, publish time, and whether LATEST points at it. KB-sized
+    regardless of table size — manifests, not data, are read."""
+    cur = current_version(spark, table_path)
+    rows = []
+    for v in versions(spark, table_path):
+        m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        rows.append(
+            (v, m["row_count"], len(m["files"]), float(m["published_at"]), v == cur)
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, row_count long, n_files int, published_at double, is_current boolean",
+    )

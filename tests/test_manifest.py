@@ -123,3 +123,16 @@ def test_concurrent_publish_loser_gets_error_not_clobber(spark, tmp_path):
         _commit(spark, t, 1, loser_dir)
     # Winner's data intact.
     assert _vals(read_version(spark, t, 1)) == ["w1"]
+
+
+def test_table_history_lists_commits(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import table_history
+
+    t = str(tmp_path / "tbl")
+    publish_version(_batch(spark, ["a", "b"]), t)
+    publish_version(_batch(spark, ["c"]), t)
+    rollback(spark, t, 1)
+    hist = {r["version"]: r for r in table_history(spark, t).collect()}
+    assert set(hist) == {1, 2}
+    assert hist[1]["row_count"] == 2 and hist[1]["is_current"]
+    assert hist[2]["row_count"] == 1 and not hist[2]["is_current"]
