@@ -52,6 +52,10 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Sample BEFORE the session starts — JVM startup's own thread burst
+    # inflates the 1-minute loadavg within seconds.
+    load_avg = round(os.getloadavg()[0], 2)
+
     spark = get_spark(
         app_name="epdp-bench",
         master=f"local[{cpus}]",
@@ -61,7 +65,6 @@ def main() -> None:
     # "already cached" warnings on the second pass otherwise pollute it).
     spark.sparkContext.setLogLevel("ERROR")
 
-    load_avg = round(os.getloadavg()[0], 2)
     calibration_ms = calibrate(spark)
 
     specs = [s for s in plans.all_specs().values() if s.bench]
