@@ -1519,3 +1519,62 @@ def q100_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return applied.orderBy("c_custkey")
+
+
+@register(
+    "q101_correlation_exact",
+    category="aggregation",
+    doc="Sample covariance and Pearson correlation between quantity and "
+    "extended price per return flag — q15's exact-power-sum recipe "
+    "extended to TWO columns: the five sums (Σx, Σy, Σxy, Σx², Σy²) "
+    "accumulate as exact decimals (partition-order invariant, unlike "
+    "covar_samp/corr's streaming double state), and the closing "
+    "covariance/correlation arithmetic is a fixed chain of IEEE ops on "
+    "exact operands — bit-identical across engines and partitionings. "
+    "One map-side-combined shuffle to #flags rows.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+       / (COUNT(*) - 1) AS covar_qty_price,
+       (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+       / sqrt(
+           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+           * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+         ) AS corr_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q101_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    covar = (sxy - sx * sy / n) / (n - 1)
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        covar.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

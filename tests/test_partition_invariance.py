@@ -41,6 +41,7 @@ CASES = [
     "s13_mips_topk",            # sequential-fold dots + constant-division ranking
     "d19_span_contamination",   # gaps-and-islands integer arithmetic
     "q96_incremental_agg_maintenance",  # algebraic merge of DECIMAL partials
+    "q101_correlation_exact",   # two-column exact power sums -> corr/covar
 ]
 
 
