@@ -1770,3 +1770,70 @@ def d21_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _d22_oracle() -> str:
+    # Raw per-name resolution (not all_specs): resolving d22's own lazy
+    # oracle from inside its composer would recurse (p03's lesson).
+    from european_public_data_pipeline_spark.plans import registry
+
+    d03 = registry._resolve("d03_ngram_jaccard_pairs").oracle
+    d04 = registry._resolve("d04_minhash_lsh_pairs").oracle
+    return f"""
+WITH truth AS ({d03}),
+det AS ({d04})
+SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM det) AS BIGINT) AS n_detected,
+       CAST((SELECT COUNT(*) FROM truth t JOIN det d ON d.d1 = t.d1 AND d.d2 = t.d2) AS BIGINT)
+         AS n_true_detected,
+       CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
+            ELSE CAST((SELECT COUNT(*) FROM truth t JOIN det d ON d.d1 = t.d1 AND d.d2 = t.d2) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM truth) END AS banding_recall
+"""
+
+
+@register(
+    "d22_lsh_recall_audit",
+    category="dedup",
+    oracle=_d22_oracle,
+    doc="LSH banding recall against exhaustive ground truth — the audit "
+    "d14 does NOT cover: d14 scores estimator accuracy on pairs the "
+    "banding GENERATED, while the pairs banding silently NEVER "
+    "generates are exactly what you can't see from inside the LSH "
+    "pipeline. This op computes d03's exhaustive exact-Jaccard pair "
+    "set (the quadratic truth you can afford at audit scale / on a "
+    "sample at 100 TB), d04's banded-and-verified detections, and "
+    "their intersection: n_detected == n_true_detected proves d04's "
+    "exact verification gives perfect precision by construction, and "
+    "banding_recall quantifies the miss rate the 4x4 band geometry "
+    "accepts — the number that justifies (or revises) band/row "
+    "parameters on a new corpus. Composed-oracle pattern (p03's "
+    "recipe): the oracle embeds the registered d03 + d04 SQL as CTEs, "
+    "so the audit's ground truth is itself oracle-verified.",
+)
+def d22_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    truth = (
+        specs["d03_ngram_jaccard_pairs"].builder(spark, sf_dir).select("d1", "d2")
+    )
+    det = specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir).select("d1", "d2")
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
+    n_both = truth.join(det, ["d1", "d2"]).agg(
+        F.count(F.lit(1)).alias("n_true_detected")
+    )
+    return (
+        n_true.crossJoin(F.broadcast(n_det))
+        .crossJoin(F.broadcast(n_both))
+        .select(
+            "n_true",
+            "n_detected",
+            "n_true_detected",
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_true_detected").cast("double") / F.col("n_true"),
+            ).alias("banding_recall"),
+        )
+    )

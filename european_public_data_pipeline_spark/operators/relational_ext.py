@@ -1578,3 +1578,69 @@ def q101_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         covar.alias("covar_qty_price"),
         corr.alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q102_weighted_median",
+    category="aggregation",
+    doc="Revenue-weighted median quantity per return flag — the weighted "
+    "order statistic (what is the typical order size BY VALUE, not by "
+    "line count) that plain medians and percentile_approx cannot "
+    "express. q44/q87's domain-histogram recipe with WEIGHTS: one "
+    "map-side-combined groupBy to the (flag, quantity) domain "
+    "accumulating exact centi-unit revenue weights as BIGINT, a "
+    "domain-sized cumulative window, and the median read off where "
+    "2·cum ≥ total — pure integer comparisons, no division, bit-exact "
+    "across engines. The fact shuffles once to the (tiny) domain; the "
+    "window never touches fact-sized partitions.",
+    oracle="""
+WITH dom AS (
+  SELECT l_returnflag, l_quantity,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem
+  GROUP BY l_returnflag, l_quantity
+),
+cum AS (
+  SELECT l_returnflag, l_quantity, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+  FROM dom
+)
+SELECT l_returnflag,
+       MIN(l_quantity) AS weighted_median_qty,
+       CAST(MAX(tw) AS BIGINT) AS total_weight_cents
+FROM cum
+WHERE 2 * cw >= tw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q102_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    dom = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = dom.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_all).alias("tw"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").alias("weighted_median_qty"),
+            F.max("tw").alias("total_weight_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
