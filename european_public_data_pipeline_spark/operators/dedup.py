@@ -1815,10 +1815,19 @@ def d22_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.plans.registry import all_specs
 
     specs = all_specs()
+    # Both pair sets feed a count aggregate AND the intersection join —
+    # cache them or the d03/d04 pipelines execute twice each (review r5:
+    # roughly half the audit's wall-clock).
     truth = (
-        specs["d03_ngram_jaccard_pairs"].builder(spark, sf_dir).select("d1", "d2")
+        specs["d03_ngram_jaccard_pairs"].builder(spark, sf_dir)
+        .select("d1", "d2")
+        .cache()
     )
-    det = specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir).select("d1", "d2")
+    det = (
+        specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir)
+        .select("d1", "d2")
+        .cache()
+    )
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
     n_both = truth.join(det, ["d1", "d2"]).agg(

@@ -1322,6 +1322,16 @@ def q96_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("o_orderpriority")
 
 
+def _cdc_snapshot_a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic 'yesterday' snapshot shared by q97 (derive) and q100
+    (apply) — one definition so the round-trip proof can't drift."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") % 13 != 0).select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_bal")
+    )
+
+
+
 @register(
     "q97_snapshot_changelog",
     category="join",
@@ -1360,9 +1370,7 @@ ORDER BY c_custkey
 )
 def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_custkey") % 13 != 0).select(
-        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_bal")
-    )
+    a = _cdc_snapshot_a(spark, sf_dir)
     b = c.filter(F.col("c_custkey") % 11 != 0).select(
         F.col("c_custkey").alias("b_key"),
         F.when(
@@ -1498,9 +1506,8 @@ ORDER BY c_custkey
 def q100_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.plans.registry import all_specs
 
-    c = load_table(spark, sf_dir, "customer")
-    snap_a = c.filter(F.col("c_custkey") % 13 != 0).select(
-        F.col("c_custkey").alias("k"), F.col("c_acctbal").alias("val")
+    snap_a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("k"), F.col("old_bal").alias("val")
     )
     changelog = all_specs()["q97_snapshot_changelog"].builder(spark, sf_dir)
     cl = changelog.select(
@@ -1535,21 +1542,30 @@ def q100_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_returnflag,
        CAST(COUNT(*) AS BIGINT) AS n,
-       (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-       / (COUNT(*) - 1) AS covar_qty_price,
-       (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-        - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-          * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-       / sqrt(
-           (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-            - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-              * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
-           * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
-         ) AS corr_qty_price
+       CASE WHEN COUNT(*) < 2 THEN NULL ELSE
+         (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1) END AS covar_qty_price,
+       CASE WHEN COUNT(*) < 2
+              OR COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) <= 0
+              OR COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) <= 0
+            THEN NULL ELSE
+         (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+          - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+         / sqrt(
+             (COUNT(*) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+             * (COUNT(*) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                  * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE))
+           ) END AS corr_qty_price
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -1570,8 +1586,15 @@ def q101_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    covar = (sxy - sx * sy / n) / (n - 1)
-    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    # Degenerate groups (n<2, zero variance) are NULL in BOTH engines —
+    # ungated, Spark divides to NULL while DuckDB gives Inf/NaN (review r5).
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    covar = F.when(n >= 2, (sxy - sx * sy / n) / (n - 1))
+    corr = F.when(
+        (n >= 2) & (vx > 0) & (vy > 0),
+        (n * sxy - sx * sy) / F.sqrt(vx * vy),
+    )
     return agg.select(
         "l_returnflag",
         "n",

@@ -453,7 +453,16 @@ def q99_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    eps = 2.718281828459045 / CMS_WIDTH
+    # q79's exact-slack convention: e rounded UP at the 4th decimal so the
+    # integer slack is never below the real bound, and the whole bound
+    # comparison stays exact (DECIMAL) — a float eps could flip the audit
+    # boolean on a boundary estimate (review r5). Scaled inequality:
+    # (est - exact) * 10^4 * WIDTH <= 27183 * nA * nB.
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lhs = (
+        d(F.col("cms_join_estimate")) - d(F.col("exact_join_rows"))
+    ) * (10_000 * CMS_WIDTH)
+    rhs = F.lit(27183).cast("decimal(38,0)") * d(F.col("n_left")) * d(F.col("n_right"))
     return counts.crossJoin(F.broadcast(est)).select(
         "n_left",
         "n_right",
@@ -461,9 +470,5 @@ def q99_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_join_estimate") >= F.col("exact_join_rows")).alias(
             "estimate_at_least_exact"
         ),
-        (
-            F.col("cms_join_estimate")
-            <= F.col("exact_join_rows")
-            + F.lit(eps) * F.col("n_left") * F.col("n_right")
-        ).alias("estimate_within_bound"),
+        (lhs <= rhs).alias("estimate_within_bound"),
     )

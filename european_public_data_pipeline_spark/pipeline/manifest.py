@@ -208,14 +208,18 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     HISTORY shape): one row per committed version with row count, file
     count, publish time, and whether LATEST points at it. KB-sized
     regardless of table size — manifests, not data, are read."""
+    schema = (
+        "version int, row_count long, n_files int, "
+        "published_at double, is_current boolean"
+    )
+    vs = versions(spark, table_path)
+    if not vs:
+        return spark.createDataFrame([], schema)  # no commits yet
     cur = current_version(spark, table_path)
     rows = []
-    for v in versions(spark, table_path):
+    for v in vs:
         m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
         rows.append(
             (v, m["row_count"], len(m["files"]), float(m["published_at"]), v == cur)
         )
-    return spark.createDataFrame(
-        rows,
-        "version int, row_count long, n_files int, published_at double, is_current boolean",
-    )
+    return spark.createDataFrame(rows, schema)
