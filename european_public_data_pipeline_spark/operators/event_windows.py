@@ -10,7 +10,7 @@ the streaming side equals the batch side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.plans.registry import register
@@ -785,4 +785,57 @@ def q94_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ltv_per_user"),
         )
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "q103_event_path_mining",
+    category="window",
+    doc="Sequential pattern mining lite: the 20 most common 3-step "
+    "event-type paths across per-user ordered event streams — the "
+    "'what do users actually do' report one level above q77's 2-gram "
+    "transition matrix (3-grams expose asymmetric funnels a Markov "
+    "matrix factorizes away). Shape: one user-keyed shuffle, two lead() "
+    "reads inside the per-user window (ordered by the deterministic "
+    "(ts, event_id) key), a path-keyed map-side-combined rollup "
+    "(≤ |types|³ = 125 groups), TakeOrdered 20 — never a global sort; "
+    "path cardinality, not event volume, bounds everything after the "
+    "window. Tie-break on the path string keeps the cut deterministic.",
+    oracle="""
+SELECT path, n_occurrences FROM (
+  SELECT concat_ws(' > ', event_type, t1, t2) AS path,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+  FROM (
+    SELECT event_type,
+           LEAD(event_type, 1) OVER w AS t1,
+           LEAD(event_type, 2) OVER w AS t2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  )
+  WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+  GROUP BY 1
+)
+ORDER BY n_occurrences DESC, path
+LIMIT 20
+""",
+)
+def q103_event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t1"),
+            F.lead("event_type", 2).over(w).alias("t2"),
+        )
+        .filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "t1", "t2").alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("path"))
+        .limit(20)
     )
