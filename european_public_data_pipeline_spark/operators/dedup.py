@@ -1846,3 +1846,83 @@ def d22_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("banding_recall"),
         )
     )
+
+
+@register(
+    "d23_incremental_lsh_probe",
+    category="dedup",
+    doc="Incremental near-dup detection against a STORED LSH index — "
+    "d09's incremental idea upgraded from exact fingerprints to "
+    "MinHash: an arriving batch (doc_id % 10 == 0, the deterministic "
+    "'new documents' split) probes the existing corpus's band buckets, "
+    "so only batch-vs-corpus candidates are generated and verified — "
+    "the corpus is never re-paired against itself, which is what makes "
+    "near-dup admission control O(batch) instead of O(corpus) per "
+    "ingest at 100 TB (the band relation is the persisted index; here "
+    "it is rebuilt inline so the oracle can see it). Canonical (d1<d2) "
+    "output with exact-Jaccard verification at the d04 threshold — "
+    "exactly d04's cross-split subset, which the oracle states "
+    "directly: the full candidate relation filtered to pairs with "
+    "exactly one batch-side member.",
+    oracle=f"""
+WITH {_minhash_ctes()}
+SELECT d1, d2,
+       CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE ((d1 % 10 = 0) <> (d2 % 10 = 0))
+  AND CAST(isect AS DOUBLE) / (s1.n + s2.n - isect) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+""",
+)
+def d23_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingles(docs).cache()
+    h = sh.withColumn("hv", base_hash28(F.col("shingle")))
+    sig = h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"m{band * MINHASH_ROWS + r}")
+                                for r in range(MINHASH_ROWS)
+                            ],
+                        ).alias("band_sig"),
+                    )
+                    for band in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band_id", "b.band_sig")
+    is_batch = F.col("doc_id") % 10 == 0
+    batch = bands.filter(is_batch).select(
+        F.col("doc_id").alias("bd"), "band_id", "band_sig"
+    )
+    # In production this side is the persisted index, read not rebuilt.
+    corpus = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("cd"), "band_id", "band_sig"
+    )
+    cand = (
+        batch.join(corpus, ["band_id", "band_sig"])
+        .select(
+            F.least("bd", "cd").alias("d1"), F.greatest("bd", "cd").alias("d2")
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_on_pairs(cand, sh)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
