@@ -1164,9 +1164,13 @@ arr AS (
 )
 SELECT l_orderkey,
        CAST(len(qtys) AS INTEGER) AS n_lines,
-       list_sort(qtys) AS qtys_sorted,
+       array_to_string(list_transform(list_sort(qtys),
+                                      x -> CAST(round(x * 100) AS BIGINT)),
+                       ',') AS qtys_sorted,
        CAST(len(list_distinct(qtys)) AS INTEGER) AS n_distinct_qty,
-       qtys[1:2] AS first_two,
+       array_to_string(list_transform(qtys[1:2],
+                                      x -> CAST(round(x * 100) AS BIGINT)),
+                       ',') AS first_two,
        list_max(qtys) AS max_qty,
        CAST(list_position(qtys, list_max(qtys)) AS INTEGER) AS argmax_pos,
        list_reduce(
@@ -1200,12 +1204,24 @@ def q90_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, b: a + b,
     )
+    # Serialize the array-typed outputs as comma-joined centi-unit BIGINT
+    # strings: the driver's pandas canonicalizer sorts rows with
+    # sort_values, which cannot hash python lists, so top-level output
+    # columns must be scalar (the array expressions themselves —
+    # array_sort / array_distinct / slice / zip_with / aggregate — are all
+    # still exercised; only the emitted serialization is scalar).
+    def _arr_str(col):
+        return F.array_join(
+            F.transform(col, lambda x: F.round(x * 100).cast("bigint").cast("string")),
+            ",",
+        )
+
     return arr.select(
         "l_orderkey",
         F.size(qtys).alias("n_lines"),
-        F.array_sort(qtys).alias("qtys_sorted"),
+        _arr_str(F.array_sort(qtys)).alias("qtys_sorted"),
         F.size(F.array_distinct(qtys)).alias("n_distinct_qty"),
-        F.slice(qtys, 1, 2).alias("first_two"),
+        _arr_str(F.slice(qtys, 1, 2)).alias("first_two"),
         F.array_max(qtys).alias("max_qty"),
         F.array_position(qtys, F.array_max(qtys)).cast("int").alias("argmax_pos"),
         dot.alias("qty_disc_dot"),

@@ -169,33 +169,47 @@ _DRIVER_GREEN_R4 = frozenset({
     "t20_source_kl_divergence",
 })
 
-# Nothing failed in round 4 (50/50 green).
-_DRIVER_FAILED_LAST: tuple[str, ...] = ()
-
-# Implementation or oracle modified after the query's latest green verdict
-# (round-5 changes to already-green queries land here as they happen):
-# d03 pair generation rewritten for posting-list skew (VERDICT r4 #3);
-# g02 rewritten to degree-oriented wedges + single-execution node explode
-# (VERDICT r4 #7).
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    "d03_ngram_jaccard_pairs", "g02_triangle_count",
-)
-
-
-# Round-5 priority (VERDICT r4 #1): the 20 round-4 registrations the 50-row
-# budget never reached — all pass local DuckDB parity, and a green here
-# makes the cumulative driver record 163/163.
-_NEVER_FIRST = (
-    "q60_sole_late_supplier", "q61_acquisition_prospects",
-    "q63_top_supplier_with_ties", "q64_part_supplier_variety",
-    "q65_market_share", "q67_small_quantity_revenue",
-    "q68_dominant_supplier_parts", "q69_disjunctive_pushdown",
-    "q70_returned_items", "q71_product_profit",
+# Hash-green in CORRECTNESS_r05.json (freshest verdicts — checked last).
+# 49/50 green; the round-4 backlog (q60-q94 tail) plus every round-5
+# registration (d19-d23, g04, m06, q95-q103, s13, sm11, t21) earned a
+# first driver verdict, and d03/g02 re-earned theirs after their skew /
+# orientation rewrites.
+_DRIVER_GREEN_R5 = frozenset({
+    "d03_ngram_jaccard_pairs", "d10_contamination_check",
+    "d11_chunk_containment", "d12_semantic_dedup", "d19_span_contamination",
+    "d20_fuzzy_entity_matching", "d21_cdc_chunk_dedup",
+    "d22_lsh_recall_audit", "d23_incremental_lsh_probe",
+    "g02_triangle_count", "g04_label_propagation", "m05_payload_windows",
+    "m06_payload_cdc_dedup", "q100_changelog_apply",
+    "q101_correlation_exact", "q102_weighted_median",
+    "q103_event_path_mining", "q60_sole_late_supplier",
+    "q61_acquisition_prospects", "q63_top_supplier_with_ties",
+    "q64_part_supplier_variety", "q65_market_share",
+    "q67_small_quantity_revenue", "q68_dominant_supplier_parts",
+    "q69_disjunctive_pushdown", "q70_returned_items", "q71_product_profit",
     "q72_order_history_strings", "q73_spend_percentile_rank",
     "q84_recursive_reachability", "q88_rolling_median", "q89_twap",
-    "q90_array_functions", "q91_date_functions", "q93_conversion_latency",
-    "q94_cohort_ltv", "m05_payload_windows",
-)
+    "q91_date_functions", "q93_conversion_latency", "q94_cohort_ltv",
+    "q95_bucketed_market_share", "q96_incremental_agg_maintenance",
+    "q97_snapshot_changelog", "q98_hll_sketch_rollup",
+    "q99_join_size_estimate", "s01_cosine_topk", "s02_lsh_bucket_pairs",
+    "s03_knn_label_vote", "s04_ivf_topk", "s05_lang_centroids",
+    "s06_int8_quantization", "s13_mips_topk", "sm11_temperature_sweep",
+    "t21_bigram_surprisal",
+})
+
+# q90 failed round 5 on all three criteria — not a wrong answer, a
+# harness incompatibility: its array-typed output columns crashed the
+# driver's pandas sort_values canonicalizer. Fixed this round (outputs now
+# serialize as comma-joined centi-unit strings); re-check first.
+_DRIVER_FAILED_LAST: tuple[str, ...] = ("q90_array_functions",)
+
+# Implementation or oracle modified after the query's latest green verdict
+# (round-6 changes to already-green queries land here as they happen).
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ()
+
+
+_NEVER_FIRST: tuple[str, ...] = ()
 _NEVER_LAST: tuple[str, ...] = ()
 
 
@@ -206,7 +220,7 @@ def _driver_order() -> list[str]:
     head = set(failed) | set(modified)
     rounds = (
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
-        _DRIVER_GREEN_R4,
+        _DRIVER_GREEN_R4, _DRIVER_GREEN_R5,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]
