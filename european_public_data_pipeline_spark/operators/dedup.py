@@ -65,6 +65,16 @@ def base_hash28(col: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
+def _shuffle_partition_count(spark: SparkSession) -> int:
+    """``spark.sql.shuffle.partitions`` as an int, falling back to
+    ``defaultParallelism`` when the conf is non-numeric ("auto" under
+    some AQE deployments)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        return spark.sparkContext.defaultParallelism
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (doc_id, shingle).
 
@@ -255,7 +265,7 @@ def posting_list_pairs(grouped: DataFrame, chunk: int = POSTING_CHUNK) -> DataFr
         # output is quadratic, and a coalesce-to-1 here would silently
         # re-serialize the hot list through one task.
         .repartition(
-            int(grouped.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            _shuffle_partition_count(grouped.sparkSession),
             "shingle", "ci", "cj",
         )
         .select(F.explode("ca").alias("d1"), "cb")

@@ -44,13 +44,37 @@ def write_bucketed(
     orphaned location before writing so the helper is rerun-safe across
     sessions (the correctness driver re-runs builders in new sessions)."""
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     jvm = spark.sparkContext._jvm
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{table.lower()}")
-    fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    # Resolve the table's location BEFORE dropping: the catalog's answer
+    # is authoritative when an entry exists (covers EXTERNAL locations and
+    # non-default warehouses). Only when the catalog has no entry — the
+    # orphaned-location case this cleanup exists for — derive the default
+    # managed path from the fully-parsed identifier: 'db.tbl' lives at
+    # {warehouse}/db.db/tbl, an unqualified name under the CURRENT
+    # database ({warehouse}/tbl only for 'default').
+    loc_str = None
+    if spark.catalog.tableExists(table):
+        for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+            if row.col_name.strip() == "Location":
+                loc_str = row.data_type.strip()
+                break
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    else:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        parts = [p.strip("`").lower() for p in table.split(".")]
+        if len(parts) == 2:
+            db, tbl = parts
+        else:
+            db, tbl = spark.catalog.currentDatabase().lower(), parts[0]
+        loc_str = (
+            f"{warehouse}/{tbl}" if db == "default"
+            else f"{warehouse}/{db}.db/{tbl}"
+        )
+    if loc_str is not None:
+        loc = jvm.org.apache.hadoop.fs.Path(loc_str)
+        fs = loc.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(loc):
+            fs.delete(loc, True)
     w = df.write.bucketBy(n_buckets, bucket_col).sortBy(sort_col or bucket_col)
     w.mode("overwrite").saveAsTable(table)
 

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -63,9 +64,16 @@ def _write_json(
     destination and surfaces a lost rename race as
     ``ConcurrentPublishError``. ``overwrite=True`` (the LATEST pointer):
     atomic rename-over-existing via ``FileContext`` — no window in which
-    the pointer does not exist."""
+    the pointer does not exist.
+
+    The temp name carries a per-attempt uuid so two racing publishers
+    never write through the same ``.tmp`` path (a shared fixed name would
+    let racer B's create(overwrite) clobber racer A's bytes between A's
+    write and A's rename)."""
     jvm, fs, final = hadoop_fs(spark, path_str)
-    tmp = jvm.org.apache.hadoop.fs.Path(path_str + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path_str}.{uuid.uuid4().hex[:12]}.tmp"
+    )
     out = fs.create(tmp, True)
     out.write(bytearray(json.dumps(payload, sort_keys=True).encode("utf-8")))
     out.close()
@@ -113,10 +121,25 @@ def versions(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _stage_dir(table_path: str, n: int) -> str:
+    """A publisher-unique staging prefix for candidate version ``n``.
+
+    Two publishers racing on the same next version each stage under their
+    OWN ``data/v<N>-<uuid>`` directory: the loser's overwrite can only
+    ever touch the loser's files, never data a committed manifest names
+    (the old shared ``data/v<N>`` prefix let the loser's staged
+    mode-overwrite delete the winner's already-committed batch). Readers
+    never list data directories — the manifest records the exact file
+    list, so the directory name is immaterial to reads."""
+    return f"{table_path}/data/v{n:08d}-{uuid.uuid4().hex[:12]}"
+
+
 def _commit(spark: SparkSession, table_path: str, n: int, data_dir: str) -> int:
     """The shared commit tail: list the staged files, write the immutable
-    manifest, swap LATEST. Raises ``ConcurrentPublishError`` (leaving the
-    data dir uncommitted) if another publisher claimed version ``n``."""
+    manifest, swap LATEST. If another publisher claimed version ``n``
+    first, deletes OUR staged directory (uniquely ours — see
+    ``_stage_dir``) and raises ``ConcurrentPublishError``; the winner's
+    committed files are untouched."""
     jvm, fs, _ = hadoop_fs(spark, data_dir)
     files = sorted(
         str(st.getPath().toString())
@@ -125,13 +148,17 @@ def _commit(spark: SparkSession, table_path: str, n: int, data_dir: str) -> int:
     )
     # Parquet count() is answered from row-group metadata — no data read.
     rows = spark.read.parquet(data_dir).count()
-    _write_json(
-        spark,
-        f"{table_path}/manifest/{n:08d}.json",
-        {"version": n, "files": files, "row_count": rows,
-         "published_at": time.time()},
-        overwrite=False,
-    )
+    try:
+        _write_json(
+            spark,
+            f"{table_path}/manifest/{n:08d}.json",
+            {"version": n, "files": files, "row_count": rows,
+             "published_at": time.time()},
+            overwrite=False,
+        )
+    except ConcurrentPublishError:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+        raise
     _write_json(spark, f"{table_path}/LATEST.json", {"version": n}, overwrite=True)
     return n
 
@@ -140,22 +167,28 @@ def publish_version(df: DataFrame, table_path: str) -> int:
     """Publish ``df`` as the table's next version; returns the version."""
     spark = df.sparkSession
     n = (versions(spark, table_path) or [0])[-1] + 1
-    data_dir = f"{table_path}/data/v{n:08d}"
+    data_dir = _stage_dir(table_path, n)
     df.write.mode("overwrite").parquet(data_dir)
     return _commit(spark, table_path, n, data_dir)
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
     """The LATEST pointer's version; falls back to the highest committed
-    manifest if the pointer is momentarily unreadable (a crashed swap —
-    the pointer lags, but committed data is never lost)."""
-    try:
-        return int(_read_json(spark, f"{table_path}/LATEST.json")["version"])
-    except Exception:
+    manifest ONLY when the pointer file is genuinely absent (a publisher
+    crashed between manifest commit and pointer swap — the pointer lags,
+    but committed data is never lost). Any other read failure propagates:
+    a transient IO error after a ``rollback`` must not silently serve the
+    newest (rolled-back-from) version instead of the rolled-back one."""
+    pointer = f"{table_path}/LATEST.json"
+    jvm, fs, p = hadoop_fs(spark, pointer)
+    if not fs.exists(p):
         vs = versions(spark, table_path)
         if not vs:
-            raise
+            raise FileNotFoundError(
+                f"no LATEST pointer and no committed manifests at {table_path}"
+            )
         return vs[-1]
+    return int(_read_json(spark, pointer)["version"])
 
 
 def read_version(
@@ -185,7 +218,7 @@ def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
 
     spark = df.sparkSession
     n = (versions(spark, table_path) or [0])[-1] + 1
-    data_dir = f"{table_path}/data/v{n:08d}"
+    data_dir = _stage_dir(table_path, n)
     checks = stage_with_audit(df, suite, data_dir)
     try:
         gate(checks)  # raises on failure; data dir stays uncommitted

@@ -74,10 +74,15 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # loading ordinary µs-typed files never mutates session-wide read
         # semantics (VERDICT r4 nit). ``get_spark`` sessions set it up
         # front; this fallback covers foreign sessions (the driver's).
-        if "NANOS" not in str(e):
-            raise
+        # The retry is attempted on ANY read failure — the exact error
+        # phrasing varies across Spark versions/locales, so gating on a
+        # message substring would regress nanos files on foreign sessions;
+        # if the retry also fails, the ORIGINAL error propagates.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            raise e
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

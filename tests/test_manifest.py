@@ -136,3 +136,59 @@ def test_table_history_lists_commits(spark, tmp_path):
     assert set(hist) == {1, 2}
     assert hist[1]["row_count"] == 2 and hist[1]["is_current"]
     assert hist[2]["row_count"] == 1 and not hist[2]["is_current"]
+
+
+def test_racing_staged_overwrite_cannot_delete_committed_data(spark, tmp_path):
+    """ADVICE r5 (medium): when two publishers both compute n = max+1,
+    the loser's staged mode('overwrite') write must not be able to delete
+    the winner's committed data files. Staging dirs are publisher-unique
+    (data/v<N>-<uuid>), so the full race — winner stages+commits, THEN the
+    loser stages (overwrite) and fails its commit — leaves the winner's
+    version 1 readable with its original values, and the loser's own
+    staged directory cleaned up."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        ConcurrentPublishError,
+        _commit,
+        _stage_dir,
+    )
+
+    t = str(tmp_path / "tbl")
+    # Both publishers observe an empty table and pick n=1; each stages
+    # under its OWN unique prefix.
+    winner_dir = _stage_dir(t, 1)
+    loser_dir = _stage_dir(t, 1)
+    assert winner_dir != loser_dir
+    _batch(spark, ["w1", "w2"]).write.mode("overwrite").parquet(winner_dir)
+    assert _commit(spark, t, 1, winner_dir) == 1
+    # The loser's staged overwrite runs AFTER the winner committed — the
+    # historical data-loss window. It touches only the loser's prefix.
+    _batch(spark, ["loser"]).write.mode("overwrite").parquet(loser_dir)
+    with pytest.raises(ConcurrentPublishError):
+        _commit(spark, t, 1, loser_dir)
+    # Winner's committed batch is fully intact and readable.
+    assert _vals(read_version(spark, t, 1)) == ["w1", "w2"]
+    # The loser's staged files were removed by its failed commit.
+    import os
+
+    assert not os.path.exists(loser_dir.replace("file:", ""))
+
+
+def test_current_version_falls_back_only_when_pointer_missing(spark, tmp_path):
+    """ADVICE r5 (low): the highest-manifest fallback applies only to a
+    genuinely absent pointer (crashed swap); a present-but-unreadable
+    pointer must raise, not silently serve the rolled-back-from version."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    publish_version(_batch(spark, ["a"]), t)
+    publish_version(_batch(spark, ["b"]), t)
+    rollback(spark, t, 1)
+    pointer = os.path.join(t, "LATEST.json")
+    # Absent pointer -> fallback to the highest committed manifest.
+    os.remove(pointer)
+    assert current_version(spark, t) == 2
+    # Corrupt (present but unreadable) pointer -> error propagates.
+    with open(pointer, "w") as f:
+        f.write("{not json")
+    with pytest.raises(Exception):
+        current_version(spark, t)
