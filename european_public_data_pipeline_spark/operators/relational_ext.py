@@ -1339,60 +1339,31 @@ def q96_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _cdc_snapshot_a(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The synthetic 'yesterday' snapshot shared by q97 (derive) and q100
-    (apply) — one definition so the round-trip proof can't drift."""
+    """The synthetic 'yesterday' snapshot shared by q97 (derive), q100
+    (apply), and q104 (bucketed layout) — one definition so the
+    round-trip proof can't drift."""
     c = load_table(spark, sf_dir, "customer")
     return c.filter(F.col("c_custkey") % 13 != 0).select(
         F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("old_bal")
     )
 
 
-
-@register(
-    "q97_snapshot_changelog",
-    category="join",
-    doc="Changelog (CDC) derivation from two table snapshots — the "
-    "inverse of MERGE: given yesterday's and today's state of a keyed "
-    "table, emit the insert/update/delete stream that transforms one "
-    "into the other (what warehouses without a transaction log must "
-    "reconstruct to feed downstream incremental consumers). Synthetic "
-    "deterministic snapshots from the customer table: snapshot A lacks "
-    "custkey%13==0 (later inserts), snapshot B lacks custkey%11==0 "
-    "(deletes) and shifts acctbal by +10 where custkey%7==0 (updates). "
-    "One full-outer join on the key, change typed by null-side and "
-    "value inequality, unchanged rows dropped — the join shuffles both "
-    "snapshots once on the key; at 100 TB partition both snapshots on "
-    "ingest date-independent key ranges (or bucket them, q95) so the "
-    "diff is co-located.",
-    oracle="""
-WITH a AS (
-  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 <> 0
-),
-b AS (
-  SELECT c_custkey,
-         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
-  FROM customer WHERE c_custkey % 11 <> 0
-)
-SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
-       CASE WHEN a.c_custkey IS NULL THEN 'insert'
-            WHEN b.c_custkey IS NULL THEN 'delete'
-            ELSE 'update' END AS change_type,
-       a.c_acctbal AS old_bal,
-       b.c_acctbal AS new_bal
-FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
-WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR a.c_acctbal <> b.c_acctbal
-ORDER BY c_custkey
-""",
-)
-def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cdc_snapshot_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic 'today' snapshot shared by q97 and q104: custkey%11
+    rows deleted, custkey%7 balances shifted by +10 (updates)."""
     c = load_table(spark, sf_dir, "customer")
-    a = _cdc_snapshot_a(spark, sf_dir)
-    b = c.filter(F.col("c_custkey") % 11 != 0).select(
+    return c.filter(F.col("c_custkey") % 11 != 0).select(
         F.col("c_custkey").alias("b_key"),
         F.when(
             F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 10
         ).otherwise(F.col("c_acctbal")).alias("new_bal"),
     )
+
+
+def _cdc_changelog(a: DataFrame, b: DataFrame) -> DataFrame:
+    """The shared diff tail of q97/q104: full-outer join two keyed
+    snapshots, type each change by null-side / value inequality, drop
+    unchanged rows."""
     joined = a.join(b, a.a_key == b.b_key, "full_outer")
     change = (
         F.when(F.col("a_key").isNull(), F.lit("insert"))
@@ -1413,6 +1384,89 @@ def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+_Q97_ORACLE = """
+WITH a AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 13 <> 0
+),
+b AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10 ELSE c_acctbal END AS c_acctbal
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+       CASE WHEN a.c_custkey IS NULL THEN 'insert'
+            WHEN b.c_custkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       a.c_acctbal AS old_bal,
+       b.c_acctbal AS new_bal
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+WHERE a.c_custkey IS NULL OR b.c_custkey IS NULL OR a.c_acctbal <> b.c_acctbal
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "q97_snapshot_changelog",
+    category="join",
+    doc="Changelog (CDC) derivation from two table snapshots — the "
+    "inverse of MERGE: given yesterday's and today's state of a keyed "
+    "table, emit the insert/update/delete stream that transforms one "
+    "into the other (what warehouses without a transaction log must "
+    "reconstruct to feed downstream incremental consumers). Synthetic "
+    "deterministic snapshots from the customer table: snapshot A lacks "
+    "custkey%13==0 (later inserts), snapshot B lacks custkey%11==0 "
+    "(deletes) and shifts acctbal by +10 where custkey%7==0 (updates). "
+    "One full-outer join on the key, change typed by null-side and "
+    "value inequality, unchanged rows dropped — the join shuffles both "
+    "snapshots once on the key; at 100 TB partition both snapshots on "
+    "ingest date-independent key ranges (or bucket them — "
+    "q104_bucketed_changelog IS that layout twin, zero-Exchange) so the "
+    "diff is co-located.",
+    oracle=_Q97_ORACLE,
+)
+def q97_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _cdc_snapshot_a(spark, sf_dir)
+    b = _cdc_snapshot_b(spark, sf_dir)
+    return _cdc_changelog(a, b)
+
+
+@register(
+    "q104_bucketed_changelog",
+    category="join",
+    doc="q97's snapshot changelog over a BUCKETED snapshot layout — the "
+    "production shape of recurring CDC derivation: a daily diff job "
+    "full-outer-joins two whole-table snapshots on the key EVERY run, "
+    "the q65-class repeated fact-fact shuffle. Writing both snapshots "
+    "bucketBy(16, key) once at ingest makes the diff a zero-Exchange "
+    "sort-merge join forever after (Catalyst recognizes the matching "
+    "bucket partitioning; full-outer SMJ preserves it) — at 100 TB "
+    "neither snapshot ever rides the wire again for ANY keyed diff. "
+    "The builder pays the one-time layout write per call to stay "
+    "self-contained (production buckets at ingest); the zero-Exchange "
+    "plan is asserted in tests/test_scale_joins.py and the result is "
+    "hash-identical to q97 by construction (same oracle, shared "
+    "snapshot + diff definitions).",
+    oracle=_Q97_ORACLE,
+)
+def q104_bucketed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+
+    from european_public_data_pipeline_spark.operators.scale_joins import (
+        write_bucketed,
+    )
+
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    at, bt = f"bkt_snap_a_{tag}", f"bkt_snap_b_{tag}"
+    write_bucketed(_cdc_snapshot_a(spark, sf_dir), at, "a_key", n_buckets=16)
+    write_bucketed(_cdc_snapshot_b(spark, sf_dir), bt, "b_key", n_buckets=16)
+    # merge hint pins SMJ so the co-location shows at toy scale too (AQE
+    # would otherwise broadcast and hide the property being demonstrated).
+    a = spark.table(at).hint("merge")
+    b = spark.table(bt)
+    return _cdc_changelog(a, b)
 
 
 @register(

@@ -205,8 +205,11 @@ _DRIVER_GREEN_R5 = frozenset({
 _DRIVER_FAILED_LAST: tuple[str, ...] = ("q90_array_functions",)
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-6 changes to already-green queries land here as they happen).
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ()
+# (round-6 changes to already-green queries land here as they happen):
+# q97's builder refactored into shared snapshot/diff helpers when q104
+# (the bucketed layout twin) was added — semantics identical, but a
+# stale verdict is no verdict.
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ("q97_snapshot_changelog",)
 
 
 _NEVER_FIRST: tuple[str, ...] = ()

@@ -115,3 +115,21 @@ def test_q95_bucketed_fact_join_plans_no_orderkey_exchange(spark, sf_small):
             assert "orderkey" not in line.lower(), line  # facts never shuffle
     q65 = specs["q65_market_share"].builder(spark, sf_small)
     assert sorted(map(tuple, q95.collect())) == sorted(map(tuple, q65.collect()))
+
+
+def test_q104_bucketed_changelog_plans_no_key_exchange(spark, sf_small):
+    """q104: the snapshot full-outer diff over the bucketed layout must
+    plan a zero-Exchange sort-merge join on the snapshot keys (the sort
+    exchange after the diff is expected), and its result must be
+    row-identical to plain q97's."""
+    from european_public_data_pipeline_spark import plans
+
+    specs = plans.all_specs()
+    q104 = specs["q104_bucketed_changelog"].builder(spark, sf_small)
+    plan = physical_plan(q104)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "a_key" not in line and "b_key" not in line, line
+    q97 = specs["q97_snapshot_changelog"].builder(spark, sf_small)
+    assert sorted(map(tuple, q104.collect())) == sorted(map(tuple, q97.collect()))
