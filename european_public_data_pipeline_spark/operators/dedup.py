@@ -303,6 +303,14 @@ ORDER BY d1, d2
 )
 def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    return exact_jaccard_pairs(docs)
+
+
+def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """d03's exhaustive exact-Jaccard pair pipeline over an arbitrary
+    document relation — factored out so audits (d22) can run the
+    quadratic truth over a deterministic document SAMPLE at scale while
+    d03 itself stays the full-corpus exact baseline."""
     # The shingle set feeds the self-join twice plus the size aggregate;
     # cache it so tokenize/explode/distinct runs once, not three times.
     sh = shingles(docs).cache()
@@ -1798,7 +1806,8 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
          AS n_true_detected,
        CASE WHEN (SELECT COUNT(*) FROM truth) = 0 THEN NULL
             ELSE CAST((SELECT COUNT(*) FROM truth t JOIN det d ON d.d1 = t.d1 AND d.d2 = t.d2) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM truth) END AS banding_recall
+                 / (SELECT COUNT(*) FROM truth) END AS banding_recall,
+       CAST(10000 AS INTEGER) AS sample_rate_bp
 """
 
 
@@ -1819,25 +1828,60 @@ SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
     "accepts — the number that justifies (or revises) band/row "
     "parameters on a new corpus. Composed-oracle pattern (p03's "
     "recipe): the oracle embeds the registered d03 + d04 SQL as CTEs, "
-    "so the audit's ground truth is itself oracle-verified.",
+    "so the audit's ground truth is itself oracle-verified. At 100 TB "
+    "the exhaustive truth is impossible; pass truth_sample_bp < 10000 "
+    "for the sampled-truth mode (deterministic hash-rate document "
+    "sample feeding the truth side, detections endpoint-filtered, rate "
+    "reported in the output row — unbiased recall estimate at ~rate² "
+    "of the truth cost; measured curve in PLANS.md).",
 )
-def d22_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d22_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str, truth_sample_bp: int = 10000
+) -> DataFrame:
     from european_public_data_pipeline_spark.plans.registry import all_specs
 
     specs = all_specs()
+    if truth_sample_bp >= 10000:
+        # Full-corpus truth — the oracle-checked default at audit scale.
+        truth = (
+            specs["d03_ngram_jaccard_pairs"].builder(spark, sf_dir)
+            .select("d1", "d2")
+        )
+        det = specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir).select(
+            "d1", "d2"
+        )
+    else:
+        # Sampled-truth mode for scale (VERDICT r5 #5): the exhaustive
+        # quadratic truth is impossible over 100 TB, so restrict it to a
+        # deterministic hash-rate document sample (sm01's primitive —
+        # portable, rerun-stable, no RNG state). Detections are filtered
+        # to pairs with BOTH endpoints in the sample: banding ran over
+        # the FULL corpus (production shape) and is independent of the
+        # sample draw, so detected∩truth over sampled truth is an
+        # unbiased recall estimate. Truth cost scales with rate² — the
+        # knob that turns a corpus² audit into a fixed budget. The rate
+        # rides in the output row: no silent caps.
+        docs = load_table(spark, sf_dir, "documents")
+        sample = docs.filter(
+            base_hash28(F.col("doc_id").cast("string")) % 10000
+            < F.lit(truth_sample_bp)
+        )
+        truth = exact_jaccard_pairs(sample).select("d1", "d2")
+        ids = sample.select("doc_id")
+        # Strategy left to AQE: the sampled id set is broadcastable at
+        # audit scale but at 100 TB both sides of the semi join are big —
+        # the pair set is already detection-sized (<< corpus²) either way.
+        det = (
+            specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir)
+            .select("d1", "d2")
+            .join(ids, F.col("d1") == F.col("doc_id"), "left_semi")
+            .join(ids, F.col("d2") == F.col("doc_id"), "left_semi")
+        )
     # Both pair sets feed a count aggregate AND the intersection join —
     # cache them or the d03/d04 pipelines execute twice each (review r5:
     # roughly half the audit's wall-clock).
-    truth = (
-        specs["d03_ngram_jaccard_pairs"].builder(spark, sf_dir)
-        .select("d1", "d2")
-        .cache()
-    )
-    det = (
-        specs["d04_minhash_lsh_pairs"].builder(spark, sf_dir)
-        .select("d1", "d2")
-        .cache()
-    )
+    truth = truth.cache()
+    det = det.cache()
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
     n_det = det.agg(F.count(F.lit(1)).alias("n_detected"))
     n_both = truth.join(det, ["d1", "d2"]).agg(
@@ -1854,6 +1898,9 @@ def d22_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_true") > 0,
                 F.col("n_true_detected").cast("double") / F.col("n_true"),
             ).alias("banding_recall"),
+            F.lit(min(truth_sample_bp, 10000)).cast("int").alias(
+                "sample_rate_bp"
+            ),
         )
     )
 

@@ -209,7 +209,12 @@ _DRIVER_FAILED_LAST: tuple[str, ...] = ("q90_array_functions",)
 # q97's builder refactored into shared snapshot/diff helpers when q104
 # (the bucketed layout twin) was added — semantics identical, but a
 # stale verdict is no verdict.
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ("q97_snapshot_changelog",)
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
+    "q97_snapshot_changelog",
+    # d03's pipeline factored into exact_jaccard_pairs (shared with d22's
+    # sampled-truth mode); d22's output gained the sample_rate_bp column.
+    "d03_ngram_jaccard_pairs", "d22_lsh_recall_audit",
+)
 
 
 _NEVER_FIRST: tuple[str, ...] = ()
