@@ -107,6 +107,45 @@ def curation_stages(
     }
 
 
+# Surgical decontamination: a doc whose benchmark-overlapping islands
+# cover at most this share of its tokens is KEPT (the islands get excised
+# by the write step) instead of dropped wholesale. 0.2 sits in the gap of
+# the observed bimodal distribution (incidental shingle collisions < 0.2,
+# near-copies of benchmark docs > 0.8 — see d19's PLANS.md notes).
+SURGICAL_MAX_RATIO = 0.2
+
+
+def surgical_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    quality_min: float = QUALITY_MIN,
+    max_ratio: float = SURGICAL_MAX_RATIO,
+) -> dict[str, DataFrame]:
+    """The curation chain with d19's span-level decontamination replacing
+    d10's drop-the-whole-document gate (VERDICT r5 #6): heavily
+    contaminated docs (covered_ratio > max_ratio) still drop, but lightly
+    contaminated ones survive with an excision work order — the shape
+    production training-data audits actually gate on, recovering every
+    document d10's blunt gate would discard over an incidental overlap.
+
+    Returns ``curation_stages``'s entries plus ``surgical`` (the kept
+    set) and ``excision`` (d19 rows for kept docs — the spans the write
+    step must cut, with token counts).
+    """
+    specs = plans.all_specs()
+    stages = curation_stages(spark, sf_dir, quality_min)
+    d19 = specs["d19_span_contamination"].builder(spark, sf_dir)
+    heavy = d19.filter(F.col("covered_ratio") > max_ratio).select("doc_id")
+    is_bench = base_hash28(F.col("doc_id").cast("string")) % CONTAM_MOD == 0
+    surgical = (
+        stages["near_dedup"].filter(~is_bench).join(heavy, "doc_id", "left_anti")
+    )
+    excision = d19.filter(F.col("covered_ratio") <= max_ratio).join(
+        surgical, "doc_id", "left_semi"
+    )
+    return {**stages, "surgical": surgical, "excision": excision}
+
+
 def curate_corpus(
     spark: SparkSession,
     sf_dir: str,

@@ -104,3 +104,61 @@ def test_report_query_matches_pipeline_stats(spark, sf_small, curated):
     assert report["4_near_dedup"] == stats["n_after_near_dedup"]
     assert report["5_decontam"] == stats["n_after_decontam"]
     assert report["6_split_train"] == stats["n_train"]
+
+
+def test_surgical_chain_monotone_and_supersets_blunt_gate(spark, sf_small):
+    """p04's surgical chain (VERDICT r5 #6): monotone shrinkage through
+    5_surgical_decontam, splits partition the survivors exactly, and the
+    surgical keep-set is a SUPERSET of p03's blunt drop-the-document gate
+    (surgical can only recover docs d10 would discard, never admit a doc
+    the blunt gate kept — both drop all heavy contamination and the
+    benchmark split)."""
+    from european_public_data_pipeline_spark.pipeline.curate import (
+        curation_stages,
+        surgical_stages,
+    )
+
+    report = {
+        r["stage"]: r["n"]
+        for r in plans.all_specs()["p04_surgical_curation_report"]
+        .builder(spark, sf_small)
+        .collect()
+    }
+    assert (
+        report["1_raw"]
+        >= report["2_quality"]
+        >= report["3_exact_dedup"]
+        >= report["4_near_dedup"]
+        >= report["5_surgical_decontam"]
+        > 0
+    )
+    assert (
+        report["7_split_train"] + report["8_split_val"] + report["9_split_test"]
+        == report["5_surgical_decontam"]
+    )
+    assert report["6_excised_tokens"] >= 0
+    blunt = {
+        r["doc_id"]
+        for r in curation_stages(spark, sf_small)["decontam"].collect()
+    }
+    surgical = {
+        r["doc_id"]
+        for r in surgical_stages(spark, sf_small)["surgical"].collect()
+    }
+    assert blunt <= surgical
+
+
+def test_excision_work_order_only_for_kept_docs(spark, sf_small):
+    """Every excision row targets a doc that survived the surgical gate,
+    and none exceeds the keep threshold."""
+    from european_public_data_pipeline_spark.pipeline.curate import (
+        SURGICAL_MAX_RATIO,
+        surgical_stages,
+    )
+
+    stages = surgical_stages(spark, sf_small)
+    exc = stages["excision"].collect()
+    kept = {r["doc_id"] for r in stages["surgical"].collect()}
+    for r in exc:
+        assert r["doc_id"] in kept
+        assert r["covered_ratio"] <= SURGICAL_MAX_RATIO
