@@ -398,3 +398,124 @@ def g04_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("label").alias("community"))
         .orderBy("node")
     )
+
+
+K_CORE = 2
+PEEL_ROUNDS = 3
+
+
+def _g05_oracle() -> str:
+    # Raw per-name resolution (d22's recipe): all_specs from inside a
+    # composer would recurse through g05's own lazy oracle.
+    from european_public_data_pipeline_spark.plans import registry
+
+    d04 = registry._resolve("d04_minhash_lsh_pairs").oracle
+    k = K_CORE
+    return f"""
+WITH d04 AS MATERIALIZED ({d04}),
+und AS MATERIALIZED (SELECT d1 AS src, d2 AS dst FROM d04
+        UNION ALL SELECT d2, d1 FROM d04),
+alive0 AS (SELECT DISTINCT src AS node FROM und),
+deg1 AS (SELECT src AS node, COUNT(*) AS deg FROM und GROUP BY src),
+keep1 AS MATERIALIZED (SELECT node FROM deg1 WHERE deg >= {k}),
+e2 AS MATERIALIZED (SELECT src, dst FROM und
+       WHERE src IN (SELECT node FROM keep1) AND dst IN (SELECT node FROM keep1)),
+deg2 AS (SELECT src AS node, COUNT(*) AS deg FROM e2 GROUP BY src),
+keep2 AS MATERIALIZED (SELECT node FROM deg2 WHERE deg >= {k}),
+e3 AS MATERIALIZED (SELECT src, dst FROM e2
+       WHERE src IN (SELECT node FROM keep2) AND dst IN (SELECT node FROM keep2)),
+deg3 AS (SELECT src AS node, COUNT(*) AS deg FROM e3 GROUP BY src),
+keep3 AS MATERIALIZED (SELECT node FROM deg3 WHERE deg >= {k}),
+e4 AS MATERIALIZED (SELECT src, dst FROM e3
+       WHERE src IN (SELECT node FROM keep3) AND dst IN (SELECT node FROM keep3)),
+deg4 AS (SELECT src AS node, COUNT(*) AS deg FROM e4 GROUP BY src),
+rounds AS (
+  SELECT node, 1 AS removed_round FROM alive0
+  WHERE node NOT IN (SELECT node FROM keep1)
+  UNION ALL
+  SELECT node, 2 FROM keep1 WHERE node NOT IN (SELECT node FROM keep2)
+  UNION ALL
+  SELECT node, 3 FROM keep2 WHERE node NOT IN (SELECT node FROM keep3)
+  UNION ALL
+  SELECT node, 0 FROM keep3
+)
+SELECT r.node AS doc_id,
+       CAST(r.removed_round AS INTEGER) AS removed_round,
+       CAST(CASE WHEN r.removed_round = 0 THEN COALESCE(d.deg, 0) ELSE 0 END
+            AS BIGINT) AS core_degree
+FROM rounds r LEFT JOIN deg4 d ON d.node = r.node
+ORDER BY doc_id
+"""
+
+
+@register(
+    "g05_dup_graph_kcore",
+    category="graph",
+    doc="k-core refinement of the near-duplicate graph: three unrolled "
+    "synchronous peeling rounds (remove nodes with degree < 2, "
+    "recompute degrees, repeat) over d04's verified duplicate pairs as "
+    "undirected edges. Separates what d08's connected components "
+    "cannot: a doc in the surviving 2-core sits in a densely "
+    "duplicated cluster (template explosion — the curation signal that "
+    "argues for keeping ONE representative and a hard look at the "
+    "source), while removed_round tells how peripheral a chain-attached "
+    "doc was. Per round: one degree aggregation (map-side combined, "
+    "node-cardinality) and two semi joins filtering the edge list — "
+    "the Pregel-style layout; edge relation is detection-sized, never "
+    "corpus². Integer-only arithmetic: bit-exact parity; the composed "
+    "oracle embeds d04's registered SQL as a CTE (p03's recipe) and "
+    "unrolls all three rounds.",
+    oracle=_g05_oracle,  # lazy: composed from the registry on first use
+)
+def g05_dup_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+
+    pairs = (
+        all_specs()["d04_minhash_lsh_pairs"].builder(spark, sf_dir)
+        .select("d1", "d2")
+    )
+    und = pairs.select(
+        F.col("d1").alias("src"), F.col("d2").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst"))
+    ).cache()  # feeds the initial node set and every peeling round
+
+    def degrees(edges: DataFrame) -> DataFrame:
+        return edges.groupBy(F.col("src").alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+
+    def restrict(edges: DataFrame, keep: DataFrame) -> DataFrame:
+        return edges.join(
+            keep.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+
+    alive = und.select(F.col("src").alias("node")).distinct()
+    edges = und
+    removed = []
+    for rnd in range(1, PEEL_ROUNDS + 1):
+        keep = degrees(edges).filter(F.col("deg") >= K_CORE).select("node")
+        removed.append(
+            alive.join(keep, "node", "left_anti").select(
+                "node", F.lit(rnd).cast("int").alias("removed_round")
+            )
+        )
+        alive = keep
+        edges = restrict(edges, keep)
+    survivors = alive.select(
+        "node", F.lit(0).cast("int").alias("removed_round")
+    )
+    core_deg = degrees(edges)  # degree inside the FINAL surviving subgraph
+    out = survivors.unionByName(removed[0])
+    for r in removed[1:]:
+        out = out.unionByName(r)
+    return (
+        out.join(core_deg, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "removed_round",
+            F.when(F.col("removed_round") == 0, F.coalesce(F.col("deg"), F.lit(0)))
+            .otherwise(F.lit(0)).cast("long").alias("core_degree"),
+        )
+        .orderBy("doc_id")
+    )
