@@ -437,3 +437,144 @@ def m06_payload_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Byte-level SimHash of media payloads: 28-bit signature over the
+# multiset of byte 4-grams. 4 bands of 7 bits: hamming <= 3 flips at
+# most 3 bands, so at least one band matches exactly — banding recall
+# is 1.0 by construction for the <= 3 verification threshold.
+PAYLOAD_SIMHASH_BITS = 28
+PAYLOAD_SIMHASH_BANDS = 4
+PAYLOAD_SIMHASH_MAX_HAMMING = 3
+PAYLOAD_SIMHASH_DOCS = 300  # demo grain (same ASCII-payload oracle assumption as m05/m06)
+
+
+def _m07_oracle() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(PAYLOAD_SIMHASH_BITS)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(PAYLOAD_SIMHASH_BITS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+  FROM documents WHERE doc_id < {PAYLOAD_SIMHASH_DOCS}
+),
+g AS (
+  SELECT doc_id, text,
+         unnest(CASE WHEN n >= 4 THEN generate_series(1, n - 3) ELSE [] END) AS i
+  FROM base
+),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(substring(text, CAST(i AS INTEGER), 4)), 1, 7)
+              AS BIGINT) AS hv
+  FROM g
+),
+bitsums AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, {combine} AS simhash FROM bitsums)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {PAYLOAD_SIMHASH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "m07_payload_simhash_pairs",
+    category="multimodal",
+    doc="Fuzzy near-duplicate detection of media payloads via byte-level "
+    "SimHash — the approximate twin of m06's exact CDC chunk dedup: a "
+    "28-bit frequency-weighted signature over the multiset of byte "
+    "4-grams (one aggregation per object), candidates via pigeonhole "
+    "banding (4 bands of 7 bits — hamming <= 3 guarantees at least one "
+    "exact band match, recall 1.0 by construction), exact Hamming "
+    "verification on candidates only. This is the blob-store signature "
+    "that survives small binary edits (metadata rewrites, container "
+    "re-wraps) where whole-object hashes and even chunk boundaries "
+    "move. Same demo grain + ASCII-payload oracle assumption as "
+    "m05/m06; at 100 TB the signature pass is byte-linear row-local "
+    "(Arrow-batched over binary, never per-row Python), signatures are "
+    "one BIGINT per object, and the quadratic is band-bucket-local — "
+    "the d05 topology (locality rule) applied to binary media. "
+    "Integer-only output: bit-exact parity.",
+    oracle=_m07_oracle,  # lazy: keeps module import light
+)
+def m07_payload_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PAYLOAD_SIMHASH_DOCS
+    )
+    base = docs.select(
+        "doc_id", "text", F.octet_length("text").cast("bigint").alias("n")
+    )
+    # Spark sequence(a, b) counts DOWN when b < a — guard short payloads.
+    idx = F.when(
+        F.col("n") >= 4, F.sequence(F.lit(1), (F.col("n") - 3).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "doc_id",
+        F.explode(idx).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.expr("substring(text, i, 4)")), 1, 7), 16, 10
+        ).cast("bigint").alias("hv"),
+    )
+    bitsums = grams.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hv"), b).bitwiseAND(1) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(PAYLOAD_SIMHASH_BITS)
+        ]
+    )
+    simhash = None
+    for b in range(PAYLOAD_SIMHASH_BITS):
+        term = F.when(
+            F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        simhash = term if simhash is None else simhash + term
+    sh = bitsums.select("doc_id", simhash.alias("simhash"))
+
+    band_width = PAYLOAD_SIMHASH_BITS // PAYLOAD_SIMHASH_BANDS
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.shiftright(F.col("simhash"), band * band_width)
+                .bitwiseAND((1 << band_width) - 1)
+                .alias("band_val"),
+            )
+            for band in range(PAYLOAD_SIMHASH_BANDS)
+        ]
+    )
+    bands = sh.select("doc_id", "simhash", F.explode(band_arr).alias("b")).select(
+        "doc_id",
+        "simhash",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_val").alias("band_val"),
+    )
+    b1 = bands.select(
+        F.col("doc_id").alias("d1"), F.col("simhash").alias("sh1"),
+        "band_id", "band_val",
+    )
+    b2 = bands.select(
+        F.col("doc_id").alias("d2"), F.col("simhash").alias("sh2"),
+        "band_id", "band_val",
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2"))).cast("int")
+    return (
+        b1.join(b2, ["band_id", "band_val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= PAYLOAD_SIMHASH_MAX_HAMMING)
+        .orderBy("d1", "d2")
+    )
