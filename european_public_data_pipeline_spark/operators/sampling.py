@@ -777,3 +777,108 @@ def sm11_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(sampled.alias("n_sampled"))
         .orderBy("tau", "lang")
     )
+
+
+# sm12 curriculum: quality-banded training order with EXACT global
+# positions and zero global sort. Band = floor(quality_score * 10)
+# (t02's score, identical doubles in both engines, so the floor is
+# bit-stable); within a band the order is a seeded portable hash
+# (doc_id tie-break). The global position is assembled two-level:
+# high-order hash bits define 16 contiguous buckets, per-(band, bucket)
+# counts prefix-sum into offsets (an aggregate-sized relation), and a
+# bounded row_number inside each (band, bucket) partition adds the
+# local rank — the scalable replacement for ROW_NUMBER() OVER (ORDER BY
+# ...) whose single global sort partition is the q87-class skew bomb.
+CURRICULUM_SEED = "curriculum0"
+CURRICULUM_BUCKETS = 16  # high-order 4 bits of the 28-bit hash
+_CURR_HASH_SQL = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'curriculum0'), 1, 7) "
+    "AS BIGINT)"
+)
+
+
+def _sm12_oracle() -> str:
+    from european_public_data_pipeline_spark.plans import registry
+
+    t02 = registry._resolve("t02_quality_score").oracle
+    return f"""
+WITH t02 AS MATERIALIZED ({t02}),
+base AS (
+  SELECT doc_id,
+         CAST(LEAST(GREATEST(floor(quality_score * 10), 0), 9) AS INTEGER)
+           AS band,
+         {_CURR_HASH_SQL} AS h
+  FROM t02
+)
+SELECT doc_id, band,
+       CAST(ROW_NUMBER() OVER (ORDER BY band DESC, h, doc_id) AS BIGINT)
+         AS pos
+FROM base
+ORDER BY pos
+"""
+
+
+@register(
+    "sm12_curriculum_schedule",
+    category="sampling",
+    doc="Deterministic curriculum ordering for training: every document "
+    "gets an EXACT global position — highest t02 quality band first, "
+    "seeded-hash order within a band (easy-to-hard scheduling with "
+    "reproducible within-band shuffling). The scalable construction "
+    "computes that global total order WITHOUT any global sort or "
+    "whole-corpus window: 16 contiguous buckets from the hash's "
+    "high-order bits, one aggregate-sized (band, bucket) count + "
+    "prefix-sum for the offsets, and a row_number bounded inside each "
+    "(band, bucket) partition — position = offset + local rank, proven "
+    "equal to the oracle's ROW_NUMBER() OVER (ORDER BY band DESC, "
+    "hash, doc_id) global window. sm06 shuffles flat; sm12 adds the "
+    "quality curriculum and materializes positions with bounded "
+    "parallelism at any corpus size.",
+    oracle=_sm12_oracle,  # lazy: composed from the registry on first use
+)
+def sm12_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+
+    q = all_specs()["t02_quality_score"].builder(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(CURRICULUM_SEED))),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    band = F.least(
+        F.greatest(F.floor(F.col("quality_score") * 10), F.lit(0)), F.lit(9)
+    ).cast("int")
+    base = q.select("doc_id", band.alias("band"), h.alias("h")).withColumn(
+        # 28-bit hash -> high-order 4 bits: buckets are CONTIGUOUS hash
+        # ranges, so (band DESC, bucket ASC, h ASC) is the global order.
+        "bucket", F.shiftright(F.col("h"), 24).cast("int")
+    )
+    counts = base.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # Offsets: docs ordered strictly before this (band, bucket) group.
+    # The window runs over the aggregate-sized counts relation (<= 160
+    # rows), not the corpus — q87's domain-histogram pattern.
+    w = (
+        Window.orderBy(F.desc("band"), F.asc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "band", "bucket", F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("off")
+    )
+    local = Window.partitionBy("band", "bucket").orderBy("h", "doc_id")
+    return (
+        base.join(F.broadcast(offsets), ["band", "bucket"])
+        .select(
+            "doc_id",
+            "band",
+            (F.col("off") + F.row_number().over(local)).cast("bigint").alias("pos"),
+        )
+        .orderBy("pos")
+    )
