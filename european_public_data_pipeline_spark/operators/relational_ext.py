@@ -1737,3 +1737,75 @@ def q102_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q105_approx_quantile_audit",
+    category="aggregation",
+    doc="approx_percentile bounds audit — the production proof for the "
+    "100 TB quantile swap-in that q14 (exact percentiles) and q87 "
+    "(exact MAD) both document as their scale path: Spark's KLL-style "
+    "approx_percentile(accuracy=1000) guarantees rank error <= "
+    "n/accuracy, so each approximate p50/p90/p99 of l_extendedprice "
+    "must land between the EXACT percentiles at p +- 1.5/accuracy "
+    "(slack covers interpolation at the rank boundary). One pass "
+    "computes the sketch AND the exact reference per l_returnflag "
+    "group; the audit booleans ride in the row. Oracle is the q25 "
+    "bounds-audit pattern: DuckDB cannot reproduce the sketch, so it "
+    "emits the exact quantile_cont values (rounded 4dp, q14's "
+    "determinism argument) plus literal TRUEs — a hash mismatch means "
+    "the sketch broke its contract. At 100 TB only the sketch pass "
+    "survives (mergeable state, one shuffle of sketch blobs); the "
+    "exact side here is the audit's ground truth at audit scale.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS exact_p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS exact_p99,
+       TRUE AS p50_within_bound,
+       TRUE AS p90_within_bound,
+       TRUE AS p99_within_bound
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q105_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = 1000
+    slack = 1.5 / acc
+    lo = [max(0.0, p - slack) for p in (0.5, 0.9, 0.99)]
+    hi = [min(1.0, p + slack) for p in (0.5, 0.9, 0.99)]
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9, 0.99))"
+        ).alias("exact"),
+        F.expr(
+            f"percentile(l_extendedprice, array({lo[0]}, {lo[1]}, {lo[2]}))"
+        ).alias("exact_lo"),
+        F.expr(
+            f"percentile(l_extendedprice, array({hi[0]}, {hi[1]}, {hi[2]}))"
+        ).alias("exact_hi"),
+        F.expr(
+            f"approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), {acc})"
+        ).alias("approx"),
+    )
+
+    def within(i: int) -> F.Column:
+        a = F.element_at("approx", i)
+        return (F.element_at("exact_lo", i) <= a) & (
+            a <= F.element_at("exact_hi", i)
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.round(F.element_at("exact", 1), 4).alias("exact_p50"),
+        F.round(F.element_at("exact", 2), 4).alias("exact_p90"),
+        F.round(F.element_at("exact", 3), 4).alias("exact_p99"),
+        within(1).alias("p50_within_bound"),
+        within(2).alias("p90_within_bound"),
+        within(3).alias("p99_within_bound"),
+    ).orderBy("l_returnflag")
