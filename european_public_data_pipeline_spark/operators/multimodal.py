@@ -515,15 +515,18 @@ def m07_payload_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.col("n") >= 4, F.sequence(F.lit(1), (F.col("n") - 3).cast("int"))
     ).otherwise(F.array().cast("array<int>"))
+    # Canonical portable 28-bit hash — imported lazily (dedup imports the
+    # plans package, so a module-top import would re-enter plans/__init__
+    # when multimodal loads first).
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
     grams = base.select(
         "doc_id",
         F.explode(idx).alias("i"),
         "text",
     ).select(
         "doc_id",
-        F.conv(
-            F.substring(F.md5(F.expr("substring(text, i, 4)")), 1, 7), 16, 10
-        ).cast("bigint").alias("hv"),
+        base_hash28(F.expr("substring(text, i, 4)")).alias("hv"),
     )
     bitsums = grams.groupBy("doc_id").agg(
         *[

@@ -839,18 +839,14 @@ ORDER BY pos
 def sm12_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.plans.registry import all_specs
 
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
     q = all_specs()["t02_quality_score"].builder(spark, sf_dir).select(
         "doc_id", "quality_score"
     )
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(CURRICULUM_SEED))),
-            1,
-            7,
-        ),
-        16,
-        10,
-    ).cast("bigint")
+    h = base_hash28(
+        F.concat(F.col("doc_id").cast("string"), F.lit(CURRICULUM_SEED))
+    )
     band = F.least(
         F.greatest(F.floor(F.col("quality_score") * 10), F.lit(0)), F.lit(9)
     ).cast("int")

@@ -62,7 +62,18 @@ def write_bucketed(
     else:
         warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
         parts = [p.strip("`").lower() for p in table.split(".")]
-        if len(parts) == 2:
+        if len(parts) > 3:
+            raise ValueError(f"unparseable table identifier: {table!r}")
+        if len(parts) == 3:
+            # catalog.db.tbl: only the session catalog's warehouse is
+            # managed here — a wrong split would fs.delete an unrelated
+            # directory, so reject foreign catalogs outright.
+            if parts[0] not in ("spark_catalog",):
+                raise ValueError(
+                    f"write_bucketed manages only spark_catalog tables, got {table!r}"
+                )
+            db, tbl = parts[1], parts[2]
+        elif len(parts) == 2:
             db, tbl = parts
         else:
             db, tbl = spark.catalog.currentDatabase().lower(), parts[0]

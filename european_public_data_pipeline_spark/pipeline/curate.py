@@ -125,8 +125,12 @@ def surgical_stages(
     d10's drop-the-whole-document gate (VERDICT r5 #6): heavily
     contaminated docs (covered_ratio > max_ratio) still drop, but lightly
     contaminated ones survive with an excision work order — the shape
-    production training-data audits actually gate on, recovering every
-    document d10's blunt gate would discard over an incidental overlap.
+    production training-data audits actually gate on. Note the two gates
+    measure DIFFERENT things (d10: distinct-shingle match rate; d19:
+    covered-token ratio), so neither keep-set structurally contains the
+    other — on corpora where overlaps are island-concentrated the
+    surgical gate typically recovers documents the blunt gate drops, but
+    that is an empirical property of the corpus, not a guarantee.
 
     Returns ``curation_stages``'s entries plus ``surgical`` (the kept
     set) and ``excision`` (d19 rows for kept docs — the spans the write

@@ -213,6 +213,7 @@ def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
     constraints to the write job as observed metrics).
     Returns the committed version.
     """
+    from european_public_data_pipeline_spark.pipeline.fs_util import delete_path
     from european_public_data_pipeline_spark.pipeline.wap import stage_with_audit
     from european_public_data_pipeline_spark.quality.checks import gate
 
@@ -221,7 +222,14 @@ def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
     data_dir = _stage_dir(table_path, n)
     checks = stage_with_audit(df, suite, data_dir)
     try:
-        gate(checks)  # raises on failure; data dir stays uncommitted
+        gate(checks)  # raises on failure
+    except Exception:
+        # Staging prefixes are publisher-unique (uuid) since the race fix,
+        # so a failed audit's data would otherwise leak forever — no later
+        # attempt overwrites it and no manifest references it. Reclaim it
+        # here; the gate's exception already carries the failed checks.
+        delete_path(spark, data_dir)
+        raise
     finally:
         checks.unpersist()
     return _commit(spark, table_path, n, data_dir)

@@ -58,6 +58,11 @@ def merge_cms_state(
     if not versions(spark, state_path):
         publish_version(partial, state_path)
         return
+    # An empty batch contributes no cells AND cannot advance the max()
+    # watermark — merging it would publish an identical version on every
+    # replay forever (code-review r6). Nothing to absorb: return.
+    if partial.limit(1).count() == 0:
+        return
     state = read_version(spark, state_path)
     last = state.agg(F.max("applied_batch")).collect()[0][0]
     if last is not None and last >= batch_id:

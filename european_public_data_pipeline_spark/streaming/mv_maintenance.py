@@ -57,6 +57,11 @@ def merge_event_summary(
     if not versions(spark, mv_path):
         publish_version(partial, mv_path)
         return
+    # An empty batch contributes no groups AND cannot advance the max()
+    # watermark — merging it would publish an identical MV version on
+    # every replay forever (code-review r6). Nothing to absorb: return.
+    if partial.limit(1).count() == 0:
+        return
     mv = read_version(spark, mv_path)
     # max() over an EMPTY MV (a zero-row first batch) collects as None —
     # treat as "nothing absorbed yet", don't compare None >= int.

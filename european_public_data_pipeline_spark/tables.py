@@ -76,12 +76,20 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
         # front; this fallback covers foreign sessions (the driver's).
         # The retry is attempted on ANY read failure — the exact error
         # phrasing varies across Spark versions/locales, so gating on a
-        # message substring would regress nanos files on foreign sessions;
-        # if the retry also fails, the ORIGINAL error propagates.
+        # message substring would regress nanos files on foreign sessions.
+        # If the retry ALSO fails, restore the conf to its prior state
+        # (the failure wasn't nanos-related, and leaving it flipped would
+        # silently change unrelated parquet reads in a foreign session)
+        # and propagate the ORIGINAL error.
+        prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         try:
             df = spark.read.parquet(path)
         except Exception:
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             raise e
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):

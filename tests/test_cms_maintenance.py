@@ -91,3 +91,21 @@ def test_replayed_batch_is_noop_and_state_is_constant_size(spark, tmp_path):
     assert _cells(read_cms_state(spark, state)) == before
     # State is bounded by the sketch geometry, not the stream volume.
     assert read_cms_state(spark, state).count() <= CMS_DEPTH * CMS_WIDTH
+
+
+def test_empty_batch_on_existing_state_publishes_no_version(spark, tmp_path):
+    """Same contract as the MV maintainer: an empty batch is a pure
+    no-op — no new state version, cells unchanged (code-review r6)."""
+    from european_public_data_pipeline_spark.pipeline.manifest import versions
+
+    state = str(tmp_path / "state")
+    merge_cms_state(
+        spark, state, spark.createDataFrame(_rows(0, 10, 5), SCHEMA), 0, "user_id"
+    )
+    before_v = versions(spark, state)
+    before_c = _cells(read_cms_state(spark, state))
+    empty = spark.createDataFrame([], SCHEMA)
+    merge_cms_state(spark, state, empty, 1, "user_id")
+    merge_cms_state(spark, state, empty, 1, "user_id")
+    assert versions(spark, state) == before_v
+    assert _cells(read_cms_state(spark, state)) == before_c

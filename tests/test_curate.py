@@ -106,15 +106,21 @@ def test_report_query_matches_pipeline_stats(spark, sf_small, curated):
     assert report["6_split_train"] == stats["n_train"]
 
 
-def test_surgical_chain_monotone_and_supersets_blunt_gate(spark, sf_small):
+def test_surgical_chain_monotone_and_structural_recomposition(spark, sf_small):
     """p04's surgical chain (VERDICT r5 #6): monotone shrinkage through
     5_surgical_decontam, splits partition the survivors exactly, and the
-    surgical keep-set is a SUPERSET of p03's blunt drop-the-document gate
-    (surgical can only recover docs d10 would discard, never admit a doc
-    the blunt gate kept — both drop all heavy contamination and the
-    benchmark split)."""
+    STRUCTURAL identity of the gate — surgical keep-set == near-dedup
+    survivors minus the benchmark split minus heavy contamination
+    (covered_ratio > threshold), recomputed here from first principles.
+    (No subset relation vs the blunt d10 gate is asserted: the two gates
+    measure different metrics — distinct-shingle match rate vs
+    covered-token ratio — so neither contains the other structurally;
+    code-review r6.)"""
+    import hashlib
+
+    from european_public_data_pipeline_spark.operators.dedup import CONTAM_MOD
     from european_public_data_pipeline_spark.pipeline.curate import (
-        curation_stages,
+        SURGICAL_MAX_RATIO,
         surgical_stages,
     )
 
@@ -137,15 +143,23 @@ def test_surgical_chain_monotone_and_supersets_blunt_gate(spark, sf_small):
         == report["5_surgical_decontam"]
     )
     assert report["6_excised_tokens"] >= 0
-    blunt = {
+    stages = surgical_stages(spark, sf_small)
+    surgical = {r["doc_id"] for r in stages["surgical"].collect()}
+    near = {r["doc_id"] for r in stages["near_dedup"].collect()}
+    d19 = plans.all_specs()["d19_span_contamination"].builder(spark, sf_small)
+    heavy = {
         r["doc_id"]
-        for r in curation_stages(spark, sf_small)["decontam"].collect()
+        for r in d19.filter(F.col("covered_ratio") > SURGICAL_MAX_RATIO).collect()
     }
-    surgical = {
-        r["doc_id"]
-        for r in surgical_stages(spark, sf_small)["surgical"].collect()
-    }
-    assert blunt <= surgical
+
+    def is_bench(doc_id: int) -> bool:
+        return (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:7], 16)
+            % CONTAM_MOD
+            == 0
+        )
+
+    assert surgical == {d for d in near if not is_bench(d) and d not in heavy}
 
 
 def test_excision_work_order_only_for_kept_docs(spark, sf_small):

@@ -192,3 +192,26 @@ def test_current_version_falls_back_only_when_pointer_missing(spark, tmp_path):
         f.write("{not json")
     with pytest.raises(Exception):
         current_version(spark, t)
+
+
+def test_failed_gated_publish_reclaims_staged_data(spark, tmp_path):
+    """A failed audit must not leak its uuid-staged batch copy: staging
+    prefixes are publisher-unique since the race fix, so nothing ever
+    overwrites or references a failed attempt's dir — the gate-failure
+    path has to delete it (code-review r6)."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version_gated,
+    )
+    from european_public_data_pipeline_spark.quality.checks import check_suite
+
+    t = str(tmp_path / "tbl")
+    bad = spark.createDataFrame([(1, -5.0)], "k long, value double")
+    suite = check_suite(bad).expect_positive("value")
+    with pytest.raises(Exception):
+        publish_version_gated(bad, suite, t)
+    data_root = os.path.join(t, "data")
+    leftovers = os.listdir(data_root) if os.path.isdir(data_root) else []
+    assert leftovers == []  # staged copy reclaimed
+    assert versions(spark, t) == []  # nothing committed

@@ -176,3 +176,21 @@ def test_crash_between_mv_commit_and_checkpoint_commit_replays_clean(
         for r in read_version(spark, mv, committed_versions[-1]).collect()
     }
     assert pre_crash == {"view": 4, "purchase": 2}
+
+
+def test_empty_batch_on_existing_mv_publishes_no_version(spark, tmp_path):
+    """An empty micro-batch can't advance the max() watermark, so merging
+    it would publish an identical MV version on every replay forever —
+    it must be a pure no-op (code-review r6)."""
+    from european_public_data_pipeline_spark.pipeline.manifest import versions
+
+    mv = str(tmp_path / "mv")
+    merge_event_summary(
+        spark, mv, spark.createDataFrame(_rows(0, 3, "view", 1.0), SCHEMA), 0
+    )
+    before = versions(spark, mv)
+    empty = spark.createDataFrame([], SCHEMA)
+    merge_event_summary(spark, mv, empty, 1)
+    merge_event_summary(spark, mv, empty, 1)  # replay of the empty batch
+    assert versions(spark, mv) == before
+    assert _mv(spark, mv)["view"][0] == 3

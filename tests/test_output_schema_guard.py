@@ -16,9 +16,12 @@ contract constrains only the emitted result schema, where a deterministic
 string serialization (array_join / to_json, mirrored by
 array_to_string / to_json in the DuckDB oracle) is always available.
 
-Schemas are inspected lazily at the smallest scale factor: no job runs
-for pure-transformation builders, so the sweep over all registered
-queries is cheap enough for every commit.
+Schemas are inspected at the smallest scale factor. Most builders are
+pure transformations (no job runs to read df.schema); the handful with
+eager side effects (the bucketed-layout writers q95/q104, the manifest
+publishers) do run real sf0.001 jobs here — acceptable cost, and safe
+because the pytest suite runs single-process against the shared
+warehouse (the same assumption the parity suite already makes).
 """
 
 from __future__ import annotations
