@@ -1526,3 +1526,170 @@ def s13_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# s14 nprobe sweep: recall@k of the IVF index (s04's construction) as a
+# function of probed cells, all sweep points served by ONE scored
+# candidate relation (d18's one-relation-sweep pattern). nprobe = 8
+# probes every cell, so its candidate set is the whole corpus minus
+# self — the exact brute-force reference comes from the same relation,
+# and recall@k at nprobe = N_CELLS is 1.0 by construction (the sweep's
+# built-in self-check).
+SWEEP_PROBES = (1, 2, 4, 8)
+RECALL_K = 5
+
+
+def _s14_oracle() -> str:
+    probes = ", ".join(str(p) for p in SWEEP_PROBES)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, sqrt({_sql_dot('embedding', 'embedding')}) AS nrm
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm FROM e WHERE vec_id < {N_CELLS}),
+cellrank AS MATERIALIZED (
+  SELECT e.vec_id, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_sql_dot('e.embedding', 'c.cemb')} / (e.nrm * c.cnrm) DESC, c.cid
+         ) AS rn
+  FROM e, c
+),
+assign AS (SELECT vec_id, cid AS cell FROM cellrank WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cid AS cell, rn AS cell_rank
+          FROM cellrank WHERE vec_id < {N_QUERIES}),
+scored AS MATERIALIZED (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_rank,
+         {_sql_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+  FROM probe p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = a.vec_id
+),
+grid AS (SELECT unnest([{probes}]) AS nprobe),
+swept AS MATERIALIZED (
+  SELECT g.nprobe, s.query_id, s.neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY g.nprobe, s.query_id
+           ORDER BY s.cosine DESC, s.neighbor_id
+         ) AS rank
+  FROM grid g JOIN scored s ON s.cell_rank <= g.nprobe
+),
+approx AS MATERIALIZED (
+  SELECT nprobe, query_id, neighbor_id FROM swept WHERE rank <= {RECALL_K}
+),
+exact AS (SELECT query_id, neighbor_id FROM approx WHERE nprobe = {N_CELLS})
+SELECT CAST(a.nprobe AS INTEGER) AS nprobe,
+       CAST({N_QUERIES} AS INTEGER) AS n_queries,
+       CAST(COUNT(x.neighbor_id) AS BIGINT) AS sum_hits,
+       CAST(COUNT(x.neighbor_id) AS DOUBLE) / {N_QUERIES * RECALL_K}
+         AS recall_at_k
+FROM approx a
+LEFT JOIN exact x
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+GROUP BY a.nprobe
+ORDER BY nprobe
+"""
+
+
+@register(
+    "s14_ivf_nprobe_sweep",
+    category="similarity",
+    doc="IVF nprobe calibration sweep — the report read before fixing an "
+    "ANN index's probe budget (d18's threshold-sweep philosophy applied "
+    "to s04's index): recall@5 against exact brute force for nprobe in "
+    "{1,2,4,8}, every sweep point served by ONE scored candidate "
+    "relation (candidates carry their cell_rank; a sweep point is a "
+    "filter, never a re-scan). nprobe=8 probes all cells, so the same "
+    "relation yields the exact reference and its recall is 1.0 by "
+    "construction — the sweep self-checks. Hit counts are exact "
+    "integers, recall is one division of exact values; ranking ties "
+    "break on neighbor_id. Oracle runs the identical construction "
+    "(MATERIALIZED CTEs — the composed-subtree re-evaluation lesson "
+    "from g05). At 100 TB: queries are a bounded audit sample, the "
+    "corpus-side work is s04's cell-local topology unchanged.",
+    oracle=_s14_oracle,  # lazy: keeps module import light
+)
+def s14_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "embedding", norm().alias("nrm")).cache()
+    c = e.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    cell_cos = dot_fold(F.col("embedding"), F.col("cemb")) / (
+        F.col("nrm") * F.col("cnrm")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    ranked = (
+        e.crossJoin(F.broadcast(c))
+        .select("vec_id", "cid", cell_cos.alias("ccos"))
+        .withColumn("rn", F.row_number().over(w_cell))
+    )
+    assign = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", F.col("cid").alias("cell")
+    )
+    probe = ranked.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("cell"),
+        F.col("rn").alias("cell_rank"),
+    )
+    q = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("nrm").alias("qnrm"),
+    )
+    n = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nemb"),
+        F.col("nrm").alias("nnrm"),
+    )
+    cosine = dot_fold(F.col("qemb"), F.col("nemb")) / (
+        F.col("qnrm") * F.col("nnrm")
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(assign, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell_rank")
+        .join(q, "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", "cell_rank", cosine.alias("cosine"))
+        .cache()  # one relation serves every sweep point AND the exact side
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in SWEEP_PROBES], "nprobe int"
+    )
+    w_sweep = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    approx = (
+        F.broadcast(grid)
+        .join(scored, F.col("cell_rank") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(w_sweep))
+        .filter(F.col("rank") <= RECALL_K)
+        .select("nprobe", "query_id", "neighbor_id")
+        .cache()  # feeds every sweep row AND the exact reference
+    )
+    exact = approx.filter(F.col("nprobe") == N_CELLS).select(
+        "query_id", F.col("neighbor_id").alias("x_neighbor")
+    )
+    return (
+        approx.join(
+            exact,
+            (approx.query_id == exact.query_id)
+            & (approx.neighbor_id == exact.x_neighbor),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.lit(N_QUERIES).cast("int").alias("n_queries"),
+            F.count("x_neighbor").alias("sum_hits"),
+            (
+                F.count("x_neighbor").cast("double")
+                / F.lit(N_QUERIES * RECALL_K)
+            ).alias("recall_at_k"),
+        )
+        .orderBy("nprobe")
+    )
