@@ -151,7 +151,7 @@ s4 AS (SELECT doc_id FROM s3
        WHERE {_HASH_DOC_SQL} % {CONTAM_MOD} != 0
          AND doc_id NOT IN (SELECT doc_id FROM d19
                             WHERE covered_ratio > CAST({ratio} AS DOUBLE))),
-exc AS (SELECT COALESCE(SUM(covered_tokens), 0) AS tok
+exc AS (SELECT CAST(COALESCE(SUM(covered_tokens), 0) AS BIGINT) AS tok
         FROM d19
         WHERE covered_ratio <= CAST({ratio} AS DOUBLE)
           AND doc_id IN (SELECT doc_id FROM s4)),

@@ -876,5 +876,4 @@ def sm12_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "band",
             (F.col("off") + F.row_number().over(local)).cast("bigint").alias("pos"),
         )
-        .orderBy("pos")
     )

@@ -124,6 +124,18 @@ def test_t12_head_mass_has_no_global_window(spark, sf_small):
     assert "Window" not in plan  # folds over the distinct-tf array instead
 
 
+def test_sm12_no_corpus_window(spark, sf_small):
+    df = SPECS["sm12_curriculum_schedule"].builder(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Exactly one single-partition exchange: the <=160-row (band, bucket)
+    # prefix-sum. The corpus-sized row_number window must partition by
+    # (band, bucket), and the removed cosmetic orderBy must not sneak a
+    # corpus range sort back in.
+    assert plan.count("Exchange SinglePartition") == 1
+    assert re.search(r"windowspecdefinition\(band#\d+, bucket#\d+", plan)
+    assert "rangepartitioning" not in plan
+
+
 def test_s07_seed_selection_has_no_global_window(spark, sf_small):
     plan = _formatted_plan(spark, "s07_kmeans_assignments", sf_small)
     # Per-vector assignment windows partition by vec_id; the seed TakeOrdered
@@ -150,6 +162,11 @@ _SINGLE_PARTITION_OK = {
     "q50_revenue_share",
     "sm04_source_mixture_weights",
     "q73_spend_percentile_rank",
+    # sm12's prefix-sum window runs over the (band, bucket) counts
+    # relation — <= 10 bands x 16 buckets = 160 rows at ANY corpus size.
+    # The corpus itself only ever sees bounded per-(band, bucket)
+    # row_number partitions; test_sm12_no_corpus_window pins that.
+    "sm12_curriculum_schedule",
 }
 
 _SP_PATTERN = re.compile(r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition")
