@@ -1983,3 +1983,101 @@ def d23_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# d24: embedding-space decontamination (semantic twin of d10)
+
+EMB_BENCH_MOD = 20  # ~5% of vectors form the held-out benchmark split
+EMB_CONTAM_THRESHOLD = 0.42
+
+_HASH_VEC_SQL = "CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 7) AS BIGINT)"
+
+
+@register(
+    "d24_embedding_decontamination",
+    category="dedup",
+    doc="Embedding-space benchmark decontamination: mark ~5% of vectors "
+    "as a held-out benchmark split (portable_hash(vec_id) % 20 == 0, "
+    "d10's split convention) and score every training vector by its "
+    "MAX cosine against any benchmark vector — the semantic overlap "
+    "gate that catches paraphrased test-set leakage d10's exact 5-gram "
+    "match cannot see (as in Llama/GPT-4-style embedding "
+    "decontamination passes). Shape mirrors d10 exactly: the benchmark "
+    "side is broadcast (a real benchmark suite is bounded while the "
+    "corpus grows, so the broadcast never scales with data), the "
+    "corpus is streamed through one BroadcastNestedLoopJoin and ONE "
+    "map-side-combined per-vector aggregate — no corpus-keyed shuffle "
+    "beyond flag-sized rows, no corpus pairs ever materialized to "
+    "disk. argmax via max(struct(cosine, -bid)): highest cosine, "
+    "smallest benchmark id on ties. Dot products are sequential "
+    "left-folds in double precision on both engines (d06's "
+    "bit-exactness recipe); the flag threshold compares identical "
+    "doubles, so parity is exact with no rounding. At 100 TB: swap "
+    "the 5%-split for the real benchmark suite (fixed, tiny) and this "
+    "is a single map-side pass over the corpus.",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+         sqrt({_dot64_sql('embedding', 'embedding')}) AS nrm,
+         {_HASH_VEC_SQL} % {EMB_BENCH_MOD} = 0 AS is_bench
+  FROM embeddings
+),
+bench AS (SELECT vec_id AS bid, embedding AS bemb, nrm AS bnrm
+          FROM e WHERE is_bench),
+scored AS (
+  SELECT t.vec_id, b.bid,
+         {_dot64_sql('t.embedding', 'b.bemb')} / (t.nrm * b.bnrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.vec_id
+           ORDER BY {_dot64_sql('t.embedding', 'b.bemb')} / (t.nrm * b.bnrm) DESC,
+                    b.bid
+         ) AS rn
+  FROM e t, bench b
+  WHERE NOT t.is_bench
+)
+SELECT vec_id,
+       cosine AS max_cosine,
+       bid AS nearest_bench_id,
+       cosine >= {EMB_CONTAM_THRESHOLD} AS contaminated
+FROM scored
+WHERE rn = 1
+ORDER BY vec_id
+""",
+)
+def d24_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.similarity import (
+        dot_fold,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_bench = base_hash28(F.col("vec_id").cast("string")) % EMB_BENCH_MOD == 0
+    e = emb.select(
+        "vec_id", "embedding", norm().alias("nrm"), is_bench.alias("is_bench")
+    )
+    bench = e.filter(F.col("is_bench")).select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("bemb"),
+        F.col("nrm").alias("bnrm"),
+    )
+    cosine = dot_fold(F.col("embedding"), F.col("bemb")) / (
+        F.col("nrm") * F.col("bnrm")
+    )
+    best = F.max(F.struct(F.col("cosine"), (-F.col("bid")).alias("nb"))).alias(
+        "best"
+    )
+    return (
+        e.filter(~F.col("is_bench"))
+        .crossJoin(F.broadcast(bench))
+        .select("vec_id", "bid", cosine.alias("cosine"))
+        .groupBy("vec_id")
+        .agg(best)
+        .select(
+            "vec_id",
+            F.col("best.cosine").alias("max_cosine"),
+            (-F.col("best.nb")).alias("nearest_bench_id"),
+            (F.col("best.cosine") >= EMB_CONTAM_THRESHOLD).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
