@@ -221,3 +221,173 @@ def p04_surgical_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(sp.filter(F.col("split") == "test"), "9_split_test"))
     )
     return report.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# p05: per-source corpus data card (the release datasheet)
+
+QUALITY_MICRO = 1_000_000  # quality_score rounded to micro-points before
+# summing — integer folds make the per-source mean order-independent
+# (quality_score doubles are bit-identical across engines per t02 parity,
+# so the rounding is too).
+
+
+def _datacard_oracle() -> str:
+    from european_public_data_pipeline_spark.operators.text import _SQL_TOKENS
+
+    specs = registry._REGISTRY
+    t02 = specs["t02_quality_score"].oracle
+    d10 = specs["d10_contamination_check"].oracle
+    return f"""
+WITH t02 AS MATERIALIZED ({t02}),
+d10 AS MATERIALIZED ({d10}),
+base AS (
+  SELECT source, doc_id, n_chars, len({_SQL_TOKENS}) AS n_tok, lang,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\\s+'), ' ')) AS fp
+  FROM documents
+),
+agg1 AS (
+  SELECT source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT fp) AS n_fp
+  FROM base GROUP BY source
+),
+lc AS (
+  SELECT source, lang, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM documents GROUP BY source, lang
+),
+qa AS (
+  SELECT d.source,
+         CAST(SUM(CAST(ROUND(t.quality_score * {QUALITY_MICRO}) AS BIGINT))
+              AS BIGINT) AS micro
+  FROM t02 t JOIN documents d USING (doc_id) GROUP BY d.source
+),
+ca AS (
+  SELECT d.source, COUNT(*) AS n_train,
+         CAST(SUM(CASE WHEN c.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated
+  FROM d10 c JOIN documents d USING (doc_id) GROUP BY d.source
+)
+SELECT a.source, a.n_docs, a.total_chars, a.total_tokens,
+       a.n_langs, l.lang AS top_lang,
+       CAST(l.cnt AS DOUBLE) / a.n_docs AS top_lang_share,
+       CAST(q.micro AS DOUBLE) / (a.n_docs * {QUALITY_MICRO}) AS mean_quality,
+       CAST(a.n_docs - a.n_fp AS DOUBLE) / a.n_docs AS dup_rate,
+       c.n_contaminated,
+       CAST(c.n_contaminated AS DOUBLE) / c.n_train AS contaminated_share
+FROM agg1 a
+JOIN lc l ON l.source = a.source AND l.rn = 1
+JOIN qa q ON q.source = a.source
+JOIN ca c ON c.source = a.source
+ORDER BY a.source
+"""
+
+
+@register(
+    "p05_corpus_datacard",
+    category="pipeline",
+    doc="Per-source corpus data card — the datasheet shipped with every "
+    "training-corpus release (Datasheets-for-Datasets style): document / "
+    "character / token volume, language spread with the dominant "
+    "language's share, mean quality (t02's composite, summed as exact "
+    "micro-point integers so the mean is shuffle-order-independent), "
+    "within-source exact-duplicate rate (d02's fingerprint), and the "
+    "d10 benchmark-contamination share. The oracle nests the registered "
+    "t02 and d10 SQL as CTEs, so a driver hash match certifies the "
+    "composition. Shape: corpus-linear aggregations with map-side "
+    "combine to source cardinality (countDistinct two-phase), every "
+    "post-aggregate join source-sized; the top-language window runs on "
+    "the (source, lang) histogram, never the corpus. The documents "
+    "relation is cached across the card's own four uses; at 100 TB the "
+    "t02/d10 inputs come from their already-materialized outputs, so "
+    "the marginal cost is one corpus scan plus source-sized joins.",
+    oracle=_datacard_oracle,  # lazy: composed from the registry on first use
+)
+def p05_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from european_public_data_pipeline_spark.operators.text import tokens
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+    from european_public_data_pipeline_spark.tables import load_table
+
+    # Cached: the card's own branches (volume agg, lang histogram, two
+    # doc_id->source mapping joins) all read documents; without this the
+    # plan re-scans the corpus four extra times.
+    docs = load_table(spark, sf_dir, "documents").cache()
+    fp = F.md5(F.array_join(F.split(F.trim(F.lower(F.col("text"))), r"\s+"), " "))
+    agg1 = (
+        docs.select(
+            "source",
+            "n_chars",
+            F.size(tokens()).cast("long").alias("n_tok"),
+            "lang",
+            fp.alias("fp"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("fp").alias("n_fp"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("lang"))
+    lc = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"), "cnt")
+    )
+    src = docs.select("doc_id", "source")
+    qa = (
+        all_specs()["t02_quality_score"].builder(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(F.col("quality_score") * QUALITY_MICRO, 0)
+            .cast("long")
+            .alias("q_micro"),
+        )
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.sum("q_micro").alias("micro"))
+    )
+    ca = (
+        all_specs()["d10_contamination_check"].builder(spark, sf_dir)
+        .select("doc_id", F.col("contaminated").cast("long").alias("c"))
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("c").alias("n_contaminated"))
+    )
+    nd = F.col("n_docs").cast("double")
+    return (
+        agg1.join(lc, "source")
+        .join(qa, "source")
+        .join(ca, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "n_langs",
+            "top_lang",
+            (F.col("cnt").cast("double") / nd).alias("top_lang_share"),
+            (
+                F.col("micro").cast("double")
+                / (nd * F.lit(float(QUALITY_MICRO)))
+            ).alias("mean_quality"),
+            ((nd - F.col("n_fp").cast("double")) / nd).alias("dup_rate"),
+            "n_contaminated",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_train").cast("double")
+            ).alias("contaminated_share"),
+        )
+        .orderBy("source")
+    )
