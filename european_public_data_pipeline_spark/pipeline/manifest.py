@@ -134,26 +134,47 @@ def _stage_dir(table_path: str, n: int) -> str:
     return f"{table_path}/data/v{n:08d}-{uuid.uuid4().hex[:12]}"
 
 
-def _commit(spark: SparkSession, table_path: str, n: int, data_dir: str) -> int:
+def _commit(
+    spark: SparkSession,
+    table_path: str,
+    n: int,
+    data_dir: str,
+    *,
+    carried_files: tuple[str, ...] = (),
+    carried_rows: int = 0,
+    meta: dict | None = None,
+) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
     first, deletes OUR staged directory (uniquely ours — see
     ``_stage_dir``) and raises ``ConcurrentPublishError``; the winner's
-    committed files are untouched."""
+    committed files are untouched. ``carried_files`` (append commits)
+    are referenced, never re-listed or re-counted — the new manifest is
+    prior files + staged files. ``meta`` is an arbitrary small JSON dict
+    stored in the manifest — O(1) to read back via ``version_meta``,
+    which is how streaming state keeps an applied-batch watermark
+    without scanning data."""
     jvm, fs, _ = hadoop_fs(spark, data_dir)
-    files = sorted(
+    staged = sorted(
         str(st.getPath().toString())
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
         if st.getPath().getName().endswith(".parquet")
     )
     # Parquet count() is answered from row-group metadata — no data read.
-    rows = spark.read.parquet(data_dir).count()
+    rows = carried_rows + spark.read.parquet(data_dir).count()
+    payload = {
+        "version": n,
+        "files": list(carried_files) + staged,
+        "row_count": rows,
+        "published_at": time.time(),
+    }
+    if meta:
+        payload["meta"] = meta
     try:
         _write_json(
             spark,
             f"{table_path}/manifest/{n:08d}.json",
-            {"version": n, "files": files, "row_count": rows,
-             "published_at": time.time()},
+            payload,
             overwrite=False,
         )
     except ConcurrentPublishError:
@@ -163,13 +184,58 @@ def _commit(spark: SparkSession, table_path: str, n: int, data_dir: str) -> int:
     return n
 
 
-def publish_version(df: DataFrame, table_path: str) -> int:
+def publish_version(
+    df: DataFrame, table_path: str, *, meta: dict | None = None
+) -> int:
     """Publish ``df`` as the table's next version; returns the version."""
     spark = df.sparkSession
     n = (versions(spark, table_path) or [0])[-1] + 1
     data_dir = _stage_dir(table_path, n)
     df.write.mode("overwrite").parquet(data_dir)
-    return _commit(spark, table_path, n, data_dir)
+    return _commit(spark, table_path, n, data_dir, meta=meta)
+
+
+def append_version(
+    df: DataFrame, table_path: str, *, meta: dict | None = None
+) -> int:
+    """Publish ``df``'s rows as the table's next version APPENDED to the
+    highest committed version: only the batch's own parquet is written;
+    every prior file is carried into the new manifest BY REFERENCE —
+    never copied, re-listed, or re-counted. This is the lakehouse
+    fast-append: a streaming ingest into a corpus-sized table commits
+    O(batch) data and a KB-sized manifest per micro-batch, regardless of
+    table size, while prior versions stay time-travelable and a crash
+    mid-append leaves the current version untouched (same immutable-
+    manifest commit as ``publish_version``). Appends chain off the
+    highest committed manifest (not the LATEST pointer), so an append
+    after a ``rollback`` resurrects the rolled-back-from rows — compact
+    with ``publish_version`` first if that is not intended."""
+    spark = df.sparkSession
+    vs = versions(spark, table_path)
+    if not vs:
+        return publish_version(df, table_path, meta=meta)
+    prior = _read_json(spark, f"{table_path}/manifest/{vs[-1]:08d}.json")
+    n = vs[-1] + 1
+    data_dir = _stage_dir(table_path, n)
+    df.write.mode("overwrite").parquet(data_dir)
+    return _commit(
+        spark,
+        table_path,
+        n,
+        data_dir,
+        carried_files=tuple(prior["files"]),
+        carried_rows=int(prior["row_count"]),
+        meta=meta,
+    )
+
+
+def version_meta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> dict:
+    """The ``meta`` dict committed with ``version`` (default: current) —
+    an O(1) manifest read, no data scan."""
+    v = version if version is not None else current_version(spark, table_path)
+    return _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get("meta", {})
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
