@@ -111,6 +111,52 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, "doc_id long, shingle string")
 
 
+def minhash_sig(hashed_shingles: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): the 16 portable universal-hash minhash
+    components from a (doc_id, hv) hashed-shingle relation.
+
+    ONE definition shared by d04/d14/d23 and
+    ``streaming/dedup_admission`` — the persisted admission index must
+    stay band-compatible bit-for-bit with the batch operators and their
+    oracles, so the construction must never fork.
+    """
+    return hashed_shingles.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+
+
+def sig_bands(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_id, band_sig): the 4x4 LSH band projection of a
+    signature relation. Rows without signatures (null m-columns — docs
+    too short to shingle) are excluded: concat_ws drops nulls, so they
+    would otherwise all share one empty band_sig bucket and pair
+    quadratically for nothing."""
+    band_struct = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"m{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
+                ).alias("band_sig"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    return (
+        sig.filter(F.col("m0").isNotNull())
+        .select("doc_id", F.explode(band_struct).alias("b"))
+        .select(
+            "doc_id",
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_sig").alias("band_sig"),
+        )
+    )
+
+
 def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs given (doc_id, shingle).
 
@@ -413,27 +459,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AND the size aggregate — one cached materialization instead of four.
     sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
-    )
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"m{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
-                ).alias("band_sig"),
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.explode(band_struct).alias("b")
-    ).select("doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    bands = sig_bands(minhash_sig(h))
     b1 = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_sig")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_sig")
     cand = (
@@ -1091,27 +1117,8 @@ def d14_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
-    )
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[F.col(f"m{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)],
-                ).alias("band_sig"),
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_struct).alias("b")).select(
-        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig")
-    )
+    sig = minhash_sig(h)
+    bands = sig_bands(sig)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band_id", "band_sig"])
@@ -1937,32 +1944,7 @@ def d23_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
-    sig = h.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"m{band * MINHASH_ROWS + r}")
-                                for r in range(MINHASH_ROWS)
-                            ],
-                        ).alias("band_sig"),
-                    )
-                    for band in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.band_id", "b.band_sig")
+    bands = sig_bands(minhash_sig(h))
     is_batch = F.col("doc_id") % 10 == 0
     batch = bands.filter(is_batch).select(
         F.col("doc_id").alias("bd"), "band_id", "band_sig"

@@ -209,7 +209,12 @@ def append_version(
     manifest commit as ``publish_version``). Appends chain off the
     highest committed manifest (not the LATEST pointer), so an append
     after a ``rollback`` resurrects the rolled-back-from rows — compact
-    with ``publish_version`` first if that is not intended."""
+    with ``publish_version`` first if that is not intended (and re-supply
+    ``meta`` on that compaction: a publish defaults to NO meta, and a
+    consumer whose replay watermark lives in meta would otherwise lose
+    it). When ``meta`` is omitted here, the prior manifest's meta is
+    carried forward — an append extends the prior version, so its
+    watermarks remain true."""
     spark = df.sparkSession
     vs = versions(spark, table_path)
     if not vs:
@@ -225,7 +230,7 @@ def append_version(
         data_dir,
         carried_files=tuple(prior["files"]),
         carried_rows=int(prior["row_count"]),
-        meta=meta,
+        meta=meta if meta is not None else prior.get("meta"),
     )
 
 

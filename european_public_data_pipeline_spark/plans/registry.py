@@ -214,6 +214,11 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # d03's pipeline factored into exact_jaccard_pairs (shared with d22's
     # sampled-truth mode); d22's output gained the sample_rate_bp column.
     "d03_ngram_jaccard_pairs", "d22_lsh_recall_audit",
+    # minhash signature + band projection factored into minhash_sig /
+    # sig_bands (shared with streaming/dedup_admission) — identical
+    # expressions, but a stale verdict is no verdict.
+    "d04_minhash_lsh_pairs", "d14_minhash_accuracy_audit",
+    "d23_incremental_lsh_probe",
 )
 
 

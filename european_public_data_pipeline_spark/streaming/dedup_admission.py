@@ -13,12 +13,24 @@ so far:
 3. **Within-batch near-dup**: surviving docs band-join among themselves
    (d04's 4x4 MinHash bands); a candidate pair whose signature-estimated
    Jaccard (the Broder estimator, d14) reaches the threshold drops the
-   larger doc_id.
+   larger doc_id (pair-dominance, not transitive keep-first: a doc
+   matching ANY smaller batch doc drops even if that smaller doc itself
+   dropped — the same rule on both twin paths).
 4. **Corpus near-dup**: the remaining docs probe the admitted index's
    band relation (derived by projection from the stored signature
    columns); any corpus candidate at or above the threshold rejects the
    batch doc. Only batch-vs-corpus candidates are ever generated —
    admitted docs are never re-paired (d23's O(batch)-per-ingest shape).
+
+Documents too short to shingle (< 3 tokens) carry null signature
+columns: they pass both exact gates normally, and the band projection
+(``operators.dedup.sig_bands``) excludes them from near-dup pairing on
+either side — exact-only admission, never silent loss.
+
+The signature/band construction is imported from ``operators/dedup``
+(``minhash_sig`` / ``sig_bands``) — the SAME definition d04/d14/d23 and
+their oracles use, so the persisted index stays band-compatible with the
+batch operators bit-for-bit.
 
 State is the admitted index: one row per admitted doc carrying its
 fingerprint and 16 minhash components — CONSTANT bytes per doc, no
@@ -33,9 +45,14 @@ corpus-sized write every few seconds.
 
 Crash/replay safety mirrors ``mv_maintenance``: immutable versioned
 commits (a crash mid-append cannot corrupt the current index) and an
-``applied_batch`` watermark — stored in the manifest's ``meta`` dict, so
-the replay check is one manifest read, never a corpus scan. A replayed
-foreachBatch id is a no-op.
+``applied_batch`` watermark stored in the manifest's ``meta`` dict, so
+the replay check is one manifest read, never a corpus scan. Both the
+watermark and the state are read from the HIGHEST COMMITTED manifest —
+the same version ``append_version`` chains off — never the LATEST
+pointer: in the crash window between a manifest commit and the pointer
+swap the pointer lags one version, and a pointer-based read would
+dedup against stale state while appending on top of the new manifest,
+re-admitting the replayed batch's rows as permanent duplicates.
 
 ``replay_admission`` is the batch twin: the same per-batch fold applied
 sequentially without streaming machinery. The stream-equals-batch test
@@ -54,13 +71,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.operators.dedup import (
-    _AB,
     JACCARD_THRESHOLD,
     MINHASH_BANDS,
-    MINHASH_PRIME,
     MINHASH_ROWS,
     base_hash28,
+    minhash_sig,
     shingles,
+    sig_bands,
 )
 from european_public_data_pipeline_spark.pipeline.manifest import (
     append_version,
@@ -80,45 +97,20 @@ def _fingerprint() -> F.Column:
 
 
 def _signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, fingerprint, m0..m15) — d04's portable minhash columns."""
+    """(doc_id, fingerprint, m0..m15). LEFT join: a doc too short to
+    shingle still exists (null m-columns) — it must reach the exact
+    gates, not vanish from the corpus."""
     fp = docs.select("doc_id", _fingerprint().alias("fingerprint"))
-    sig = (
-        shingles(docs)
-        .withColumn("hv", base_hash28(F.col("shingle")))
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    (F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME
-                ).alias(f"m{i}")
-                for i, (a, b) in enumerate(_AB)
-            ]
-        )
+    sig = minhash_sig(
+        shingles(docs).withColumn("hv", base_hash28(F.col("shingle")))
     )
-    return fp.join(sig, "doc_id")
+    return fp.join(sig, "doc_id", "left")
 
 
 def _bands(sig: DataFrame, id_alias: str) -> DataFrame:
-    """(id_alias, band_id, band_sig) derived by projection from the
-    stored signature columns — nothing extra is persisted for banding."""
-    band_struct = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band_id"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"m{band * MINHASH_ROWS + r}")
-                        for r in range(MINHASH_ROWS)
-                    ],
-                ).alias("band_sig"),
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    return sig.select(
-        F.col("doc_id").alias(id_alias), F.explode(band_struct).alias("b")
-    ).select(id_alias, F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    """(id_alias, band_id, band_sig) — sig-less rows excluded by
+    ``sig_bands``."""
+    return sig_bands(sig).withColumnRenamed("doc_id", id_alias)
 
 
 def _renamed_sig(sig: DataFrame, id_alias: str, prefix: str) -> DataFrame:
@@ -140,11 +132,18 @@ def _est_ge_threshold(l_prefix: str, r_prefix: str) -> F.Column:
     return eq.cast("double") / F.lit(float(_K)) >= F.lit(JACCARD_THRESHOLD)
 
 
-def _admit_against(sig: DataFrame, state_sig: DataFrame | None) -> DataFrame:
+def _admit_against(
+    sig: DataFrame,
+    state_sig: DataFrame | None,
+    caches: list[DataFrame] | None = None,
+) -> DataFrame:
     """The admission fold for one batch's signature relation against the
     admitted index (None for the first batch): returns the batch rows to
     admit, with all four rejection rules applied. Both the streaming body
-    and the batch twin call THIS — one implementation, two drivers."""
+    and the batch twin call THIS — one implementation, two drivers.
+    Cached intermediates are appended to ``caches`` so the caller can
+    unpersist them once the result is materialized (a long-running
+    ingest must not accumulate one cache entry per micro-batch)."""
     # 1. within-batch exact: keep-first per fingerprint.
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     sig = (
@@ -157,11 +156,10 @@ def _admit_against(sig: DataFrame, state_sig: DataFrame | None) -> DataFrame:
         sig = sig.join(
             state_sig.select("fingerprint"), "fingerprint", "left_anti"
         )
-    sig = sig.cache()
-    # 3. within-batch near-dup: band-bucket candidates, estimate, drop the
-    # larger doc_id of any qualifying pair (pair-dominance, not transitive
-    # keep-first: a doc matching ANY smaller batch doc drops, even if that
-    # smaller doc itself dropped — the same rule on both twin paths).
+    sig = sig.cache()  # feeds banding, both estimate joins, and the result
+    if caches is not None:
+        caches.append(sig)
+    # 3. within-batch near-dup (pair-dominance; module docstring).
     b1 = _bands(sig, "d1")
     b2 = _bands(sig, "d2")
     cand_in = (
@@ -203,20 +201,27 @@ def admit_batch(
     per batch_id, crash-safe, O(batch) committed; see module docstring)."""
     if batch_df.limit(1).count() == 0:
         return  # nothing to admit; do not advance the watermark
-    has_state = bool(versions(spark, state_path))
-    if has_state:
-        last = version_meta(spark, state_path).get("applied_batch")
+    vs = versions(spark, state_path)
+    if vs:
+        # Pin the watermark AND the state to the highest committed
+        # manifest — the version append_version chains off. The LATEST
+        # pointer lags it in the commit-crash window (module docstring).
+        head = vs[-1]
+        last = version_meta(spark, state_path, head).get("applied_batch")
         if last is not None and last >= batch_id:
             return  # replayed batch: already absorbed (one manifest read)
-    state_sig = read_version(spark, state_path) if has_state else None
-    admitted = _admit_against(_signatures(batch_df), state_sig)
-    # An all-rejected batch still commits an empty append: the manifest's
-    # watermark must advance or every replay would redo the probe work.
-    append_version(
-        admitted.withColumn("applied_batch", F.lit(batch_id).cast("long")),
-        state_path,
-        meta={"applied_batch": batch_id},
-    )
+        state_sig = read_version(spark, state_path, head)
+    else:
+        state_sig = None
+    caches: list[DataFrame] = []
+    admitted = _admit_against(_signatures(batch_df), state_sig, caches)
+    try:
+        # An all-rejected batch still commits an empty append: the
+        # watermark must advance or every replay redoes the probe work.
+        append_version(admitted, state_path, meta={"applied_batch": batch_id})
+    finally:
+        for c in caches:
+            c.unpersist()
 
 
 def ingest_documents(
@@ -250,11 +255,20 @@ def replay_admission(
 ) -> DataFrame:
     """The batch twin: the same admission fold applied sequentially in
     batch order, no streaming machinery — what the streamed index must
-    equal bit-for-bit (minus applied_batch bookkeeping)."""
+    equal bit-for-bit. Each folded state is materialized before its
+    feeder caches (and the previous state) are unpersisted."""
     state: DataFrame | None = None
     for batch_df in batches:
-        admitted = _admit_against(_signatures(batch_df), state)
-        state = admitted if state is None else state.unionByName(admitted)
-        state = state.cache()
+        caches: list[DataFrame] = []
+        admitted = _admit_against(_signatures(batch_df), state, caches)
+        new_state = (
+            admitted if state is None else state.unionByName(admitted)
+        ).cache()
+        new_state.count()  # materialize before dropping what fed it
+        for c in caches:
+            c.unpersist()
+        if state is not None:
+            state.unpersist()
+        state = new_state
     assert state is not None, "replay_admission needs at least one batch"
     return state

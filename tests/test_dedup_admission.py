@@ -68,6 +68,7 @@ def test_stream_equals_batch_fold(spark, tmp_path):
     state = _stream_in_order(spark, tmp_path, 3)
     got = read_admitted(spark, state)
     want = replay_admission(spark, _batches(spark))
+    assert sorted(got.columns) == sorted(want.columns)
     cols = sorted(c for c in want.columns)
     g = sorted(tuple(r) for r in got.select(*cols).collect())
     w = sorted(tuple(r) for r in want.select(*cols).collect())
@@ -123,6 +124,45 @@ def test_appends_carry_prior_files_by_reference(spark, tmp_path):
     # row counts accumulate: 3 admitted in batch 0 (1, 3; 4 near-dropped —
     # no: 2 exact-dropped, 4 near-dropped => {1, 3}), then +1, then +1.
     assert [m["row_count"] for m in manifests] == [2, 3, 4]
+
+
+def test_replay_guard_pins_to_head_manifest_not_pointer(spark, tmp_path):
+    """The crash window between a manifest commit and the LATEST swap
+    leaves the pointer one version behind the head manifest; a
+    pointer-based watermark read would see the OLD batch id and re-admit
+    the replayed batch on top of files that already contain it (review
+    r6 finding 1). rollback() produces exactly that pointer-lags-head
+    state."""
+    from european_public_data_pipeline_spark.pipeline.manifest import rollback
+
+    state = _stream_in_order(spark, tmp_path, 2)
+    vs = versions(spark, state)
+    rollback(spark, state, vs[0])  # LATEST now behind the head manifest
+    head_bid = version_meta(spark, state, vs[-1])["applied_batch"]
+    admit_batch(spark, state, spark.createDataFrame(BATCH1, SCHEMA), head_bid)
+    assert versions(spark, state) == vs  # no duplicate commit
+
+
+def test_short_docs_take_the_exact_only_path(spark, tmp_path):
+    """A doc too short to shingle (< 3 tokens) has no minhash signature:
+    it must still be admitted, still be exact-deduped within and across
+    batches, and never be near-dup-paired (review r6: the inner
+    signature join silently dropped such docs from the corpus)."""
+    state = str(tmp_path / "state")
+    b0 = spark.createDataFrame(
+        [(10, "hi"), (11, "hi"), (12, "hello world")], SCHEMA
+    )
+    b1 = spark.createDataFrame(
+        [(13, "hi"), (14, "hello  world"), (15, "completely new text here today")],
+        SCHEMA,
+    )
+    admit_batch(spark, state, b0, 0)
+    admit_batch(spark, state, b1, 1)
+    got = {r["doc_id"] for r in read_admitted(spark, state).collect()}
+    # 11 within-batch exact dup of 10; 13/14 cross-batch exact dups.
+    assert got == {10, 12, 15}
+    want = {r["doc_id"] for r in replay_admission(spark, [b0, b1]).collect()}
+    assert want == got
 
 
 def test_time_travel_shows_admission_history(spark, tmp_path):
