@@ -243,6 +243,28 @@ def version_meta(
     return _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get("meta", {})
 
 
+def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> int:
+    """Rewrite the highest committed version's rows as ONE new version in
+    ``target_files`` files — the small-file compaction a run of
+    ``append_version`` commits eventually needs (N appends = N file
+    groups; object-store listings and task scheduling degrade past a few
+    thousand). The head version's ``meta`` is carried forward, so a
+    consumer whose replay watermark lives there (streaming dedup
+    admission) keeps its exactly-once guard across compactions — calling
+    ``publish_version`` by hand would silently drop it. Readers are
+    untouched mid-compaction (snapshot isolation) and prior versions
+    remain time-travelable; this is the table's only full-size write,
+    which is the point of the append/compact split: many O(batch)
+    commits, occasional scheduled rewrites."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"nothing to compact at {table_path}")
+    head = vs[-1]
+    prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+    df = spark.read.parquet(*prior["files"]).coalesce(max(1, target_files))
+    return publish_version(df, table_path, meta=prior.get("meta") or None)
+
+
 def current_version(spark: SparkSession, table_path: str) -> int:
     """The LATEST pointer's version; falls back to the highest committed
     manifest ONLY when the pointer file is genuinely absent (a publisher

@@ -165,6 +165,36 @@ def test_short_docs_take_the_exact_only_path(spark, tmp_path):
     assert want == got
 
 
+def test_compaction_preserves_state_and_replay_guard(spark, tmp_path):
+    """manifest.compact rewrites the appended index as few files while
+    carrying the meta watermark — admission must continue correctly
+    after it: replayed ids stay no-ops, new batches still dedup against
+    the compacted state, and the final set equals the uncompacted fold."""
+    import json as _json
+
+    from european_public_data_pipeline_spark.pipeline.manifest import compact
+
+    state = _stream_in_order(spark, tmp_path, 2)
+    before = {r["doc_id"] for r in read_admitted(spark, state).collect()}
+    v = compact(spark, state, target_files=1)
+    m = _json.loads(
+        spark.sparkContext.wholeTextFiles(
+            f"{state}/manifest/{v:08d}.json"
+        ).collect()[0][1]
+    )
+    assert len(m["files"]) == 1  # the appended file groups became one
+    assert m["meta"]["applied_batch"] == 1  # watermark carried forward
+    assert {r["doc_id"] for r in read_admitted(spark, state).collect()} == before
+    # replayed batch id after compaction: still a no-op
+    vs_before = versions(spark, state)
+    admit_batch(spark, state, spark.createDataFrame(BATCH1, SCHEMA), 1)
+    assert versions(spark, state) == vs_before
+    # new batch after compaction: dedups against the compacted state
+    admit_batch(spark, state, spark.createDataFrame(BATCH2, SCHEMA), 2)
+    got = {r["doc_id"] for r in read_admitted(spark, state).collect()}
+    assert got == EXPECT_ADMITTED
+
+
 def test_time_travel_shows_admission_history(spark, tmp_path):
     state = _stream_in_order(spark, tmp_path, 3)
     from european_public_data_pipeline_spark.pipeline.manifest import read_version
