@@ -54,10 +54,19 @@ def write_bucketed(
     # database ({warehouse}/tbl only for 'default').
     loc_str = None
     if spark.catalog.tableExists(table):
+        tbl_type = None
         for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
-            if row.col_name.strip() == "Location":
+            key = row.col_name.strip()
+            if key == "Location":
                 loc_str = row.data_type.strip()
-                break
+            elif key == "Type":
+                tbl_type = row.data_type.strip().upper()
+        if tbl_type != "MANAGED":
+            # DROP TABLE on an EXTERNAL table intentionally preserves its
+            # data; recursively deleting the location here would destroy a
+            # colliding real table's files (ADVICE r6). Only MANAGED
+            # locations (which DROP reclaims anyway) are safe to clear.
+            loc_str = None
         spark.sql(f"DROP TABLE IF EXISTS {table}")
     else:
         warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")

@@ -1536,6 +1536,11 @@ def s13_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and recall@k at nprobe = N_CELLS is 1.0 by construction (the sweep's
 # built-in self-check).
 SWEEP_PROBES = (1, 2, 4, 8)
+# s14's exact-recall reference is the sweep point probing EVERY cell; if
+# N_CELLS ever leaves the sweep the exact set silently becomes empty and
+# every recall_at_k degrades to 0.0 — fail loudly at import instead
+# (ADVICE r6).
+assert N_CELLS in SWEEP_PROBES, "SWEEP_PROBES must include N_CELLS (exact reference point)"
 RECALL_K = 5
 
 

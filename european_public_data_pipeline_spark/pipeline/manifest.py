@@ -298,9 +298,11 @@ def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
     """Manifest-native write-audit-publish: the candidate version's data
     directory IS the staging area, and the manifest commit IS the publish
     — so unlike path-based WAP there is no second copy of the batch and
-    no quarantine directory to manage: a failed audit simply leaves the
-    data dir UNCOMMITTED (readers go through manifests and can never see
-    it) and raises; a passing audit commits the manifest + pointer.
+    no quarantine directory to manage: readers go through manifests and
+    can never see an uncommitted batch, and a failed audit RECLAIMS the
+    staged data dir before raising (staging prefixes are publisher-unique
+    uuids, so an unreferenced failed batch would otherwise leak forever);
+    a passing audit commits the manifest + pointer.
 
     One source scan total (wap.stage_with_audit attaches the row-level
     constraints to the write job as observed metrics).

@@ -198,28 +198,43 @@ _DRIVER_GREEN_R5 = frozenset({
     "t21_bigram_surprisal",
 })
 
-# q90 failed round 5 on all three criteria — not a wrong answer, a
-# harness incompatibility: its array-typed output columns crashed the
-# driver's pandas sort_values canonicalizer. Fixed this round (outputs now
-# serialize as comma-joined centi-unit strings); re-check first.
-_DRIVER_FAILED_LAST: tuple[str, ...] = ("q90_array_functions",)
+# Hash-green in CORRECTNESS_r06.json (freshest verdicts — checked last).
+# 50/50 green: q90's scalar-serialization fix re-earned its verdict, the
+# round-5 refactor backlog (q97, d03/d04/d14/d22/d23) re-earned theirs,
+# every round-6 registration (d24, g05, m07, p04, p05, q104, q105, s14,
+# sm12) got a first verdict, and the r1/r2-era stalest names (t01-t12,
+# sm01-sm03, m01-m04, q29-q56 families, d13) were refreshed.
+_DRIVER_GREEN_R6 = frozenset({
+    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
+    "d13_shingle_novelty", "d14_minhash_accuracy_audit",
+    "d22_lsh_recall_audit", "d23_incremental_lsh_probe",
+    "d24_embedding_decontamination", "g05_dup_graph_kcore",
+    "m01_media_metadata", "m02_frame_sampling", "m04_thumbnail_resize",
+    "m07_payload_simhash_pairs", "p04_surgical_curation_report",
+    "p05_corpus_datacard", "q104_bucketed_changelog",
+    "q105_approx_quantile_audit", "q29_rollup_revenue",
+    "q30_unpivot_measures", "q32_argmax_per_group", "q33_sql_text_surface",
+    "q34_rank_family", "q36_local_supplier_volume", "q37_conditional_agg",
+    "q38_large_volume_customers", "q39_range_frame_trailing",
+    "q40_below_average_parts", "q41_promo_revenue_share",
+    "q42_grouping_sets", "q49_nation_pair_volume", "q54_regexp_functions",
+    "q56_revenue_anomaly_zscore", "q90_array_functions",
+    "q97_snapshot_changelog", "s14_ivf_nprobe_sweep",
+    "sm01_stratified_sample", "sm02_per_stratum_budget",
+    "sm03_sequence_packing", "sm12_curriculum_schedule", "t01_token_stats",
+    "t02_quality_score", "t03_lang_id", "t04_fingerprint",
+    "t05_term_frequency", "t06_bpe_token_count",
+    "t07_rolling_hash_fingerprint", "t08_chunk_windows",
+    "t09_quality_percentile_filter", "t10_repetition_signals",
+    "t11_tfidf_topk", "t12_corpus_head_mass",
+})
+
+# Round 6 went 50/50 — nothing failed on last driver contact.
+_DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-6 changes to already-green queries land here as they happen):
-# q97's builder refactored into shared snapshot/diff helpers when q104
-# (the bucketed layout twin) was added — semantics identical, but a
-# stale verdict is no verdict.
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    "q97_snapshot_changelog",
-    # d03's pipeline factored into exact_jaccard_pairs (shared with d22's
-    # sampled-truth mode); d22's output gained the sample_rate_bp column.
-    "d03_ngram_jaccard_pairs", "d22_lsh_recall_audit",
-    # minhash signature + band projection factored into minhash_sig /
-    # sig_bands (shared with streaming/dedup_admission) — identical
-    # expressions, but a stale verdict is no verdict.
-    "d04_minhash_lsh_pairs", "d14_minhash_accuracy_audit",
-    "d23_incremental_lsh_probe",
-)
+# (round-7 changes to already-green queries land here as they happen).
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ()
 
 
 _NEVER_FIRST: tuple[str, ...] = ()
@@ -233,7 +248,7 @@ def _driver_order() -> list[str]:
     head = set(failed) | set(modified)
     rounds = (
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
-        _DRIVER_GREEN_R4, _DRIVER_GREEN_R5,
+        _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

@@ -91,6 +91,16 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             raise e
+        if not isinstance(df.schema["ts"].dataType, T.LongType):
+            # The first failure was transient (not nanos typing): the file
+            # read back a non-Long ts under the flag, so the plan does not
+            # depend on it. Restore the prior value — leaving it flipped
+            # would silently mutate unrelated parquet reads in a foreign
+            # session (ADVICE r6).
+            if prior is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
