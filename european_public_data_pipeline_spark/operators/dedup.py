@@ -2063,3 +2063,119 @@ def d24_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("vec_id")
     )
+
+
+# --- d25: corpus-internal repeated-span removal (ExactSubstr-style) -------
+
+SPAN_K = 8       # tokens per exact span (the paper's 50-token unit, scaled)
+SPAN_TAU = 2     # corpus-wide occurrence threshold: >= TAU means "repeated"
+
+
+@register(
+    "d25_repeated_span_removal",
+    category="dedup",
+    doc="ExactSubstr-style repeated-span removal (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better'): find "
+    "every 8-token span whose exact text occurs >= 2 times ANYWHERE in "
+    "the corpus (including within one document), merge the per-document "
+    "hits into contiguous excision islands, and emit the per-document "
+    "work order (island count, first island start, tokens excised, doc "
+    "length). Differs from d19, which localizes overlap against a FIXED "
+    "benchmark set; here the corpus is deduplicated against itself, so "
+    "the hot-span set is data-dependent. Shape: positioned k-gram "
+    "relation (corpus-token-sized, row-local), ONE map-side-combinable "
+    "groupBy on the gram hash to find hot grams (the heavy-hitter set — "
+    "output-bounded, tiny next to the corpus at any scale), one join of "
+    "positions against hot grams keyed by the hash (AQE broadcasts the "
+    "hot side when it fits), then gaps-and-islands windows partitioned "
+    "by doc_id — per-partition work bounded by document length. No "
+    "quadratics anywhere; all arithmetic integer, bit-exact vs DuckDB.",
+    oracle=f"""
+WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+pos AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(words[i:i+{SPAN_K - 1}], ' ')) AS h
+  FROM w, UNNEST(generate_series(1, len(words) - {SPAN_K - 1})) AS t(i)
+),
+hot AS (SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= {SPAN_TAU}),
+hits AS (
+  SELECT p.doc_id, p.s, p.s + {SPAN_K - 1} AS e FROM pos p JOIN hot USING (h)
+),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS island_id
+  FROM (SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_e
+        FROM hits)
+),
+merged AS (
+  SELECT doc_id, island_id, MIN(s) AS ms, MAX(e) AS me
+  FROM isl GROUP BY doc_id, island_id
+),
+toks AS (SELECT doc_id, len(words) AS doc_tokens FROM w)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MIN(ms) AS BIGINT) AS first_island_start,
+       CAST(SUM(me - ms + 1) AS BIGINT) AS excised_tokens,
+       CAST(ANY_VALUE(doc_tokens) AS BIGINT) AS doc_tokens
+FROM merged m JOIN toks USING (doc_id)
+GROUP BY m.doc_id
+ORDER BY m.doc_id
+""",
+)
+def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select("doc_id", words.alias("w")).withColumn(
+        "doc_tokens", F.size("w")
+    )
+    gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
+    # sequence(1, n) counts DOWN for n < 1 — docs shorter than k emit none.
+    pos = (
+        base.filter(F.col("doc_tokens") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("doc_tokens") - (k - 1))
+            ).alias("s"),
+            "w",
+        )
+        .select("doc_id", "s", F.md5(gram).alias("h"))
+    )
+    hot = pos.groupBy("h").count().filter(F.col("count") >= SPAN_TAU).select("h")
+    hits = pos.join(hot, "h", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (k - 1)).alias("e")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = hits.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
+        "island_id",
+        F.sum(
+            F.when(
+                F.col("prev_e").isNull() | (F.col("s") > F.col("prev_e") + 1), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    merged = isl.groupBy("doc_id", "island_id").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return (
+        merged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.min("ms").alias("first_island_start"),
+            F.sum(F.col("me") - F.col("ms") + 1).alias("excised_tokens"),
+        )
+        .join(base.select("doc_id", "doc_tokens"), "doc_id")
+        .select(
+            "doc_id", "n_islands", "first_island_start",
+            "excised_tokens", "doc_tokens",
+        )
+        .orderBy("doc_id")
+    )
