@@ -1809,3 +1809,55 @@ def q105_approx_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         within(2).alias("p90_within_bound"),
         within(3).alias("p99_within_bound"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "q106_zonemap_pruned_scan",
+    category="scan-filter-project",
+    doc="Manifest zone-map file pruning — the Iceberg/Delta metadata-"
+    "pruning move on plain parquet: publish_version(stats_cols=...) "
+    "records per-file [min, max] zone maps in the KB-sized manifest "
+    "(one O(batch) scan at commit), and read_where() skips every file "
+    "whose range cannot intersect the predicate BEFORE Spark plans the "
+    "scan — no footers opened, no directory listing. The builder "
+    "publishes events range-partitioned on value (8 files), then "
+    "answers a selective range aggregate through the pruned read; "
+    "tests/test_manifest.py asserts the prune actually drops most "
+    "files and that an all-NULL zone and a stats-less file behave "
+    "conservatively. At 100 TB the pruning decision is a driver-side "
+    "loop over a KB manifest while the saved IO is proportional to "
+    "table size — the highest-leverage read optimization a selective "
+    "query has. Result checked against the plain full-scan filter.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE value BETWEEN CAST(100.0 AS DOUBLE) AND CAST(150.0 AS DOUBLE)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="zonemap_events_")
+    manifest.publish_version(
+        ev.repartitionByRange(8, "value"), path, stats_cols=("value",)
+    )
+    pruned = manifest.read_where(
+        spark, path, "value", float(100.0), float(150.0)
+    )
+    return (
+        pruned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -134,6 +134,62 @@ def _stage_dir(table_path: str, n: int) -> str:
     return f"{table_path}/data/v{n:08d}-{uuid.uuid4().hex[:12]}"
 
 
+def _path_key(path_str: str) -> str:
+    """Scheme-insensitive file key: ``file:/x``, ``file:///x`` and ``/x``
+    all map to ``/x`` — Hadoop listStatus and Spark's input_file_name()
+    render the same local file with different slash counts."""
+    import re
+
+    return re.sub(r"^[a-z][a-z0-9+.-]*:/+", "/", path_str)
+
+
+def _json_scalar(v):
+    """Min/max values JSON-ready: numerics/strings/bools pass through,
+    anything else (dates, timestamps, decimals) serializes as str —
+    zone-map pruning only compares like-typed values, so the string
+    form is fine as long as readers probe with the same type."""
+    import datetime
+    import decimal
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return str(v)
+    return str(v)
+
+
+def _file_stats(spark: SparkSession, data_dir: str, stats_cols: tuple) -> dict:
+    """Per-file zone maps for the staged batch: ``{file: {col: [min,
+    max]}}`` in ONE job over the staged directory (grouped by
+    input_file_name — never a per-file job storm). O(batch) like the
+    write that produced the files; at 100 TB the result is KB-sized
+    (files x columns x 2 scalars) and lives in the manifest, so readers
+    prune without touching data. A column whose file slice is all-NULL
+    records [null, null] — provably unmatchable by any range predicate
+    (SQL BETWEEN never matches NULL), which read_where exploits."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"mn_{c}"))
+        aggs.append(F.max(c).alias(f"mx_{c}"))
+    rows = (
+        spark.read.parquet(data_dir)
+        .groupBy(F.input_file_name().alias("__file"))
+        .agg(*aggs)
+        .collect()
+    )
+    return {
+        _path_key(r["__file"]): {
+            c: [_json_scalar(r[f"mn_{c}"]), _json_scalar(r[f"mx_{c}"])]
+            for c in stats_cols
+        }
+        for r in rows
+    }
+
+
 def _commit(
     spark: SparkSession,
     table_path: str,
@@ -143,6 +199,8 @@ def _commit(
     carried_files: tuple[str, ...] = (),
     carried_rows: int = 0,
     meta: dict | None = None,
+    stats_cols: tuple[str, ...] = (),
+    carried_stats: dict | None = None,
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -153,7 +211,9 @@ def _commit(
     prior files + staged files. ``meta`` is an arbitrary small JSON dict
     stored in the manifest — O(1) to read back via ``version_meta``,
     which is how streaming state keeps an applied-batch watermark
-    without scanning data."""
+    without scanning data. ``stats_cols`` adds per-file min/max zone
+    maps (one extra scan of the STAGED batch only); ``carried_stats``
+    (append commits) carries prior files' zone maps by reference."""
     jvm, fs, _ = hadoop_fs(spark, data_dir)
     staged = sorted(
         str(st.getPath().toString())
@@ -170,6 +230,11 @@ def _commit(
     }
     if meta:
         payload["meta"] = meta
+    stats = dict(carried_stats or {})
+    if stats_cols:
+        stats.update(_file_stats(spark, data_dir, stats_cols))
+    if stats:
+        payload["file_stats"] = stats
     try:
         _write_json(
             spark,
@@ -185,18 +250,28 @@ def _commit(
 
 
 def publish_version(
-    df: DataFrame, table_path: str, *, meta: dict | None = None
+    df: DataFrame,
+    table_path: str,
+    *,
+    meta: dict | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
-    """Publish ``df`` as the table's next version; returns the version."""
+    """Publish ``df`` as the table's next version; returns the version.
+    ``stats_cols`` records per-file min/max zone maps in the manifest
+    (enables ``read_where`` file pruning)."""
     spark = df.sparkSession
     n = (versions(spark, table_path) or [0])[-1] + 1
     data_dir = _stage_dir(table_path, n)
     df.write.mode("overwrite").parquet(data_dir)
-    return _commit(spark, table_path, n, data_dir, meta=meta)
+    return _commit(spark, table_path, n, data_dir, meta=meta, stats_cols=stats_cols)
 
 
 def append_version(
-    df: DataFrame, table_path: str, *, meta: dict | None = None
+    df: DataFrame,
+    table_path: str,
+    *,
+    meta: dict | None = None,
+    stats_cols: tuple[str, ...] = (),
 ) -> int:
     """Publish ``df``'s rows as the table's next version APPENDED to the
     highest committed version: only the batch's own parquet is written;
@@ -218,7 +293,7 @@ def append_version(
     spark = df.sparkSession
     vs = versions(spark, table_path)
     if not vs:
-        return publish_version(df, table_path, meta=meta)
+        return publish_version(df, table_path, meta=meta, stats_cols=stats_cols)
     prior = _read_json(spark, f"{table_path}/manifest/{vs[-1]:08d}.json")
     n = vs[-1] + 1
     data_dir = _stage_dir(table_path, n)
@@ -231,6 +306,8 @@ def append_version(
         carried_files=tuple(prior["files"]),
         carried_rows=int(prior["row_count"]),
         meta=meta if meta is not None else prior.get("meta"),
+        stats_cols=stats_cols,
+        carried_stats=prior.get("file_stats"),
     )
 
 
@@ -262,7 +339,16 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> int:
     head = vs[-1]
     prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
     df = spark.read.parquet(*prior["files"]).coalesce(max(1, target_files))
-    return publish_version(df, table_path, meta=prior.get("meta") or None)
+    # Zone maps describe FILES; a compaction rewrites them, so recompute
+    # stats for every column the prior version tracked — readers keep
+    # their read_where pruning across compactions without the scheduler
+    # having to remember which columns were indexed.
+    prior_stat_cols = tuple(
+        sorted({c for per_file in prior.get("file_stats", {}).values() for c in per_file})
+    )
+    return publish_version(
+        df, table_path, meta=prior.get("meta") or None, stats_cols=prior_stat_cols
+    )
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
@@ -292,6 +378,64 @@ def read_version(
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
     return spark.read.parquet(*m["files"])
+
+
+def prune_files(
+    manifest: dict, col: str, lo, hi
+) -> tuple[list[str], int]:
+    """Zone-map file pruning: the manifest files whose ``col`` [min, max]
+    range can intersect [lo, hi], plus the total file count. A file with
+    no recorded stats for ``col`` is KEPT (pruning must be conservative);
+    a file whose min AND max are null holds no non-null values and can
+    never satisfy a range predicate, so it is dropped. Comparisons are
+    like-typed (numeric vs numeric, string vs string) — mixing types
+    falls back to keeping the file."""
+    stats = manifest.get("file_stats", {})
+    keep: list[str] = []
+    for f in manifest["files"]:
+        rng = stats.get(_path_key(f), {}).get(col)
+        if rng is None:
+            keep.append(f)
+            continue
+        mn, mx = rng
+        if mn is None and mx is None:
+            continue  # all-NULL slice: BETWEEN never matches NULL
+        try:
+            if mx < lo or mn > hi:
+                continue
+        except TypeError:
+            keep.append(f)  # incomparable types: conservative keep
+            continue
+        keep.append(f)
+    return keep, len(manifest["files"])
+
+
+def read_where(
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Range read with manifest zone-map pruning: skip every file whose
+    recorded [min, max] for ``col`` cannot intersect [lo, hi], then apply
+    the residual BETWEEN filter to the survivors. The Iceberg/Delta
+    metadata-pruning move on plain parquet: at 100 TB a selective range
+    over a range-partitioned write touches a handful of files and the
+    decision is made from a KB-sized manifest — no file footers opened,
+    no directory listings. Falls back to reading everything (still
+    correct) when the manifest carries no stats for ``col``."""
+    from pyspark.sql import functions as F
+
+    v = version if version is not None else current_version(spark, table_path)
+    m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    keep, _total = prune_files(m, col, lo, hi)
+    if not keep:
+        # Preserve schema with an empty result: read one manifest file's
+        # schema and filter everything out (no file can match).
+        return spark.read.parquet(m["files"][0]).where(F.lit(False))
+    return spark.read.parquet(*keep).where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
 
 def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:

@@ -215,3 +215,95 @@ def test_failed_gated_publish_reclaims_staged_data(spark, tmp_path):
     leftovers = os.listdir(data_root) if os.path.isdir(data_root) else []
     assert leftovers == []  # staged copy reclaimed
     assert versions(spark, t) == []  # nothing committed
+
+
+# --- zone-map stats + read_where pruning ----------------------------------
+
+
+def _ranged(spark, lo, hi):
+    """One-file batch covering [lo, hi] on k."""
+    return spark.createDataFrame(
+        [(i, f"v{i}") for i in range(lo, hi + 1)], "k long, v string"
+    ).coalesce(1)
+
+
+def test_stats_recorded_and_read_where_prunes(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        append_version,
+        prune_files,
+        read_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 9), t, stats_cols=("k",))
+    append_version(_ranged(spark, 10, 19), t, stats_cols=("k",))
+    append_version(_ranged(spark, 20, 29), t, stats_cols=("k",))
+    m = _read_json(spark, f"{t}/manifest/00000003.json")
+    assert len(m["files"]) == 3
+    assert len(m["file_stats"]) == 3  # append carried prior stats forward
+    keep, total = prune_files(m, "k", 12, 14)
+    assert total == 3 and len(keep) == 1  # only the [10, 19] file survives
+    got = sorted(r["k"] for r in read_where(spark, t, "k", 12, 14).collect())
+    assert got == [12, 13, 14]
+    # A range matching nothing: zero files read, schema preserved.
+    empty = read_where(spark, t, "k", 100, 200)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+
+
+def test_prune_is_conservative_without_stats(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        prune_files,
+        publish_version,
+        read_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(_ranged(spark, 0, 9), t)  # no stats_cols
+    m = _read_json(spark, f"{t}/manifest/00000001.json")
+    assert "file_stats" not in m
+    keep, total = prune_files(m, "k", 100, 200)
+    assert len(keep) == total == 1  # cannot prune what was never indexed
+    assert read_where(spark, t, "k", 3, 5).count() == 3  # still correct
+
+
+def test_all_null_zone_is_unmatchable(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        prune_files,
+        publish_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    nulls = spark.createDataFrame(
+        [(None, "x"), (None, "y")], "k long, v string"
+    ).coalesce(1)
+    publish_version(nulls, t, stats_cols=("k",))
+    m = _read_json(spark, f"{t}/manifest/00000001.json")
+    (rng,) = [s["k"] for s in m["file_stats"].values()]
+    assert rng == [None, None]
+    keep, total = prune_files(m, "k", -10**9, 10**9)
+    assert total == 1 and keep == []  # BETWEEN never matches NULL
+
+
+def test_compact_recomputes_zone_maps(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        append_version,
+        compact,
+        prune_files,
+        read_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 9), t, stats_cols=("k",))
+    append_version(_ranged(spark, 10, 19), t, stats_cols=("k",))
+    v = compact(spark, t, target_files=1)
+    m = _read_json(spark, f"{t}/manifest/{v:08d}.json")
+    assert len(m["files"]) == 1 and len(m["file_stats"]) == 1
+    (rng,) = [s["k"] for s in m["file_stats"].values()]
+    assert rng == [0, 19]  # recomputed over the rewritten file
+    keep, total = prune_files(m, "k", 100, 200)
+    assert keep == []  # pruning survives the compaction
+    assert read_where(spark, t, "k", 5, 6).count() == 2
