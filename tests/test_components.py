@@ -77,3 +77,36 @@ def test_t15_pii_redaction_planted(spark, tmp_path):
     exp2 = hashlib.md5(b"call <PHONE> or (<PHONE> now").hexdigest()
     assert out[1]["redacted_md5"] == exp1
     assert out[2]["redacted_md5"] == exp2
+
+
+
+def _star_components(spark, n_vertices, edge_list):
+    from european_public_data_pipeline_spark.operators.graph import (
+        star_connected_components,
+    )
+
+    vertices = spark.range(n_vertices).select(F.col("id"))
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    out = star_connected_components(vertices, edges)
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_star_cc_matches_propagation_on_chain_and_isolates(spark):
+    edge_list = [(i, i + 1) for i in range(10)] + [(20, 21), (22, 21)]
+    got = _star_components(spark, 23, edge_list)
+    assert all(got[i] == 0 for i in range(11))
+    assert got[11] == 11  # isolated
+    assert got[20] == got[21] == got[22] == 20
+    # Bit parity with the min-label operator on the same graph.
+    prop = _components(spark, 23, edge_list)
+    assert got == prop
+
+
+def test_star_cc_on_dense_and_cyclic_graphs(spark):
+    # A 6-cycle plus a chord, a triangle, and reversed-direction edges.
+    edge_list = [(0, 1), (2, 1), (2, 3), (4, 3), (4, 5), (5, 0), (0, 3),
+                 (8, 7), (7, 9), (9, 8)]
+    got = _star_components(spark, 10, edge_list)
+    assert all(got[i] == 0 for i in range(6))
+    assert got[6] == 6
+    assert got[7] == got[8] == got[9] == 7
