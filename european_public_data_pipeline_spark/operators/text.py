@@ -23,7 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.plans.registry import register
@@ -1452,4 +1452,136 @@ def t21_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("avg_micronats"), F.asc("doc_id"))
         .limit(50)
+    )
+
+
+# --- t22: reference-LM perplexity bucketing (CCNet-style) ------------------
+
+PPL_TRAIN_SOURCE = "src0"
+
+
+@register(
+    "t22_perplexity_buckets",
+    category="text",
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): train an "
+    "add-one-smoothed unigram LM on a REFERENCE source (src0 — the "
+    "'Wikipedia' of the corpus), score every other document's tokens "
+    "under it, and split the target corpus into head/middle/tail "
+    "terciles of per-token surprisal — the quality gate CCNet uses to "
+    "keep the cleanest third of CommonCrawl. Determinism: surprisal is "
+    "the DIFFERENCE of two per-count micro-nat floors (t21's monomial "
+    "recipe — floor(ln(N+V+1)*1e6) - floor(ln(c+1)*1e6), integers in "
+    "both engines), per-doc score is an exact integer division, and "
+    "tercile thresholds come from the score-domain histogram's "
+    "cumulative counts (rank-from-histogram — no global sort, no "
+    "corpus-sized window; the cumulative window runs over the "
+    "aggregate-sized score domain). Scale: one token-keyed probe join "
+    "against the vocab-sized LM (broadcast-able), one map-side-"
+    "combinable doc aggregate, domain-sized everything after.",
+    oracle=f"""
+WITH train AS (
+  SELECT unnest({_SQL_TOKENS}) AS w FROM documents WHERE source = '{PPL_TRAIN_SOURCE}'
+),
+counts AS (SELECT w, COUNT(*) AS c FROM train GROUP BY w),
+consts AS (
+  SELECT (SELECT COUNT(*) FROM train) + (SELECT COUNT(*) FROM counts) + 1 AS d
+),
+toks AS (
+  SELECT doc_id, source, unnest({_SQL_TOKENS}) AS w
+  FROM documents WHERE source <> '{PPL_TRAIN_SOURCE}'
+),
+sur AS (
+  SELECT t.doc_id, t.source,
+         CAST(floor(ln(CAST(d AS DOUBLE)) * 1e6) AS BIGINT)
+         - CAST(floor(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)) * 1e6) AS BIGINT) AS m
+  FROM toks t LEFT JOIN counts USING (w), consts
+),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_toks, SUM(m) // COUNT(*) AS score
+  FROM sur GROUP BY doc_id
+),
+hist AS (SELECT score, COUNT(*) AS cnt FROM scored GROUP BY score),
+cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+nn AS (SELECT COUNT(*) AS n FROM scored),
+th AS (SELECT (SELECT MIN(score) FROM cum, nn WHERE cum >= (n + 2) // 3) AS t1,
+              (SELECT MIN(score) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS t2)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM (
+  SELECT CASE WHEN score <= t1 THEN 'head'
+              WHEN score <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_toks, score
+  FROM scored, th
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def t22_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(tokens()).alias("w")
+    )
+    train = tok.filter(F.col("source") == PPL_TRAIN_SOURCE)
+    counts = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    consts = train.agg(
+        (
+            F.count(F.lit(1)) + F.countDistinct("w") + F.lit(1)
+        ).alias("d")
+    )
+    micro_d = F.floor(F.log(F.col("d").cast("double")) * 1e6).cast("long")
+    micro_c = F.floor(
+        F.log((F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")) * 1e6
+    ).cast("long")
+    sur = (
+        tok.filter(F.col("source") != PPL_TRAIN_SOURCE)
+        .join(counts, "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", (micro_d - micro_c).alias("m"))
+    )
+    scored = sur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_toks"),
+        F.expr("sum(m) div count(1)").alias("score"),
+    ).cache()  # feeds the histogram, the doc count, AND the final bucketing
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
+    nn = scored.agg(F.count(F.lit(1)).alias("n"))
+    th = (
+        cum.crossJoin(F.broadcast(nn))
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(n + 2) div 3"), F.col("score")
+                )
+            ).alias("t1"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("score")
+                )
+            ).alias("t2"),
+        )
+    )
+    bucket = (
+        F.when(F.col("score") <= F.col("t1"), "head")
+        .when(F.col("score") <= F.col("t2"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(bucket.alias("bucket"), "n_toks", "score")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("bucket")
     )

@@ -149,6 +149,21 @@ def test_sm12_no_corpus_window(spark, sf_small):
     assert "rangepartitioning" not in plan
 
 
+def test_t22_no_corpus_window(spark, sf_small):
+    df = SPECS["t22_perplexity_buckets"].builder(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The only Sort/Window sitting on a single-partition exchange is the
+    # score-domain cumulative histogram (value-range-bounded). Other
+    # SinglePartition exchanges are one-ROW scalar aggregates (consts,
+    # n, thresholds) — rows, not relations, through one task.
+    assert len(_SP_PATTERN.findall(plan)) <= 1
+    # The token probe join and per-doc aggregate ride hash partitioning.
+    assert "hashpartitioning(doc_id" in plan
+    # No corpus-sized range sort: the only rangepartitioning allowed is
+    # the final 3-row bucket orderBy.
+    assert len(re.findall(r"rangepartitioning", plan)) <= 1
+
+
 def test_s07_seed_selection_has_no_global_window(spark, sf_small):
     plan = _formatted_plan(spark, "s07_kmeans_assignments", sf_small)
     # Per-vector assignment windows partition by vec_id; the seed TakeOrdered
@@ -180,6 +195,12 @@ _SINGLE_PARTITION_OK = {
     # The corpus itself only ever sees bounded per-(band, bucket)
     # row_number partitions; test_sm12_no_corpus_window pins that.
     "sm12_curriculum_schedule",
+    # t22's cumulative window runs over the score-DOMAIN histogram:
+    # scores are integer micro-nats bounded by ln(N+V)*1e6 (~20M values
+    # at ANY corpus size — value-range-bounded, not corpus-bounded; the
+    # q87 domain trick). test_t22_no_corpus_window pins that the
+    # corpus-sized relations stay partitioned.
+    "t22_perplexity_buckets",
 }
 
 _SP_PATTERN = re.compile(r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition")
