@@ -877,3 +877,146 @@ def sm12_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.row_number().over(local)).cast("bigint").alias("pos"),
         )
     )
+
+
+# --- sm13: repetition-capped temperature mixture ---------------------------
+
+SM13_BUDGET_X = 2       # token budget = 2x the corpus (two nominal epochs)
+SM13_MAX_EPOCH_BP = 20000  # repetition cap: 2.0 epochs per source
+
+
+@register(
+    "sm13_repetition_capped_mixture",
+    category="sampling",
+    doc="Repetition-capped temperature mixture — the data-constrained-"
+    "scaling allocation (Muennighoff et al. 2023): a 2x-corpus token "
+    "budget is split across SOURCES by sqrt-temperature weights "
+    "(sm07's recipe over token mass, which over-repeats small "
+    "sources), then each source's epoch count is CAPPED at 2.0 — the "
+    "cap binds exactly on the small sources temperature sampling "
+    "would repeat hardest, which is where repeated data stops helping. "
+    "Per source: desired vs capped epochs (basis points), effective "
+    "token yield, and the emitted-doc count under deterministic "
+    "fractional repetition (every doc repeats floor(epochs) times, "
+    "plus one more iff its md5 hash lands under the fractional part — "
+    "reproducible across reruns and partitionings, no RNG). "
+    "Exactness: sqrt-weights are fixed-pointed micro-units summed as "
+    "integers (sm07); the epoch arithmetic is one identical IEEE "
+    "chain in both engines; everything else is exact ints. Shape: one "
+    "doc-level projection feeding a source-keyed aggregate (map-side "
+    "combined), the 20-row weight relation broadcast back onto the "
+    "corpus for the emission count — corpus-linear, no windows.",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS toks,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'sm13'), 1, 7) AS BIGINT)
+           % 10000 AS hv
+  FROM documents
+),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(toks) AS BIGINT) AS source_tokens
+  FROM per_doc GROUP BY source
+),
+t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
+w AS (
+  SELECT source, n_docs, source_tokens,
+         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
+  FROM s, t
+),
+e AS (
+  SELECT source, n_docs, source_tokens,
+         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
+                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
+                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT)
+           AS desired_epochs_bp
+  FROM w
+),
+capped AS (
+  SELECT source, n_docs, source_tokens, desired_epochs_bp,
+         least(desired_epochs_bp, {SM13_MAX_EPOCH_BP}) AS capped_epochs_bp,
+         desired_epochs_bp > {SM13_MAX_EPOCH_BP} AS was_capped
+  FROM e
+)
+SELECT c.source, c.n_docs, c.source_tokens, c.desired_epochs_bp,
+       c.capped_epochs_bp, c.was_capped,
+       CAST(c.source_tokens * c.capped_epochs_bp // 10000 AS BIGINT)
+         AS effective_tokens,
+       CAST(SUM(c.capped_epochs_bp // 10000
+                + CASE WHEN d.hv < c.capped_epochs_bp % 10000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_emitted
+FROM capped c JOIN per_doc d ON d.source = c.source
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+ORDER BY c.source
+""",
+)
+def sm13_repetition_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.dedup import base_hash28
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
+        (
+            base_hash28(F.concat(F.col("doc_id").cast("string"), F.lit("sm13")))
+            % 10000
+        ).alias("hv"),
+    ).cache()  # feeds the per-source aggregate AND the emission count
+    s = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").alias("source_tokens"),
+    )
+    t = s.agg(F.sum("source_tokens").alias("total"))
+    sw = F.floor(
+        F.sqrt(F.col("source_tokens").cast("double") / F.col("total")) * 1e9
+    ).cast("long")
+    w = s.crossJoin(F.broadcast(t)).select(
+        "source", "n_docs", "source_tokens", "total", sw.alias("sw")
+    )
+    sum_w = w.agg(F.sum("sw").alias("sum_w"))
+    desired = F.floor(
+        F.lit(float(SM13_BUDGET_X))
+        * F.col("total").cast("double")
+        * (F.col("sw").cast("double") / F.col("sum_w").cast("double"))
+        / F.col("source_tokens").cast("double")
+        * 10000
+    ).cast("long")
+    capped = (
+        w.crossJoin(F.broadcast(sum_w))
+        .select(
+            "source", "n_docs", "source_tokens",
+            desired.alias("desired_epochs_bp"),
+        )
+        .select(
+            "source", "n_docs", "source_tokens", "desired_epochs_bp",
+            F.least(
+                F.col("desired_epochs_bp"), F.lit(SM13_MAX_EPOCH_BP)
+            ).alias("capped_epochs_bp"),
+            (F.col("desired_epochs_bp") > SM13_MAX_EPOCH_BP).alias("was_capped"),
+        )
+    )
+    return (
+        per_doc.join(F.broadcast(capped), "source")
+        .groupBy(
+            "source", "n_docs", "source_tokens", "desired_epochs_bp",
+            "capped_epochs_bp", "was_capped",
+        )
+        .agg(
+            F.sum(
+                F.expr("capped_epochs_bp div 10000")
+                + F.when(
+                    F.col("hv") < F.col("capped_epochs_bp") % 10000, 1
+                ).otherwise(0)
+            ).alias("n_emitted")
+        )
+        .select(
+            "source", "n_docs", "source_tokens", "desired_epochs_bp",
+            "capped_epochs_bp", "was_capped",
+            F.expr(
+                "CAST(source_tokens * capped_epochs_bp div 10000 AS BIGINT)"
+            ).alias("effective_tokens"),
+            "n_emitted",
+        )
+        .orderBy("source")
+    )
