@@ -505,3 +505,64 @@ def test_dedup_within_watermark_collapses_restamped_replays(spark, events_dir, t
         dedup_stream(stream), "t_dedup_plain", output_mode="append"
     )
     assert got_plain.count() == 2 * base.count()
+
+
+def test_streamed_manifest_ingest_carries_zone_maps(spark, events_dir, tmp_path):
+    """foreachBatch -> append_version(stats_cols=...) per micro-batch: the
+    accumulated manifest must carry per-file zone maps for EVERY batch's
+    files (appends reference prior stats, never recompute them), and
+    read_where over the streamed table must prune files while matching
+    the plain batch filter row-for-row."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        append_version,
+        current_version,
+        prune_files,
+        read_where,
+    )
+    from european_public_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    table = str(tmp_path / "zm_table")
+
+    def sink(batch_df, batch_id):
+        append_version(
+            batch_df.select("event_id", "user_id", "value"),
+            table,
+            stats_cols=("user_id",),
+        )
+
+    q = (
+        read_events_stream(spark, events_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    v = current_version(spark, table)
+    m = _read_json(spark, f"{table}/manifest/{v:08d}.json")
+    assert len(m["files"]) >= 1
+    # Every committed file has a zone map (appends carried prior stats).
+    assert all(_pk(f) in m["file_stats"] for f in m["files"])
+    assert len(m["file_stats"]) == len(m["files"])
+
+    got = sorted(
+        r["event_id"]
+        for r in read_where(spark, table, "user_id", 3, 5).collect()
+    )
+    want = sorted(
+        r["event_id"]
+        for r in spark.read.parquet(events_dir)
+        .filter(F.col("user_id").between(3, 5))
+        .collect()
+    )
+    assert got == want
+
+
+def _pk(f):
+    from european_public_data_pipeline_spark.pipeline.manifest import _path_key
+
+    return _path_key(f)
