@@ -595,6 +595,14 @@ def star_connected_components(
             cur = nxt
             break
         cur = nxt
+    else:
+        # A non-star edge set would label one true component as several —
+        # silently wrong. O(log^2 n) rounds suffice in theory and ~6 in
+        # practice; exhaustion means the input (or a regression) broke an
+        # invariant. Fail loudly (s14's assert precedent).
+        raise RuntimeError(
+            f"star_connected_components did not converge in {max_rounds} rounds"
+        )
     sym = cur.unionByName(
         cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -1839,6 +1839,9 @@ ORDER BY event_type
 """,
 )
 def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
     import tempfile
 
     from european_public_data_pipeline_spark.functions.exact import dsum
@@ -1846,7 +1849,12 @@ def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="zonemap_events_")
+    # Deterministic per-sf path, wiped before publishing (q104's rerun
+    # pattern): re-runs replace the one table copy instead of leaking a
+    # fresh tempdir + an extra manifest version per invocation.
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    path = os.path.join(tempfile.gettempdir(), f"zonemap_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
     manifest.publish_version(
         ev.repartitionByRange(8, "value"), path, stats_cols=("value",)
     )

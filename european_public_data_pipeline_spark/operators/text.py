@@ -1527,11 +1527,13 @@ def t22_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.explode(tokens()).alias("w")
     )
     train = tok.filter(F.col("source") == PPL_TRAIN_SOURCE)
-    counts = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    consts = train.agg(
-        (
-            F.count(F.lit(1)) + F.countDistinct("w") + F.lit(1)
-        ).alias("d")
+    counts = train.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    ).cache()  # vocab-sized; feeds the probe join AND the N+V constant
+    # N + V + 1 read off the vocab-sized counts relation (sum of counts =
+    # train tokens; row count = vocab) — not a second corpus scan.
+    consts = counts.agg(
+        (F.sum("c") + F.count(F.lit(1)) + F.lit(1)).alias("d")
     )
     micro_d = F.floor(F.log(F.col("d").cast("double")) * 1e6).cast("long")
     micro_c = F.floor(

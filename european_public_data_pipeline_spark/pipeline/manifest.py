@@ -143,18 +143,27 @@ def _path_key(path_str: str) -> str:
     return re.sub(r"^[a-z][a-z0-9+.-]*:/+", "/", path_str)
 
 
-def _json_scalar(v):
+def _json_scalar(v, round_toward: str | None = None):
     """Min/max values JSON-ready: numerics/strings/bools pass through,
-    anything else (dates, timestamps, decimals) serializes as str —
-    zone-map pruning only compares like-typed values, so the string
-    form is fine as long as readers probe with the same type."""
+    dates/timestamps serialize as str (zone-map pruning compares
+    like-typed values; the string form works for readers probing with
+    the same type). Decimals narrow to float with the bound WIDENED in
+    ``round_toward`` direction ('down' for a min, 'up' for a max) —
+    round-to-nearest could otherwise round a file's min UP or max DOWN
+    and prune a file that contains matching rows."""
     import datetime
     import decimal
+    import math
 
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        f = float(v)
+        if round_toward == "down" and decimal.Decimal(f) > v:
+            f = math.nextafter(f, -math.inf)
+        elif round_toward == "up" and decimal.Decimal(f) < v:
+            f = math.nextafter(f, math.inf)
+        return f
     if isinstance(v, (datetime.date, datetime.datetime)):
         return str(v)
     return str(v)
@@ -183,7 +192,10 @@ def _file_stats(spark: SparkSession, data_dir: str, stats_cols: tuple) -> dict:
     )
     return {
         _path_key(r["__file"]): {
-            c: [_json_scalar(r[f"mn_{c}"]), _json_scalar(r[f"mx_{c}"])]
+            c: [
+                _json_scalar(r[f"mn_{c}"], round_toward="down"),
+                _json_scalar(r[f"mx_{c}"], round_toward="up"),
+            ]
             for c in stats_cols
         }
         for r in rows
@@ -232,7 +244,16 @@ def _commit(
         payload["meta"] = meta
     stats = dict(carried_stats or {})
     if stats_cols:
-        stats.update(_file_stats(spark, data_dir, stats_cols))
+        try:
+            stats.update(_file_stats(spark, data_dir, stats_cols))
+        except Exception:
+            # A bad stats column (typo, schema drift) aborts the commit
+            # AFTER the batch was written; the uuid-named staged dir is
+            # referenced by no manifest and would otherwise leak forever
+            # — reclaim it before propagating (same class as the gated-
+            # publish failed-audit cleanup).
+            fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            raise
     if stats:
         payload["file_stats"] = stats
     try:

@@ -233,8 +233,15 @@ _DRIVER_GREEN_R6 = frozenset({
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-7 changes to already-green queries land here as they happen).
-_MODIFIED_SINCE_VERDICT: tuple[str, ...] = ()
+# (round-7 changes to already-green queries land here as they happen):
+# write_bucketed gained the MANAGED-only location cleanup (q95/q104 ride
+# it); similarity.py gained an import-time assert on s14's constants.
+# Semantics should be identical, but a stale verdict is no verdict.
+_MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
+    "q95_bucketed_market_share",
+    "q104_bucketed_changelog",
+    "s14_ivf_nprobe_sweep",
+)
 
 
 _NEVER_FIRST: tuple[str, ...] = ()

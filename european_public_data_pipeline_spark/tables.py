@@ -92,15 +92,25 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
             raise e
         if not isinstance(df.schema["ts"].dataType, T.LongType):
-            # The first failure was transient (not nanos typing): the file
-            # read back a non-Long ts under the flag, so the plan does not
-            # depend on it. Restore the prior value — leaving it flipped
-            # would silently mutate unrelated parquet reads in a foreign
-            # session (ADVICE r6).
+            # The first failure was probably transient (ts is not
+            # nanos-typed), but ts alone doesn't prove the flag is unused
+            # — ANOTHER column could be INT64 TIMESTAMP(NANOS), and the
+            # returned plan is lazy. Restore the prior value and PROVE it
+            # by re-running schema inference unflagged (nanos rejection
+            # happens eagerly at read time): success means the plan never
+            # needed the flag (and binds df to the unflagged analysis);
+            # failure means it did — re-set it and keep the flagged df.
+            # Leaving the flag flipped without proof would silently
+            # mutate unrelated parquet reads in a foreign session
+            # (ADVICE r6).
             if prior is None:
                 spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
             else:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+            try:
+                df = spark.read.parquet(path)
+            except Exception:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -307,3 +307,52 @@ def test_compact_recomputes_zone_maps(spark, tmp_path):
     keep, total = prune_files(m, "k", 100, 200)
     assert keep == []  # pruning survives the compaction
     assert read_where(spark, t, "k", 5, 6).count() == 2
+
+
+def test_decimal_zone_bounds_widen_not_round(spark, tmp_path):
+    """Decimal zone bounds must round min DOWN and max UP when narrowing
+    to float — nearest-rounding could shrink the zone and prune a file
+    that holds matching rows."""
+    import decimal
+
+    from european_public_data_pipeline_spark.pipeline.manifest import _json_scalar
+
+    v = decimal.Decimal("0.1000000000000000000001")
+    lo = _json_scalar(v, round_toward="down")
+    hi = _json_scalar(v, round_toward="up")
+    assert decimal.Decimal(lo) <= v <= decimal.Decimal(hi)
+    # And a real decimal-column publish stays readable + conservative.
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_where,
+    )
+
+    df = spark.createDataFrame(
+        [(1, decimal.Decimal("0.10")), (2, decimal.Decimal("0.30"))],
+        "k long, v decimal(10,2)",
+    ).coalesce(1)
+    t = str(tmp_path / "tbl")
+    publish_version(df, t, stats_cols=("v",))
+    got = read_where(spark, t, "v", 0.05, 0.15).count()
+    assert got == 1
+
+
+def test_failed_stats_commit_reclaims_staged_dir(spark, tmp_path):
+    """A bad stats column aborts the commit AFTER the batch write; the
+    uuid-named staged dir must be reclaimed, not leaked."""
+    import os
+
+    import pytest as _pytest
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    with _pytest.raises(Exception):
+        publish_version(_ranged(spark, 0, 9), t, stats_cols=("no_such_col",))
+    assert versions(spark, t) == []  # nothing committed
+    data_root = os.path.join(t, "data")
+    leaked = os.listdir(data_root) if os.path.isdir(data_root) else []
+    assert leaked == []
