@@ -1869,3 +1869,61 @@ def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q107_incremental_version_scan",
+    category="scan-filter-project",
+    doc="Manifest incremental scan — the Iceberg-style 'read only what "
+    "arrived since version N' consumption pattern that keeps a "
+    "downstream aggregate O(delta) per refresh instead of re-scanning "
+    "the corpus: a base snapshot publishes as v1, the day's arrivals "
+    "APPEND as v2 (O(batch) data + KB manifest, prior files carried by "
+    "reference), and read_incremental diffs the two manifests' file "
+    "lists driver-side to plan ONLY the appended files. The builder "
+    "aggregates the incremental slice; the oracle states the same "
+    "aggregate over the arrival predicate directly — equal because "
+    "append commits make the file diff exactly the new rows. At 100 TB "
+    "this is how a q96-style MV maintains itself from a manifest log "
+    "without a transaction server. tests/test_manifest.py pins the "
+    "file-diff semantics (appends exact, empty delta, rewrite caveat).",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q107_incremental_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = "1996-01-01"
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    path = os.path.join(tempfile.gettempdir(), f"inc_orders_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    manifest.publish_version(
+        o.filter(F.col("o_orderdate").cast("date") < cutoff), path
+    )
+    manifest.append_version(
+        o.filter(F.col("o_orderdate").cast("date") >= cutoff), path
+    )
+    inc = manifest.read_incremental(spark, path, 1, 2)
+    return (
+        inc.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )

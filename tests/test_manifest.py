@@ -356,3 +356,29 @@ def test_failed_stats_commit_reclaims_staged_dir(spark, tmp_path):
     data_root = os.path.join(t, "data")
     leaked = os.listdir(data_root) if os.path.isdir(data_root) else []
     assert leaked == []
+
+
+def test_read_incremental_diffs_append_commits(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+        publish_version,
+        read_incremental,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 4), t)
+    append_version(_ranged(spark, 5, 7), t)
+    append_version(_ranged(spark, 8, 9), t)
+    inc = sorted(r["k"] for r in read_incremental(spark, t, 1, 2).collect())
+    assert inc == [5, 6, 7]
+    # Default to_version = current pointer.
+    inc2 = sorted(r["k"] for r in read_incremental(spark, t, 1).collect())
+    assert inc2 == [5, 6, 7, 8, 9]
+    # Empty delta: same version twice -> zero rows, schema preserved.
+    empty = read_incremental(spark, t, 2, 2)
+    assert empty.columns == ["k", "v"] and empty.count() == 0
+    # Rewrite caveat: a publish replaces the file set, so the file-level
+    # delta is the rewrite's entire output (documented, not row-level).
+    publish_version(_ranged(spark, 0, 9), t)
+    rewritten = read_incremental(spark, t, 3, 4)
+    assert rewritten.count() == 10
