@@ -554,3 +554,118 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
             (v, m["row_count"], len(m["files"]), float(m["published_at"]), v == cur)
         )
     return spark.createDataFrame(rows, schema)
+
+
+def purge_rows(
+    spark: SparkSession, table_path: str, col: str, values: list
+) -> dict:
+    """Compliance hard-delete (GDPR right-to-be-forgotten) across EVERY
+    committed version: rows where ``col`` is in ``values`` are removed
+    from the table's entire history, while every version number, the
+    LATEST pointer, and all other rows — including time travel to them —
+    survive.
+
+    This is the one sanctioned breach of manifest immutability: normal
+    operation never edits a committed manifest, but a legal erasure
+    obligation reaches historical versions too (the Iceberg/Delta
+    equivalent is rewrite-data-files + expire-snapshots). Mechanics:
+
+    - Each affected parquet file is rewritten ONCE without the purged
+      rows, even when many manifests share it (appends carry files by
+      reference), and files whose zone map proves they cannot contain a
+      purged value are skipped without being read.
+    - Every manifest's file list is remapped old->new in place
+      (write-temp-then-rename, overwrite sanctioned here), row counts
+      adjusted by the per-file removal counts; a file left empty by the
+      purge drops out of the lists. Rewritten files LOSE their zone-map
+      entries (conservative: pruning keeps stats-less files) — re-index
+      with ``compact(..., )`` or a fresh publish if pruning matters.
+    - The original files are physically deleted LAST, after every
+      manifest stopped referencing them — a crash mid-purge leaves
+      readable manifests (some pointing at not-yet-deleted old files);
+      re-running the purge is idempotent.
+
+    Returns ``{"files_rewritten": int, "rows_removed": int,
+    "files_dropped": int}``.
+    """
+    from pyspark.sql import functions as F
+
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    manifests = {
+        v: _read_json(spark, f"{table_path}/manifest/{v:08d}.json") for v in vs
+    }
+    # Union of files across all versions, with any zone map we have.
+    all_files: dict[str, dict] = {}
+    for m in manifests.values():
+        stats = m.get("file_stats", {})
+        for f in m["files"]:
+            all_files.setdefault(f, stats.get(_path_key(f), {}))
+
+    lo, hi = min(values), max(values)
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    rewritten: dict[str, str] = {}   # old path -> new path ('' = emptied)
+    removed_per_file: dict[str, int] = {}
+    for f, zstats in sorted(all_files.items()):
+        rng = zstats.get(col)
+        if rng is not None:
+            mn, mx = rng
+            if mn is None and mx is None:
+                continue  # all-NULL zone: no value to purge
+            try:
+                if mx < lo or mn > hi:
+                    continue  # zone proves no purged value present
+            except TypeError:
+                pass  # incomparable types: must read
+        df = spark.read.parquet(f)
+        matched = df.filter(F.col(col).isin(values)).count()
+        if matched == 0:
+            continue
+        kept = df.filter(~F.col(col).isin(values))
+        removed_per_file[f] = matched
+        if kept.limit(1).count() == 0:
+            rewritten[f] = ""  # file entirely purged
+            continue
+        out_dir = f"{table_path}/data/purge-{uuid.uuid4().hex[:12]}"
+        kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
+        new_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        rewritten[f] = new_files[0]
+
+    # Remap every manifest in place (version numbers preserved).
+    for v, m in manifests.items():
+        touched = [f for f in m["files"] if f in removed_per_file]
+        if not touched:
+            continue
+        new_list = []
+        for f in m["files"]:
+            if f not in rewritten and f not in removed_per_file:
+                new_list.append(f)
+            elif rewritten.get(f):
+                new_list.append(rewritten[f])
+            # else: emptied file drops out
+        m["files"] = new_list
+        m["row_count"] = int(m["row_count"]) - sum(
+            removed_per_file[f] for f in touched
+        )
+        stats = m.get("file_stats")
+        if stats:
+            for f in touched:
+                stats.pop(_path_key(f), None)
+        _write_json(
+            spark, f"{table_path}/manifest/{v:08d}.json", m, overwrite=True
+        )
+
+    # Old bytes last: nothing references them anymore.
+    for f in removed_per_file:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+
+    return {
+        "files_rewritten": sum(1 for v in rewritten.values() if v),
+        "rows_removed": sum(removed_per_file.values()),
+        "files_dropped": sum(1 for v in rewritten.values() if not v),
+    }

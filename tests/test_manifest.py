@@ -382,3 +382,63 @@ def test_read_incremental_diffs_append_commits(spark, tmp_path):
     publish_version(_ranged(spark, 0, 9), t)
     rewritten = read_incremental(spark, t, 3, 4)
     assert rewritten.count() == 10
+
+
+def test_purge_rows_erases_key_from_all_versions(spark, tmp_path):
+    import os
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        append_version,
+        current_version,
+        purge_rows,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 4), t, stats_cols=("k",))
+    append_version(_ranged(spark, 5, 9), t, stats_cols=("k",))
+    append_version(_ranged(spark, 10, 14), t, stats_cols=("k",))
+    before_files = set(_read_json(spark, f"{t}/manifest/00000003.json")["files"])
+
+    out = purge_rows(spark, t, "k", [7, 12])
+    assert out["rows_removed"] == 2 and out["files_rewritten"] == 2
+    # Zone maps let the [0, 4] file skip the read entirely; its path is
+    # still referenced unchanged.
+    assert out["files_dropped"] == 0
+
+    # Every version is purged, other rows intact, version numbers kept.
+    assert current_version(spark, t) == 3
+    assert sorted(r["k"] for r in read_version(spark, t, 1).collect()) == [0, 1, 2, 3, 4]
+    assert sorted(r["k"] for r in read_version(spark, t, 2).collect()) == [0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert sorted(r["k"] for r in read_version(spark, t, 3).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 13, 14]
+    # Row counts adjusted in the manifests themselves.
+    assert _read_json(spark, f"{t}/manifest/00000003.json")["row_count"] == 13
+    assert _read_json(spark, f"{t}/manifest/00000002.json")["row_count"] == 9
+
+    # The purged bytes are physically gone (old shared files deleted).
+    after_files = set(_read_json(spark, f"{t}/manifest/00000003.json")["files"])
+    replaced = before_files - after_files
+    assert len(replaced) == 2
+    for f in replaced:
+        assert not os.path.exists(f.replace("file:", ""))
+
+    # Idempotent: a second purge finds nothing.
+    again = purge_rows(spark, t, "k", [7, 12])
+    assert again["rows_removed"] == 0 and again["files_rewritten"] == 0
+
+
+def test_purge_rows_drops_fully_matched_files(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+        purge_rows,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 2), t, stats_cols=("k",))
+    append_version(_ranged(spark, 3, 3), t, stats_cols=("k",))  # single-row file
+    out = purge_rows(spark, t, "k", [3])
+    assert out["files_dropped"] == 1 and out["rows_removed"] == 1
+    assert sorted(r["k"] for r in read_version(spark, t, 2).collect()) == [0, 1, 2]
