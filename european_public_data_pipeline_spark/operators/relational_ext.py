@@ -1927,3 +1927,68 @@ def q107_incremental_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q108_bloom_point_lookup",
+    category="scan-filter-project",
+    doc="Per-file Bloom sidecar point lookup — the equality complement "
+    "to q106's zone maps: a point probe on an UNCLUSTERED high-"
+    "cardinality key (user_id in a time-ordered events table) matches "
+    "every file's [min, max], so zone maps prune nothing; the per-file "
+    "Bloom index (pipeline/bloom_index.py — 16384 bits as 256 OR-"
+    "folded words per file, Iceberg-puffin/Delta-bloom shaped, built "
+    "in ONE job grouped by input_file_name) prunes to the files whose "
+    "k=3 bits are all set, with Bloom's no-false-negative guarantee "
+    "making the pruned read EXACT. The builder publishes events "
+    "time-partitioned (user rows scattered across all files — the "
+    "honest hard case: most user_ids touch several files but far from "
+    "all 8), indexes user_id, and aggregates three users' rows through "
+    "read_point; the oracle filters directly. tests/test_manifest.py "
+    "pins pruning counts, false-negative absence, and the no-index "
+    "fallback.",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE user_id IN (3, 47, 111)
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+    from european_public_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    path = os.path.join(tempfile.gettempdir(), f"bloom_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    # Time-ordered layout: every user's rows scatter across files, the
+    # case where zone maps on user_id are useless and Blooms are not.
+    manifest.publish_version(ev.repartitionByRange(8, "ts"), path)
+    build_bloom_index(spark, path, "user_id")
+    parts = [
+        read_point(spark, path, "user_id", u).select("user_id", "value")
+        for u in (3, 47, 111)
+    ]
+    hits = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return (
+        hits.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -4,6 +4,7 @@ isolation of an in-flight reader, and rollback."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.manifest import (
     current_version,
@@ -442,3 +443,62 @@ def test_purge_rows_drops_fully_matched_files(spark, tmp_path):
     out = purge_rows(spark, t, "k", [3])
     assert out["files_dropped"] == 1 and out["rows_removed"] == 1
     assert sorted(r["k"] for r in read_version(spark, t, 2).collect()) == [0, 1, 2]
+
+
+# --- Bloom sidecar index (point-lookup file pruning) -----------------------
+
+
+def test_bloom_index_prunes_files_with_no_false_negatives(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 99), t)
+    append_version(_ranged(spark, 100, 199), t)
+    append_version(_ranged(spark, 200, 299), t)
+    build_bloom_index(spark, t, "k")
+
+    # Every present key is found (no false negatives — Bloom guarantee),
+    # and the planned scan touches at most the candidate files.
+    for probe in (0, 150, 299):
+        got = read_point(spark, t, "k", probe).collect()
+        assert [r["k"] for r in got] == [probe]
+    # An absent key returns empty.
+    assert read_point(spark, t, "k", 12345).count() == 0
+
+
+def test_bloom_index_reduces_planned_files(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 800, 100):
+        append_version(_ranged(spark, lo, lo + 99), t)
+    build_bloom_index(spark, t, "k")
+    df = read_point(spark, t, "k", 450)
+    planned = df.select(F.input_file_name()).distinct().count()
+    # 8 committed files; the true file plus Bloom false positives
+    # (16384 bits / 100 keys / k=3 -> fp ~ 0) must stay well under all.
+    assert planned <= 2
+    assert [r["k"] for r in df.collect()] == [450]
+
+
+def test_read_point_falls_back_without_index(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.bloom_index import read_point
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 9), t)
+    assert [r["k"] for r in read_point(spark, t, "k", 7).collect()] == [7]
