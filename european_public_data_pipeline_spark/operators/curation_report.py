@@ -391,3 +391,142 @@ def p05_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p06: data-constrained curation (round-7 chain)
+
+SPAN_DROP_RATIO = 0.5  # drop docs more than half made of corpus-repeated spans
+
+
+def _constrained_oracle() -> str:
+    from european_public_data_pipeline_spark.operators.sampling import (
+        SM13_BUDGET_X,
+        SM13_MAX_EPOCH_BP,
+    )
+
+    specs = registry._REGISTRY
+    d25 = specs["d25_repeated_span_removal"].oracle
+    t02 = specs["t02_quality_score"].oracle
+    return f"""
+WITH d25 AS ({d25}),
+t02 AS ({t02}),
+s2 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM d25
+    WHERE CAST(excised_tokens AS DOUBLE) / doc_tokens
+          > CAST({SPAN_DROP_RATIO} AS DOUBLE))
+),
+s3 AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id IN (SELECT doc_id FROM t02
+                   WHERE quality_score >= {_QUALITY_MIN})
+),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(string_split_regex(trim(d.text), '\\s+')) AS toks,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'sm13'), 1, 7)
+              AS BIGINT) % 10000 AS hv
+  FROM documents d JOIN s3 ON s3.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS source_tokens
+  FROM per_doc GROUP BY source
+),
+t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
+w AS (
+  SELECT source, source_tokens,
+         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
+  FROM s, t
+),
+ee AS (
+  SELECT source, source_tokens,
+         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
+                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
+                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT) AS desired
+  FROM w
+),
+cp AS (
+  SELECT source, source_tokens,
+         least(desired, {SM13_MAX_EPOCH_BP}) AS capped
+  FROM ee
+),
+em AS (
+  SELECT CAST(SUM(c.capped // 10000
+                  + CASE WHEN d.hv < c.capped % 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS emitted
+  FROM cp c JOIN per_doc d ON d.source = c.source
+),
+ef AS (
+  SELECT CAST(SUM(source_tokens * capped // 10000) AS BIGINT) AS eff FROM cp
+)
+SELECT stage, n FROM (
+  SELECT '1_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n
+  UNION ALL SELECT '2_span_dedup', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT '3_quality', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT '4_emitted_docs', (SELECT emitted FROM em)
+  UNION ALL SELECT '5_effective_tokens', (SELECT eff FROM ef)
+)
+ORDER BY stage
+"""
+
+
+@register(
+    "p06_constrained_curation_report",
+    category="pipeline",
+    doc="The data-constrained curation chain built from the round-7 "
+    "operators: d25's ExactSubstr gate drops documents more than half "
+    "made of corpus-repeated spans (boilerplate/template carcasses), "
+    "t02's quality gate filters the survivors, and sm13's repetition-"
+    "capped temperature allocation (shared repetition_allocation code "
+    "path — builder and sm13 cannot drift) converts the cleaned corpus "
+    "into the final epoch plan: emitted-doc and effective-token totals "
+    "under per-source caps. The oracle nests the registered d25 and "
+    "t02 SQL as CTEs and restates the allocation arithmetic over the "
+    "survivor set, so a driver hash match certifies the three-operator "
+    "composition end to end. All counts exact integers.",
+    oracle=_constrained_oracle,  # lazy: composed from the registry on first use
+)
+def p06_constrained_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.sampling import (
+        repetition_allocation,
+        sm13_per_doc,
+    )
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+    from european_public_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d25 = all_specs()["d25_repeated_span_removal"].builder(spark, sf_dir)
+    heavy = d25.filter(
+        F.col("excised_tokens").cast("double") / F.col("doc_tokens")
+        > SPAN_DROP_RATIO
+    ).select("doc_id")
+    s2 = docs.join(heavy, "doc_id", "left_anti").cache()  # feeds count + next gate
+    good = (
+        all_specs()["t02_quality_score"].builder(spark, sf_dir)
+        .filter(F.col("quality_score") >= _QUALITY_MIN)
+        .select("doc_id")
+    )
+    s3 = s2.join(good, "doc_id", "left_semi").cache()  # feeds count + allocation
+    alloc = repetition_allocation(sm13_per_doc(s3))
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(label).alias("stage"), "n"
+        )
+
+    emitted = alloc.agg(F.sum("n_emitted").cast("long").alias("n")).select(
+        F.lit("4_emitted_docs").alias("stage"), "n"
+    )
+    eff = alloc.agg(F.sum("effective_tokens").cast("long").alias("n")).select(
+        F.lit("5_effective_tokens").alias("stage"), "n"
+    )
+    return (
+        cnt(docs, "1_raw")
+        .unionByName(cnt(s2, "2_span_dedup"))
+        .unionByName(cnt(s3, "3_quality"))
+        .unionByName(emitted)
+        .unionByName(eff)
+        .orderBy("stage")
+    )

@@ -952,17 +952,29 @@ ORDER BY c.source
 """,
 )
 def sm13_repetition_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_allocation(sm13_per_doc(docs))
+
+
+def sm13_per_doc(docs: DataFrame) -> DataFrame:
+    """(source, toks, hv) projection the allocation runs on — shared with
+    p06's constrained chain so the two cannot drift."""
     from european_public_data_pipeline_spark.operators.dedup import base_hash28
 
-    docs = load_table(spark, sf_dir, "documents")
-    per_doc = docs.select(
+    return docs.select(
         "source",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("toks"),
         (
             base_hash28(F.concat(F.col("doc_id").cast("string"), F.lit("sm13")))
             % 10000
         ).alias("hv"),
-    ).cache()  # feeds the per-source aggregate AND the emission count
+    )
+
+
+def repetition_allocation(per_doc_in: DataFrame) -> DataFrame:
+    """sm13's repetition-capped allocation over any (source, toks, hv)
+    relation (full corpus for sm13, curation survivors for p06)."""
+    per_doc = per_doc_in.cache()  # feeds the per-source aggregate AND the emission count
     s = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("toks").alias("source_tokens"),

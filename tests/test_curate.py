@@ -176,3 +176,24 @@ def test_excision_work_order_only_for_kept_docs(spark, sf_small):
     for r in exc:
         assert r["doc_id"] in kept
         assert r["covered_ratio"] <= SURGICAL_MAX_RATIO
+
+
+def test_p06_constrained_chain_monotone_and_budget_bounded(spark, sf_small):
+    """The round-7 chain: survivor counts shrink monotonically, the
+    emission plan never exceeds the per-source cap (2.0 epochs), and the
+    effective token total is bounded by cap x surviving tokens."""
+    from european_public_data_pipeline_spark.operators.sampling import (
+        SM13_MAX_EPOCH_BP,
+    )
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+
+    rows = {
+        r["stage"]: r["n"]
+        for r in all_specs()["p06_constrained_curation_report"]
+        .builder(spark, sf_small)
+        .collect()
+    }
+    assert rows["1_raw"] >= rows["2_span_dedup"] >= rows["3_quality"] > 0
+    cap = SM13_MAX_EPOCH_BP / 10000
+    # Fractional rounding adds at most one copy per doc over the cap floor.
+    assert rows["4_emitted_docs"] <= rows["3_quality"] * (int(cap) + 1)
