@@ -2074,6 +2074,7 @@ SPAN_TAU = 2     # corpus-wide occurrence threshold: >= TAU means "repeated"
 @register(
     "d25_repeated_span_removal",
     category="dedup",
+    bench=True,
     doc="ExactSubstr-style repeated-span removal (Lee et al. 2021, "
     "'Deduplicating Training Data Makes Language Models Better'): find "
     "every 8-token span whose exact text occurs >= 2 times ANYWHERE in "

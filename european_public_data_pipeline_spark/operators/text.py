@@ -1463,6 +1463,7 @@ PPL_TRAIN_SOURCE = "src0"
 @register(
     "t22_perplexity_buckets",
     category="text",
+    bench=True,
     doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): train an "
     "add-one-smoothed unigram LM on a REFERENCE source (src0 — the "
     "'Wikipedia' of the corpus), score every other document's tokens "
