@@ -42,6 +42,12 @@ CASES = [
     "d19_span_contamination",   # gaps-and-islands integer arithmetic
     "q96_incremental_agg_maintenance",  # algebraic merge of DECIMAL partials
     "q101_correlation_exact",   # two-column exact power sums -> corr/covar
+    # Round-7 recipes:
+    "d25_repeated_span_removal",  # gram-hash heavy hitters + island integers
+    "g06_star_connected_components",  # star-operation fixpoint (integer labels)
+    "t22_perplexity_buckets",   # micro-nat LM + domain-histogram terciles
+    "sm13_repetition_capped_mixture",  # fixed-point sqrt weights + hash emission
+    "s15_multiprobe_lsh_topk",  # margin-sorted bit flips + sequential-fold cosines
 ]
 
 
