@@ -34,6 +34,15 @@ BUDGETS = [
     # the merge unions aggregate-sized relations (1.6 KB measured) — a
     # budget blowout here means the merge started re-shuffling raw rows.
     ("q96_incremental_agg_maintenance", 8_000, 3),
+    # Round-7: the corpus never rides a shuffle in any of these — sm13
+    # shuffles only source-cardinality aggregates + the 20-row weight
+    # relation; t22 shuffles the vocab-sized LM and doc-sized scores
+    # (token probe join is broadcast); q106/q107 shuffle one agg pair
+    # over the pruned/incremental slice.
+    ("sm13_repetition_capped_mixture", 25_000, 10),
+    ("t22_perplexity_buckets", 55_000, 6),
+    ("q106_zonemap_pruned_scan", 5_000, 2),
+    ("q107_incremental_version_scan", 5_000, 2),
 ]
 
 
