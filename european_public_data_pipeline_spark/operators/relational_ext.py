@@ -1992,3 +1992,68 @@ def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q109_zorder_dual_pruning",
+    category="scan-filter-project",
+    doc="Z-order + dual-column zone maps — ONE layout that prunes range "
+    "predicates on EITHER column: events Morton-clustered on (user_id, "
+    "value) (pipeline/layout.py zorder_by — rank-normalized bit "
+    "interleave, so every file covers a small rectangle of the 2-D key "
+    "space) published with zone maps on both columns; a user-range "
+    "aggregate and a value-range aggregate then both read through "
+    "read_where's manifest prune. A single-column sort would answer one "
+    "of these selectively and scan everything for the other — the "
+    "classic reason warehouses z-order their secondary-filter columns. "
+    "tests/test_manifest.py asserts both predicates actually drop files "
+    "from the same layout. Results checked against plain filters.",
+    oracle="""
+SELECT dim, n, total_value FROM (
+  SELECT 'by_user' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events WHERE user_id BETWEEN 10 AND 20
+  UNION ALL
+  SELECT 'by_value',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+  FROM events
+  WHERE value BETWEEN CAST(100.0 AS DOUBLE) AND CAST(120.0 AS DOUBLE)
+)
+ORDER BY dim
+""",
+)
+def q109_zorder_dual_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.layout import zorder_by
+    from european_public_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    path = os.path.join(tempfile.gettempdir(), f"zorder_events_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    manifest.publish_version(
+        zorder_by(ev, "user_id", "value", 8),
+        path,
+        stats_cols=("user_id", "value"),
+    )
+
+    def agg(df: DataFrame, dim: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        ).select(F.lit(dim).alias("dim"), "n", "total_value")
+
+    by_user = agg(manifest.read_where(spark, path, "user_id", 10, 20), "by_user")
+    by_value = agg(
+        manifest.read_where(spark, path, "value", float(100.0), float(120.0)),
+        "by_value",
+    )
+    return by_user.unionByName(by_value).orderBy("dim")

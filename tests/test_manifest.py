@@ -502,3 +502,28 @@ def test_read_point_falls_back_without_index(spark, tmp_path):
     t = str(tmp_path / "tbl")
     append_version(_ranged(spark, 0, 9), t)
     assert [r["k"] for r in read_point(spark, t, "k", 7).collect()] == [7]
+
+
+def test_zorder_layout_prunes_on_both_columns(spark, sf_small, tmp_path):
+    """One z-ordered layout must let zone maps drop files for range
+    predicates on EITHER interleaved column."""
+    from european_public_data_pipeline_spark.pipeline.layout import zorder_by
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        prune_files,
+        publish_version,
+    )
+    from european_public_data_pipeline_spark.tables import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    t = str(tmp_path / "zorder")
+    publish_version(
+        zorder_by(ev, "user_id", "value", 8), t,
+        stats_cols=("user_id", "value"),
+    )
+    m = _read_json(spark, f"{t}/manifest/00000001.json")
+    keep_u, total = prune_files(m, "user_id", 10, 20)
+    keep_v, _ = prune_files(m, "value", 100.0, 120.0)
+    assert total == 8
+    assert len(keep_u) < total, "user_id range pruned nothing"
+    assert len(keep_v) < total, "value range pruned nothing"
