@@ -131,7 +131,18 @@ def read_point(
         .collect()
     )
     cand_keys = {_path_key(r["file"]) for r in cand_rows}
-    keep = [f for f in m["files"] if _path_key(f) in cand_keys]
+    # Files the sidecar has never seen — appended after the index build,
+    # or rewritten by purge_rows under a new name — MUST stay candidates:
+    # pruning is only sound for files the index actually covers. One
+    # extra tiny scan of the sidecar's distinct file names.
+    indexed = {
+        _path_key(r["file"]) for r in sidecar.select("file").distinct().collect()
+    }
+    keep = [
+        f
+        for f in m["files"]
+        if _path_key(f) in cand_keys or _path_key(f) not in indexed
+    ]
     if not keep:
         return spark.read.parquet(m["files"][0]).where(F.lit(False))
     return spark.read.parquet(*keep).where(F.col(col) == F.lit(value))

@@ -527,3 +527,35 @@ def test_zorder_layout_prunes_on_both_columns(spark, sf_small, tmp_path):
     assert total == 8
     assert len(keep_u) < total, "user_id range pruned nothing"
     assert len(keep_v) < total, "value range pruned nothing"
+
+
+def test_bloom_index_is_conservative_for_unindexed_files(spark, tmp_path):
+    """Files committed AFTER the index build (or rewritten by purge_rows
+    under new names) are unknown to the sidecar and must stay candidates
+    — pruning them would silently lose rows."""
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+        purge_rows,
+    )
+
+    t = str(tmp_path / "tbl")
+    append_version(_ranged(spark, 0, 9), t)
+    build_bloom_index(spark, t, "k", version=1)
+    # Append after the build: new file absent from the sidecar.
+    append_version(_ranged(spark, 10, 19), t)
+    # read_point at version 2 reuses version 1's naming convention only
+    # if one exists; build for v2 wasn't run, so fall back is full-read.
+    got = sorted(r["k"] for r in read_point(spark, t, "k", 15, version=2).collect())
+    assert got == [15]
+    # Rebuild for v2, then purge a key: the rewritten file's new name is
+    # unknown to the v2 sidecar — its surviving rows must stay findable.
+    build_bloom_index(spark, t, "k", version=2)
+    purge_rows(spark, t, "k", [12])
+    assert sorted(
+        r["k"] for r in read_point(spark, t, "k", 13, version=2).collect()
+    ) == [13]
+    assert read_point(spark, t, "k", 12, version=2).count() == 0
