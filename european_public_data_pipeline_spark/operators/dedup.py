@@ -2070,29 +2070,10 @@ def d24_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame
 SPAN_K = 8       # tokens per exact span (the paper's 50-token unit, scaled)
 SPAN_TAU = 2     # corpus-wide occurrence threshold: >= TAU means "repeated"
 
-
-@register(
-    "d25_repeated_span_removal",
-    category="dedup",
-    bench=True,
-    doc="ExactSubstr-style repeated-span removal (Lee et al. 2021, "
-    "'Deduplicating Training Data Makes Language Models Better'): find "
-    "every 8-token span whose exact text occurs >= 2 times ANYWHERE in "
-    "the corpus (including within one document), merge the per-document "
-    "hits into contiguous excision islands, and emit the per-document "
-    "work order (island count, first island start, tokens excised, doc "
-    "length). Differs from d19, which localizes overlap against a FIXED "
-    "benchmark set; here the corpus is deduplicated against itself, so "
-    "the hot-span set is data-dependent. Shape: positioned k-gram "
-    "relation (corpus-token-sized, row-local), ONE map-side-combinable "
-    "groupBy on the gram hash to find hot grams (the heavy-hitter set — "
-    "output-bounded, tiny next to the corpus at any scale), one join of "
-    "positions against hot grams keyed by the hash (AQE broadcasts the "
-    "hot side when it fits), then gaps-and-islands windows partitioned "
-    "by doc_id — per-partition work bounded by document length. No "
-    "quadratics anywhere; all arithmetic integer, bit-exact vs DuckDB.",
-    oracle=f"""
-WITH w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
+# Shared oracle CTE chain ending in ``merged`` (doc_id, island_id, ms, me)
+# — the SQL twin of ``repeated_span_islands``; d25 aggregates it, d26
+# applies it, and both oracles nest the SAME text so they cannot drift.
+_SQL_SPAN_ISLANDS = f"""w AS (SELECT doc_id, {_SQL_WORDS} AS words FROM documents),
 pos AS (
   SELECT doc_id, i AS s,
          md5(array_to_string(words[i:i+{SPAN_K - 1}], ' ')) AS h
@@ -2116,25 +2097,15 @@ isl AS (
 merged AS (
   SELECT doc_id, island_id, MIN(s) AS ms, MAX(e) AS me
   FROM isl GROUP BY doc_id, island_id
-),
-toks AS (SELECT doc_id, len(words) AS doc_tokens FROM w)
-SELECT m.doc_id,
-       CAST(COUNT(*) AS BIGINT) AS n_islands,
-       CAST(MIN(ms) AS BIGINT) AS first_island_start,
-       CAST(SUM(me - ms + 1) AS BIGINT) AS excised_tokens,
-       CAST(ANY_VALUE(doc_tokens) AS BIGINT) AS doc_tokens
-FROM merged m JOIN toks USING (doc_id)
-GROUP BY m.doc_id
-ORDER BY m.doc_id
-""",
-)
-def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+)"""
+
+
+def repeated_span_islands(base: DataFrame) -> DataFrame:
+    """Merged corpus-repeated-span islands per document: (doc_id, island_id,
+    ms, me) from a (doc_id, w: array<string>, doc_tokens) relation.
+    Shared by d25 (work-order aggregation) and d26 (excision apply) so
+    detection and execution cannot drift."""
     k = SPAN_K
-    docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), r"\s+")
-    base = docs.select("doc_id", words.alias("w")).withColumn(
-        "doc_tokens", F.size("w")
-    )
     gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
     # sequence(1, n) counts DOWN for n < 1 — docs shorter than k emit none.
     pos = (
@@ -2163,9 +2134,50 @@ def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).over(w_run),
     )
-    merged = isl.groupBy("doc_id", "island_id").agg(
+    return isl.groupBy("doc_id", "island_id").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
     )
+
+
+@register(
+    "d25_repeated_span_removal",
+    category="dedup",
+    bench=True,
+    doc="ExactSubstr-style repeated-span removal (Lee et al. 2021, "
+    "'Deduplicating Training Data Makes Language Models Better'): find "
+    "every 8-token span whose exact text occurs >= 2 times ANYWHERE in "
+    "the corpus (including within one document), merge the per-document "
+    "hits into contiguous excision islands, and emit the per-document "
+    "work order (island count, first island start, tokens excised, doc "
+    "length). Differs from d19, which localizes overlap against a FIXED "
+    "benchmark set; here the corpus is deduplicated against itself, so "
+    "the hot-span set is data-dependent. Shape: positioned k-gram "
+    "relation (corpus-token-sized, row-local), ONE map-side-combinable "
+    "groupBy on the gram hash to find hot grams (the heavy-hitter set — "
+    "output-bounded, tiny next to the corpus at any scale), one join of "
+    "positions against hot grams keyed by the hash (AQE broadcasts the "
+    "hot side when it fits), then gaps-and-islands windows partitioned "
+    "by doc_id — per-partition work bounded by document length. No "
+    "quadratics anywhere; all arithmetic integer, bit-exact vs DuckDB.",
+    oracle=f"""
+WITH {_SQL_SPAN_ISLANDS},
+toks AS (SELECT doc_id, len(words) AS doc_tokens FROM w)
+SELECT m.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MIN(ms) AS BIGINT) AS first_island_start,
+       CAST(SUM(me - ms + 1) AS BIGINT) AS excised_tokens,
+       CAST(ANY_VALUE(doc_tokens) AS BIGINT) AS doc_tokens
+FROM merged m JOIN toks USING (doc_id)
+GROUP BY m.doc_id
+ORDER BY m.doc_id
+""",
+)
+def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("doc_tokens", F.size("w"))
+    merged = repeated_span_islands(base)
     return (
         merged.groupBy("doc_id")
         .agg(
@@ -2177,6 +2189,112 @@ def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "n_islands", "first_island_start",
             "excised_tokens", "doc_tokens",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "d26_span_excision_apply",
+    category="dedup",
+    doc="Executes d25's excision work orders: the per-document repeated-"
+    "span islands are REMOVED from the token stream and the surviving "
+    "text re-joined — detection (d25) and execution share one island "
+    "relation (repeated_span_islands / the same oracle CTE text), so "
+    "the pass that rewrites the corpus provably cuts exactly what the "
+    "report said it would. Output per affected document: kept/removed "
+    "token counts and the md5 of the excised text — the driver hash "
+    "certifies the rewritten BYTES, not just the counts. Shape: the "
+    "positioned token relation anti-joins the island ranges per doc "
+    "(islands are contamination-sized, never corpus-sized), surviving "
+    "tokens re-assemble via one doc-keyed sort-free collect (sort_array "
+    "over (p, token) structs — per-doc arrays bounded by doc length). "
+    "tests/test_dedup_excision.py additionally re-runs detection on "
+    "the excised corpus and asserts the residual is strictly smaller "
+    "(one excision round removes every ORIGINAL hot span; new k-grams "
+    "formed at seam boundaries can still repeat — the documented "
+    "reason ExactSubstr dedup iterates to a fixpoint in production).",
+    oracle=f"""
+WITH {_SQL_SPAN_ISLANDS},
+pos_t AS (
+  SELECT doc_id, i AS p, words[i] AS token
+  FROM w, UNNEST(generate_series(1, len(words))) AS t(i)
+),
+covered AS (
+  SELECT DISTINCT pt.doc_id, pt.p
+  FROM pos_t pt JOIN merged m
+    ON m.doc_id = pt.doc_id AND pt.p BETWEEN m.ms AND m.me
+),
+affected AS (SELECT DISTINCT doc_id FROM merged),
+kept AS (
+  SELECT pt.doc_id, pt.p, pt.token
+  FROM pos_t pt
+  JOIN affected a ON a.doc_id = pt.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = pt.doc_id AND c.p = pt.p)
+)
+SELECT a.doc_id,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST((SELECT COUNT(*) FROM covered c WHERE c.doc_id = a.doc_id)
+            AS BIGINT) AS n_removed,
+       COALESCE(k.excised_md5, md5('')) AS excised_md5
+FROM affected a
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         md5(string_agg(token, ' ' ORDER BY p)) AS excised_md5
+  FROM kept GROUP BY doc_id
+) k ON k.doc_id = a.doc_id
+ORDER BY a.doc_id
+""",
+)
+def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("doc_tokens", F.size("w"))
+    merged = repeated_span_islands(base).cache()  # ranges + affected set
+    pos_t = base.select(
+        "doc_id",
+        F.posexplode("w").alias("p0", "token"),
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+    covered = (
+        pos_t.alias("pt")
+        .join(
+            merged.alias("m"),
+            (F.col("pt.doc_id") == F.col("m.doc_id"))
+            & F.col("pt.p").between(F.col("m.ms"), F.col("m.me")),
+            "left_semi",
+        )
+        .select("doc_id", "p")
+    )
+    affected = merged.select("doc_id").distinct()
+    kept = (
+        pos_t.join(affected, "doc_id", "left_semi")
+        .join(covered, ["doc_id", "p"], "left_anti")
+    )
+    k_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("token")))
+                    ),
+                    lambda s: s.getField("token"),
+                ),
+                " ",
+            )
+        ).alias("excised_md5"),
+    )
+    removed = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    return (
+        affected.join(k_agg, "doc_id", "left")
+        .join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.coalesce("excised_md5", F.md5(F.lit(""))).alias("excised_md5"),
         )
         .orderBy("doc_id")
     )
