@@ -341,7 +341,12 @@ def version_meta(
     return _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get("meta", {})
 
 
-def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> int:
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_files: int = 8,
+    cluster_by: str | None = None,
+) -> int:
     """Rewrite the highest committed version's rows as ONE new version in
     ``target_files`` files — the small-file compaction a run of
     ``append_version`` commits eventually needs (N appends = N file
@@ -353,13 +358,27 @@ def compact(spark: SparkSession, table_path: str, target_files: int = 8) -> int:
     untouched mid-compaction (snapshot isolation) and prior versions
     remain time-travelable; this is the table's only full-size write,
     which is the point of the append/compact split: many O(batch)
-    commits, occasional scheduled rewrites."""
+    commits, occasional scheduled rewrites.
+
+    ``cluster_by``: re-cluster the rewrite on a column (range-partitioned
+    + sorted within files) — Delta's OPTIMIZE ZORDER move for one key:
+    after many unordered appends every file spans the full value range
+    and zone maps prune nothing; a clustered compaction restores
+    selective ``read_where`` pruning without the caller touching stats
+    (recomputed below). For two-key clustering feed
+    ``pipeline/layout.zorder_by`` output to ``publish_version`` instead."""
     vs = versions(spark, table_path)
     if not vs:
         raise FileNotFoundError(f"nothing to compact at {table_path}")
     head = vs[-1]
     prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
-    df = spark.read.parquet(*prior["files"]).coalesce(max(1, target_files))
+    df = spark.read.parquet(*prior["files"])
+    if cluster_by is not None:
+        df = df.repartitionByRange(
+            max(1, target_files), cluster_by
+        ).sortWithinPartitions(cluster_by)
+    else:
+        df = df.coalesce(max(1, target_files))
     # Zone maps describe FILES; a compaction rewrites them, so recompute
     # stats for every column the prior version tracked — readers keep
     # their read_where pruning across compactions without the scheduler

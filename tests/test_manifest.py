@@ -559,3 +559,35 @@ def test_bloom_index_is_conservative_for_unindexed_files(spark, tmp_path):
         r["k"] for r in read_point(spark, t, "k", 13, version=2).collect()
     ) == [13]
     assert read_point(spark, t, "k", 12, version=2).count() == 0
+
+
+def test_clustered_compaction_restores_pruning(spark, tmp_path):
+    """After unordered appends every file spans the full key range and
+    zone maps prune nothing; compact(cluster_by=...) must restore
+    selective read_where pruning with stats recomputed automatically."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        append_version,
+        compact,
+        prune_files,
+        read_where,
+    )
+
+    t = str(tmp_path / "tbl")
+    # Interleaved appends: every file covers nearly the whole k range.
+    for off in range(4):
+        batch = spark.createDataFrame(
+            [(off + 4 * i, f"v{off + 4 * i}") for i in range(25)],
+            "k long, v string",
+        ).coalesce(1)
+        append_version(batch, t, stats_cols=("k",))
+    m = _read_json(spark, f"{t}/manifest/00000004.json")
+    keep, total = prune_files(m, "k", 10, 15)
+    assert len(keep) == total == 4  # zone maps useless on interleaved data
+
+    v = compact(spark, t, target_files=4, cluster_by="k")
+    m2 = _read_json(spark, f"{t}/manifest/{v:08d}.json")
+    keep2, total2 = prune_files(m2, "k", 10, 15)
+    assert total2 >= 2 and len(keep2) < total2  # pruning restored
+    got = sorted(r["k"] for r in read_where(spark, t, "k", 10, 15).collect())
+    assert got == list(range(10, 16))
