@@ -2203,8 +2203,9 @@ def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     "relation (repeated_span_islands / the same oracle CTE text), so "
     "the pass that rewrites the corpus provably cuts exactly what the "
     "report said it would. Output per affected document: kept/removed "
-    "token counts and the md5 of the excised text — the driver hash "
-    "certifies the rewritten BYTES, not just the counts. Shape: the "
+    "token counts and rewritten_md5 — the md5 of the POST-excision "
+    "(surviving) text, so the driver hash certifies the rewritten "
+    "BYTES, not just the counts. Shape: the "
     "positioned token relation anti-joins the island ranges per doc "
     "(islands are contamination-sized, never corpus-sized), surviving "
     "tokens re-assemble via one doc-keyed sort-free collect (sort_array "
@@ -2237,11 +2238,11 @@ SELECT a.doc_id,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
        CAST((SELECT COUNT(*) FROM covered c WHERE c.doc_id = a.doc_id)
             AS BIGINT) AS n_removed,
-       COALESCE(k.excised_md5, md5('')) AS excised_md5
+       COALESCE(k.rewritten_md5, md5('')) AS rewritten_md5
 FROM affected a
 LEFT JOIN (
   SELECT doc_id, COUNT(*) AS n_kept,
-         md5(string_agg(token, ' ' ORDER BY p)) AS excised_md5
+         md5(string_agg(token, ' ' ORDER BY p)) AS rewritten_md5
   FROM kept GROUP BY doc_id
 ) k ON k.doc_id = a.doc_id
 ORDER BY a.doc_id
@@ -2284,7 +2285,7 @@ def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 " ",
             )
-        ).alias("excised_md5"),
+        ).alias("rewritten_md5"),
     )
     removed = covered.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
     return (
@@ -2294,7 +2295,7 @@ def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
-            F.coalesce("excised_md5", F.md5(F.lit(""))).alias("excised_md5"),
+            F.coalesce("rewritten_md5", F.md5(F.lit(""))).alias("rewritten_md5"),
         )
         .orderBy("doc_id")
     )

@@ -1459,6 +1459,10 @@ def q104_bucketed_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    # Full-path hash: two different sf_dirs sharing a basename must
+    # not collide on the same scratch table (ADVICE-class race).
+    import hashlib
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     at, bt = f"bkt_snap_a_{tag}", f"bkt_snap_b_{tag}"
     write_bucketed(_cdc_snapshot_a(spark, sf_dir), at, "a_key", n_buckets=16)
     write_bucketed(_cdc_snapshot_b(spark, sf_dir), bt, "b_key", n_buckets=16)
@@ -1853,6 +1857,10 @@ def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pattern): re-runs replace the one table copy instead of leaking a
     # fresh tempdir + an extra manifest version per invocation.
     tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    # Full-path hash: two different sf_dirs sharing a basename must
+    # not collide on the same scratch table (ADVICE-class race).
+    import hashlib
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     path = os.path.join(tempfile.gettempdir(), f"zonemap_events_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     manifest.publish_version(
@@ -1910,6 +1918,10 @@ def q107_incremental_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     o = load_table(spark, sf_dir, "orders")
     cutoff = "1996-01-01"
     tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    # Full-path hash: two different sf_dirs sharing a basename must
+    # not collide on the same scratch table (ADVICE-class race).
+    import hashlib
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     path = os.path.join(tempfile.gettempdir(), f"inc_orders_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     manifest.publish_version(
@@ -1973,6 +1985,10 @@ def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    # Full-path hash: two different sf_dirs sharing a basename must
+    # not collide on the same scratch table (ADVICE-class race).
+    import hashlib
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     path = os.path.join(tempfile.gettempdir(), f"bloom_events_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     # Time-ordered layout: every user's rows scatter across files, the
@@ -2037,6 +2053,10 @@ def q109_zorder_dual_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    # Full-path hash: two different sf_dirs sharing a basename must
+    # not collide on the same scratch table (ADVICE-class race).
+    import hashlib
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
     path = os.path.join(tempfile.gettempdir(), f"zorder_events_{tag}")
     shutil.rmtree(path, ignore_errors=True)
     manifest.publish_version(

@@ -6,20 +6,27 @@ when the write clustered the column; a point lookup on an unclustered
 key (user_id in an events table ordered by time) matches every file's
 [min, max] and prunes nothing. The classic lakehouse answer (Iceberg's
 puffin blobs, Delta's bloom filter indexes) is a per-file Bloom filter
-kept OUTSIDE the data files: a membership probe reads the KB-sized
-index, keeps only files whose k bits are all set, and plans the scan on
-those — no false negatives ever (Bloom guarantees), false positives
-only cost an extra file read.
+kept OUTSIDE the data files: a membership probe reads the small index,
+keeps only files whose k bits are all set, and plans the scan on those —
+no false negatives ever (Bloom guarantees), false positives only cost an
+extra file read.
 
 Layout: the index for version N / column c is a small parquet relation
-``{table}/index/v<N>-bloom-<c>/`` with rows (file, word, mask) — a
-16384-bit filter per file as 256 OR-folded 64-bit words. It is built
-with ONE distributed job over the version's files (groupBy
-input_file_name — never a per-file job storm) and stays distributed at
-prune time: the probe filters the sidecar to its k word cells, so only
-candidate FILE NAMES ever reach the driver. At 100 TB with 10^5 files
-the sidecar is ~10^5 x 256 rows ~ 200 MB of parquet — scanned with a
-word-key filter pushed down, still metadata-scale next to the data.
+``{table}/index/v<N>-bloom-<c>/`` with rows (file, word, mask) — one
+Bloom filter per file as OR-folded 64-bit words, plus a
+``_bloom_meta.json`` in the same directory (underscore-prefixed, so the
+parquet reader ignores it) recording the bit width the builder chose.
+The width ADAPTS to the data: ~10 bits per key of the largest file
+(rounded up to a power of two, floor 16 Ki bits, cap 64 Mi bits) — a
+fixed small width would saturate at warehouse file sizes (a 1 GB file
+holds ~10^6+ keys; at 16 Ki bits the fill fraction is ~1.0 and every
+probe matches every file, silently degrading to a full scan).
+
+The index is built with ONE distributed job over the version's files
+(groupBy input_file_name — never a per-file job storm) and pruned with
+ONE scan of the sidecar per probe; only file names reach the driver. At
+100 TB with 10^5 files the sidecar stays metadata-scale next to the
+data (sparse rows: only words with set bits are stored).
 """
 
 from __future__ import annotations
@@ -30,17 +37,20 @@ from pyspark.sql import functions as F
 from european_public_data_pipeline_spark.pipeline.manifest import (
     _path_key,
     _read_json,
+    _write_json,
     current_version,
 )
 
-BLOOM_INDEX_BITS = 16384  # 256 words x 64 bits per file
+BLOOM_MIN_BITS = 16384        # floor: 256 words per file
+BLOOM_MAX_BITS = 1 << 26      # cap: 8 MiB of words per file
+BLOOM_BITS_PER_KEY = 10       # ~1% fp at k=3 in the non-saturated regime
 BLOOM_INDEX_HASHES = 3
 _SEED = 300  # xxhash64 seed base — disjoint from q80/q81's families
 
 
-def _positions(col: F.Column) -> list[F.Column]:
+def _positions(col: F.Column, bits: int) -> list[F.Column]:
     return [
-        F.pmod(F.xxhash64(F.lit(_SEED + i), col), F.lit(BLOOM_INDEX_BITS))
+        F.pmod(F.xxhash64(F.lit(_SEED + i), col), F.lit(bits))
         for i in range(BLOOM_INDEX_HASHES)
     ]
 
@@ -49,19 +59,40 @@ def _index_dir(table_path: str, version: int, col: str) -> str:
     return f"{table_path}/index/v{version:08d}-bloom-{col}"
 
 
+def _choose_bits(max_rows_per_file: int) -> int:
+    bits = BLOOM_MIN_BITS
+    target = max(1, max_rows_per_file) * BLOOM_BITS_PER_KEY
+    while bits < target and bits < BLOOM_MAX_BITS:
+        bits <<= 1
+    return bits
+
+
 def build_bloom_index(
     spark: SparkSession, table_path: str, col: str, version: int | None = None
 ) -> str:
     """Build (or rebuild) the per-file Bloom index for ``col`` over one
-    committed version. One job: explode each row's k bit positions keyed
-    by input_file_name, OR-fold into (file, word, mask) cells."""
+    committed version. Two jobs: a row-group-metadata count per file to
+    size the filter, then the index build itself — explode each row's k
+    bit positions keyed by input_file_name, OR-fold into (file, word,
+    mask) cells."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    src = spark.read.parquet(*m["files"])
+    max_rows = (
+        src.groupBy(F.input_file_name())
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        or 0
+    )
+    bits = _choose_bits(int(max_rows))
     rows = (
-        spark.read.parquet(*m["files"])
-        .select(F.col(col).alias("__k"))
+        src.select(F.col(col).alias("__k"))
         .withColumn("file", F.input_file_name())
-        .select("file", F.explode(F.array(*_positions(F.col("__k")))).alias("pos"))
+        .select(
+            "file",
+            F.explode(F.array(*_positions(F.col("__k"), bits))).alias("pos"),
+        )
         .select(
             "file",
             F.expr("pos div 64").alias("word"),
@@ -74,6 +105,12 @@ def build_bloom_index(
     )
     out = _index_dir(table_path, v, col)
     rows.write.mode("overwrite").parquet(out)
+    _write_json(
+        spark,
+        f"{out}/_bloom_meta.json",
+        {"bits": bits, "hashes": BLOOM_INDEX_HASHES},
+        overwrite=True,
+    )
     return out
 
 
@@ -86,24 +123,31 @@ def read_point(
 ) -> DataFrame:
     """Point lookup with Bloom file pruning: plan only the files whose
     index cells have every probe bit set, then apply the exact equality
-    filter. Falls back to reading the whole version (still correct) when
-    no index exists for ``col``."""
+    filter. Conservative by construction: files the sidecar has never
+    seen (appended after the build, or rewritten under new names by
+    purge_rows) stay candidates, and a missing index falls back to
+    reading the whole version — both still correct."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
     idx = _index_dir(table_path, v, col)
     try:
         sidecar = spark.read.parquet(idx)
+        bits = int(_read_json(spark, f"{idx}/_bloom_meta.json")["bits"])
     except Exception:
         return spark.read.parquet(*m["files"]).where(F.col(col) == F.lit(value))
     # The probe's k (word, mask) cells, computed with the SAME hash
-    # expressions the builder used (one 1-row job). xxhash64 hashes the
-    # TYPED binary value, so the literal must carry the column's exact
-    # dtype — an int probe against a bigint column would silently hash
-    # differently and read as a false negative.
+    # expressions and bit width the builder used (one 1-row job).
+    # xxhash64 hashes the TYPED binary value, so the literal must carry
+    # the column's exact dtype — an int probe against a bigint column
+    # would silently hash differently and read as a false negative.
     dt = spark.read.parquet(m["files"][0]).schema[col].dataType
     probe = (
         spark.range(1)
-        .select(F.explode(F.array(*_positions(F.lit(value).cast(dt)))).alias("pos"))
+        .select(
+            F.explode(F.array(*_positions(F.lit(value).cast(dt), bits))).alias(
+                "pos"
+            )
+        )
         .select(
             F.expr("pos div 64").alias("word"),
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
@@ -122,21 +166,16 @@ def read_point(
         ).alias(f"h{i}")
         for i, (w, b) in enumerate(cells)
     ]
-    cand_rows = (
-        sidecar.filter(F.col("word").isin([w for w, _ in cells]))
-        .groupBy("file")
-        .agg(*hits)
-        .filter(" and ".join(f"h{i} = 1" for i in range(len(cells))))
-        .select("file")
-        .collect()
-    )
-    cand_keys = {_path_key(r["file"]) for r in cand_rows}
-    # Files the sidecar has never seen — appended after the index build,
-    # or rewritten by purge_rows under a new name — MUST stay candidates:
-    # pruning is only sound for files the index actually covers. One
-    # extra tiny scan of the sidecar's distinct file names.
-    indexed = {
-        _path_key(r["file"]) for r in sidecar.select("file").distinct().collect()
+    # ONE sidecar scan: every indexed file comes back with its per-probe
+    # hit flags; candidates are the all-hits rows, and the full listing
+    # doubles as the indexed set (files absent from it must stay
+    # candidates — pruning is only sound for files the index covers).
+    per_file = sidecar.groupBy("file").agg(*hits).collect()
+    indexed = {_path_key(r["file"]) for r in per_file}
+    cand_keys = {
+        _path_key(r["file"])
+        for r in per_file
+        if all(r[f"h{i}"] == 1 for i in range(len(cells)))
     }
     keep = [
         f

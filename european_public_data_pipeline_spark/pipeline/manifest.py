@@ -383,11 +383,19 @@ def compact(
     # stats for every column the prior version tracked — readers keep
     # their read_where pruning across compactions without the scheduler
     # having to remember which columns were indexed.
-    prior_stat_cols = tuple(
-        sorted({c for per_file in prior.get("file_stats", {}).values() for c in per_file})
-    )
+    stat_cols = {
+        c for per_file in prior.get("file_stats", {}).values() for c in per_file
+    }
+    if cluster_by is not None:
+        # The whole point of a clustered rewrite is selective read_where
+        # pruning on the clustering key — recording no zone map for it
+        # (table never indexed) would silently waste the rewrite.
+        stat_cols.add(cluster_by)
     return publish_version(
-        df, table_path, meta=prior.get("meta") or None, stats_cols=prior_stat_cols
+        df,
+        table_path,
+        meta=prior.get("meta") or None,
+        stats_cols=tuple(sorted(stat_cols)),
     )
 
 
@@ -446,7 +454,16 @@ def read_incremental(
     if not added:
         from pyspark.sql import functions as F
 
-        return spark.read.parquet(new[0]).where(F.lit(False))
+        # Schema source for the empty result: any file either version
+        # names (a version can be file-less, e.g. after purge_rows
+        # emptied it).
+        schema_file = next(iter(new or sorted(old)), None)
+        if schema_file is None:
+            raise ValueError(
+                f"read_incremental: versions {from_version}..{to_v} of "
+                f"{table_path} reference no files — no schema to derive"
+            )
+        return spark.read.parquet(schema_file).where(F.lit(False))
     return spark.read.parquet(*added)
 
 
@@ -600,9 +617,21 @@ def purge_rows(
       entries (conservative: pruning keeps stats-less files) — re-index
       with ``compact(..., )`` or a fresh publish if pruning matters.
     - The original files are physically deleted LAST, after every
-      manifest stopped referencing them — a crash mid-purge leaves
-      readable manifests (some pointing at not-yet-deleted old files);
-      re-running the purge is idempotent.
+      manifest stopped referencing them — and the delete list is
+      persisted as a ``purge/pending-*.json`` tombstone BEFORE the
+      manifests are remapped, so a crash anywhere mid-purge is
+      recoverable: the next ``purge_rows`` call (any column) first
+      replays outstanding tombstones, deleting orphaned old files no
+      manifest references anymore. Without the tombstone a crash between
+      the last remap and the delete loop would leak the legally-erased
+      bytes forever (nothing would ever find them again).
+    - NULL rows in ``col`` are never purge targets: the keep filter is
+      explicitly NULL-safe (``~isin(values)`` alone evaluates to NULL —
+      i.e. dropped — for NULL rows, which would silently erase them and
+      desynchronize the manifest row counts).
+    - Matched counts for every candidate file come from ONE distributed
+      job grouped by ``input_file_name`` — never a per-file job storm;
+      only genuinely-affected files get a rewrite job each.
 
     Returns ``{"files_rewritten": int, "rows_removed": int,
     "files_dropped": int}``.
@@ -612,6 +641,22 @@ def purge_rows(
     vs = versions(spark, table_path)
     if not vs:
         raise FileNotFoundError(f"no committed manifests at {table_path}")
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+
+    # Replay tombstones from a prior crashed purge: delete any still-
+    # existing old files they name, then clear them.
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if fs.exists(pdir):
+        for st in fs.listStatus(pdir):
+            name = st.getPath().getName()
+            if not (name.startswith("pending-") and name.endswith(".json")):
+                continue
+            for old in _read_json(spark, str(st.getPath().toString()))["files"]:
+                p_old = jvm.org.apache.hadoop.fs.Path(old)
+                if fs.exists(p_old):
+                    fs.delete(p_old, False)
+            fs.delete(st.getPath(), False)
+
     manifests = {
         v: _read_json(spark, f"{table_path}/manifest/{v:08d}.json") for v in vs
     }
@@ -623,9 +668,7 @@ def purge_rows(
             all_files.setdefault(f, stats.get(_path_key(f), {}))
 
     lo, hi = min(values), max(values)
-    jvm, fs, _ = hadoop_fs(spark, table_path)
-    rewritten: dict[str, str] = {}   # old path -> new path ('' = emptied)
-    removed_per_file: dict[str, int] = {}
+    candidates = []
     for f, zstats in sorted(all_files.items()):
         rng = zstats.get(col)
         if rng is not None:
@@ -637,23 +680,56 @@ def purge_rows(
                     continue  # zone proves no purged value present
             except TypeError:
                 pass  # incomparable types: must read
-        df = spark.read.parquet(f)
-        matched = df.filter(F.col(col).isin(values)).count()
-        if matched == 0:
-            continue
-        kept = df.filter(~F.col(col).isin(values))
-        removed_per_file[f] = matched
-        if kept.limit(1).count() == 0:
-            rewritten[f] = ""  # file entirely purged
-            continue
-        out_dir = f"{table_path}/data/purge-{uuid.uuid4().hex[:12]}"
-        kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
-        new_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
-            if st.getPath().getName().endswith(".parquet")
+        candidates.append(f)
+
+    rewritten: dict[str, str] = {}   # old path -> new path ('' = emptied)
+    removed_per_file: dict[str, int] = {}
+    if candidates:
+        # One job over every candidate file: per-file total and matched
+        # counts, keyed by input_file_name.
+        counts = (
+            spark.read.parquet(*candidates)
+            .select(
+                F.input_file_name().alias("__f"),
+                F.col(col).isin(values).alias("__m"),
+            )
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count(F.when(F.col("__m"), 1)).alias("matched"),
+            )
+            .collect()
         )
-        rewritten[f] = new_files[0]
+        by_key = {_path_key(r["__f"]): (int(r["total"]), int(r["matched"])) for r in counts}
+        for f in candidates:
+            total, matched = by_key.get(_path_key(f), (0, 0))
+            if matched == 0:
+                continue
+            removed_per_file[f] = matched
+            if matched == total:
+                rewritten[f] = ""  # file entirely purged
+                continue
+            # NULL-safe keep: NULL in col is never a purge target.
+            kept = spark.read.parquet(f).filter(
+                ~F.col(col).isin(values) | F.col(col).isNull()
+            )
+            out_dir = f"{table_path}/data/purge-{uuid.uuid4().hex[:12]}"
+            kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
+            new_files = sorted(
+                str(st.getPath().toString())
+                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
+                if st.getPath().getName().endswith(".parquet")
+            )
+            rewritten[f] = new_files[0]
+
+    # Tombstone BEFORE remapping: if we crash after manifests stop
+    # referencing the old files, the next purge replays this list.
+    tombstone = None
+    if removed_per_file:
+        tombstone = f"{table_path}/purge/pending-{uuid.uuid4().hex[:12]}.json"
+        _write_json(
+            spark, tombstone, {"files": sorted(removed_per_file)}, overwrite=True
+        )
 
     # Remap every manifest in place (version numbers preserved).
     for v, m in manifests.items():
@@ -679,9 +755,12 @@ def purge_rows(
             spark, f"{table_path}/manifest/{v:08d}.json", m, overwrite=True
         )
 
-    # Old bytes last: nothing references them anymore.
+    # Old bytes last: nothing references them anymore. The tombstone is
+    # cleared only after every delete succeeded.
     for f in removed_per_file:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
+    if tombstone is not None:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone), False)
 
     return {
         "files_rewritten": sum(1 for v in rewritten.values() if v),

@@ -14,13 +14,24 @@ the prior MV version intact and readable), and a re-run reads the
 applied watermark from the committed meta, so refreshing twice is a
 no-op.
 
-File-level incremental reads are only exact for APPEND commits; if the
-source was rewritten in place (compaction, purge_rows, a full publish),
-the applied version's files are no longer a subset of the current file
-list and the delta would double-count. ``refresh_event_summary`` detects
-that by file-set containment and falls back to a FULL recompute — still
-correct, just not incremental (the documented cost of rewriting an
-MV-feeding table; q97/q100's changelogs are the row-level alternative).
+File-level incremental reads are only exact for APPEND commits; two
+distinct rewrite hazards are both detected, forcing a FULL recompute
+(still correct, just not incremental — the documented cost of rewriting
+an MV-feeding table; q97/q100's changelogs are the row-level
+alternative):
+
+1. A rewrite that BUMPS the version (compaction, full publish): the
+   applied version's files are no longer a subset of the current list —
+   file-set containment catches it.
+2. ``purge_rows``, which rewrites history IN PLACE without bumping any
+   version: containment still holds (every manifest was remapped
+   consistently), so the MV meta additionally stores an md5 of the
+   applied version's file list at refresh time; if the stored hash no
+   longer matches that manifest's current file list, history changed
+   under the MV and the aggregate must be rebuilt — this check runs even
+   when the source version is unchanged, otherwise a purge with no
+   subsequent append would leave the MV serving legally-erased rows
+   forever.
 """
 
 from __future__ import annotations
@@ -39,6 +50,15 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
 )
 
 _META_KEY = "applied_src_version"
+_META_FILES_MD5 = "applied_src_files_md5"
+
+
+def _files_md5(spark: SparkSession, table_path: str, version: int) -> str:
+    import hashlib
+    import json as _json
+
+    files = _read_json(spark, f"{table_path}/manifest/{version:08d}.json")["files"]
+    return hashlib.md5(_json.dumps(sorted(files)).encode()).hexdigest()
 
 
 def _partial(events: DataFrame) -> DataFrame:
@@ -73,16 +93,21 @@ def refresh_event_summary(
     no-op). O(delta + |MV|) when the source appended; O(source) full
     recompute when it was rewritten."""
     src_v = current_version(spark, src_path)
-    applied = (
-        int(version_meta(spark, mv_path).get(_META_KEY, 0))
-        if versions(spark, mv_path)
-        else 0
+    meta = version_meta(spark, mv_path) if versions(spark, mv_path) else {}
+    applied = int(meta.get(_META_KEY, 0))
+
+    # purge_rows rewrites history in place without bumping versions: the
+    # applied manifest's file list changing under the MV means the rows
+    # the aggregate absorbed may no longer exist — rebuild, even when no
+    # new source version arrived.
+    history_intact = applied == 0 or (
+        meta.get(_META_FILES_MD5) == _files_md5(spark, src_path, applied)
     )
-    if applied >= src_v:
+    if applied >= src_v and history_intact:
         return applied  # nothing new — idempotent no-op
 
     incremental = False
-    if applied > 0:
+    if applied > 0 and history_intact:
         old_files = set(
             _read_json(spark, f"{src_path}/manifest/{applied:08d}.json")["files"]
         )
@@ -90,7 +115,7 @@ def refresh_event_summary(
             _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")["files"]
         )
         # Append chains keep every applied file; anything else (compact,
-        # purge, full publish) invalidates the file-level delta.
+        # full publish) invalidates the file-level delta.
         incremental = old_files <= new_files
 
     if incremental:
@@ -98,5 +123,12 @@ def refresh_event_summary(
         merged = _merge(read_version(spark, mv_path), _partial(delta))
     else:
         merged = _partial(read_version(spark, src_path, src_v))
-    publish_version(merged, mv_path, meta={_META_KEY: src_v})
+    publish_version(
+        merged,
+        mv_path,
+        meta={
+            _META_KEY: src_v,
+            _META_FILES_MD5: _files_md5(spark, src_path, src_v),
+        },
+    )
     return src_v

@@ -591,3 +591,60 @@ def test_clustered_compaction_restores_pruning(spark, tmp_path):
     assert total2 >= 2 and len(keep2) < total2  # pruning restored
     got = sorted(r["k"] for r in read_where(spark, t, "k", 10, 15).collect())
     assert got == list(range(10, 16))
+
+
+def test_purge_preserves_null_rows(spark, tmp_path):
+    """NULL purge-column rows are never purge targets — plain ~isin would
+    silently drop them and desync the manifest row counts."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        publish_version,
+        purge_rows,
+        read_version,
+    )
+
+    df = spark.createDataFrame(
+        [(7, "target"), (None, "keep-null"), (3, "keep")], "k long, v string"
+    ).coalesce(1)
+    t = str(tmp_path / "tbl")
+    publish_version(df, t, stats_cols=("k",))
+    out = purge_rows(spark, t, "k", [7])
+    assert out["rows_removed"] == 1
+    got = sorted(
+        ((r["k"], r["v"]) for r in read_version(spark, t).collect()),
+        key=lambda x: (x[0] is None, x),
+    )
+    assert got == [(3, "keep"), (None, "keep-null")]
+    assert _read_json(spark, f"{t}/manifest/00000001.json")["row_count"] == 2
+
+
+def test_purge_tombstone_replay_reclaims_orphans(spark, tmp_path):
+    """A crash between manifest remap and the delete loop leaves orphaned
+    old files that no manifest references; the tombstone written before
+    the remap lets the NEXT purge reclaim them."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _write_json,
+        publish_version,
+        purge_rows,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(_ranged(spark, 0, 9), t, stats_cols=("k",))
+    # Simulate the crash artifact: an orphaned file named by a tombstone.
+    orphan = str(tmp_path / "orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"legally-erased bytes")
+    _write_json(
+        spark, f"{t}/purge/pending-deadbeef.json",
+        {"files": [orphan]}, overwrite=True,
+    )
+    purge_rows(spark, t, "k", [5])
+    assert not os.path.exists(orphan), "tombstoned orphan not reclaimed"
+    assert not any(
+        n.startswith("pending-") for n in os.listdir(f"{t}/purge")
+    ), "tombstones not cleared after successful purge"
+    assert sorted(r["k"] for r in read_version(spark, t).collect()) == [
+        0, 1, 2, 3, 4, 6, 7, 8, 9]

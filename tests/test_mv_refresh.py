@@ -69,3 +69,30 @@ def test_source_rewrite_falls_back_to_full_recompute(spark, sf_small, tmp_path):
     v = refresh_event_summary(spark, src, mv)
     assert v == current_version(spark, src)
     assert _mv_rows(spark, mv) == _direct(spark, src)
+
+
+def test_purge_between_refreshes_rebuilds_mv(spark, sf_small, tmp_path):
+    """purge_rows rewrites history in place WITHOUT bumping versions; the
+    MV must detect the applied manifest's file list changing under it
+    and rebuild — even with no new source version — or it would serve
+    legally-erased rows forever."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+        purge_rows,
+    )
+
+    ev = load_table(spark, sf_small, "events").select(
+        "event_type", "value", "ts", "user_id"
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    append_version(ev, src, stats_cols=("user_id",))
+    refresh_event_summary(spark, src, mv)
+    before = _mv_rows(spark, mv)
+
+    purge_rows(spark, src, "user_id", [3])
+    # No new source version — a naive watermark check would no-op here.
+    refresh_event_summary(spark, src, mv)
+    after = _mv_rows(spark, mv)
+    assert after == _direct(spark, src)
+    assert after != before  # user 3's rows are gone from the aggregate
