@@ -48,6 +48,7 @@ CASES = [
     "t22_perplexity_buckets",   # micro-nat LM + domain-histogram terciles
     "sm13_repetition_capped_mixture",  # fixed-point sqrt weights + hash emission
     "s15_multiprobe_lsh_topk",  # margin-sorted bit flips + sequential-fold cosines
+    "d26_span_excision_apply",  # positioned anti-join + ordered text re-assembly
 ]
 
 
