@@ -1948,17 +1948,22 @@ def q107_incremental_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame
     "to q106's zone maps: a point probe on an UNCLUSTERED high-"
     "cardinality key (user_id in a time-ordered events table) matches "
     "every file's [min, max], so zone maps prune nothing; the per-file "
-    "Bloom index (pipeline/bloom_index.py — 16384 bits as 256 OR-"
-    "folded words per file, Iceberg-puffin/Delta-bloom shaped, built "
-    "in ONE job grouped by input_file_name) prunes to the files whose "
-    "k=3 bits are all set, with Bloom's no-false-negative guarantee "
-    "making the pruned read EXACT. The builder publishes events "
-    "time-partitioned (user rows scattered across all files — the "
-    "honest hard case: most user_ids touch several files but far from "
-    "all 8), indexes user_id, and aggregates three users' rows through "
-    "read_point; the oracle filters directly. tests/test_manifest.py "
-    "pins pruning counts, false-negative absence, and the no-index "
-    "fallback.",
+    "Bloom index (pipeline/bloom_index.py — ADAPTIVE width, ~10 bits "
+    "per key of the largest file rounded up to a power of two with a "
+    "16 Ki-bit floor and 64 Mi-bit cap, stored as sparse OR-folded "
+    "64-bit words, Iceberg-puffin/Delta-bloom shaped, built in ONE job "
+    "grouped by input_file_name) prunes to the files whose k=3 bits "
+    "are all set, with Bloom's no-false-negative guarantee making the "
+    "pruned read EXACT. The builder publishes events time-partitioned "
+    "(user rows scattered across all files — the honest hard case: "
+    "most user_ids touch several files but far from all 8), indexes "
+    "user_id, and aggregates three users' rows through ONE batched "
+    "read_point probe: all three values' cells in one 1-row job, one "
+    "sidecar scan, one pruned read over the unioned candidate set — "
+    "not three separate lookups paying 3x the per-job latency floor. "
+    "The oracle filters directly. tests/test_manifest.py pins pruning "
+    "counts, false-negative absence, batched-equals-separate, and the "
+    "no-index fallback.",
     oracle="""
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
@@ -1995,11 +2000,11 @@ def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # case where zone maps on user_id are useless and Blooms are not.
     manifest.publish_version(ev.repartitionByRange(8, "ts"), path)
     build_bloom_index(spark, path, "user_id")
-    parts = [
-        read_point(spark, path, "user_id", u).select("user_id", "value")
-        for u in (3, 47, 111)
-    ]
-    hits = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # ONE batched probe for all three users: one 1-row cell job, one
+    # sidecar scan, one pruned read (vs 3x each as separate lookups).
+    hits = read_point(spark, path, "user_id", [3, 47, 111]).select(
+        "user_id", "value"
+    )
     return (
         hits.groupBy("user_id")
         .agg(

@@ -77,6 +77,11 @@ def build_bloom_index(
     mask) cells."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    if not m["files"]:
+        raise ValueError(
+            f"build_bloom_index: version {v} of {table_path} references "
+            f"no files — nothing to index"
+        )
     src = spark.read.parquet(*m["files"])
     max_rows = (
         src.groupBy(F.input_file_name())
@@ -123,40 +128,67 @@ def read_point(
 ) -> DataFrame:
     """Point lookup with Bloom file pruning: plan only the files whose
     index cells have every probe bit set, then apply the exact equality
-    filter. Conservative by construction: files the sidecar has never
-    seen (appended after the build, or rewritten under new names by
+    filter. ``value`` may be a single key or a list/tuple of keys — a
+    BATCHED probe computes every value's cells in ONE 1-row job and
+    scans the sidecar ONCE, planning one read over the UNION of the
+    per-value candidate file sets (an IN-list served as N separate
+    lookups would pay N sidecar scans and N probe jobs; at interactive
+    lookup rates that per-Spark-job overhead, not IO, is the latency
+    floor). Per-value soundness is unchanged — Bloom has no false
+    negatives — so the pruned IN-filter read stays EXACT.
+
+    Conservative by construction: files the sidecar has never seen
+    (appended after the build, or rewritten under new names by
     purge_rows) stay candidates, and a missing index falls back to
-    reading the whole version — both still correct."""
+    reading the whole version — both still correct. Probe lists are
+    interactive-scale (the sidecar aggregation carries k flags per
+    value); for analytic IN-lists of many thousands, join against the
+    table instead."""
+    values = list(value) if isinstance(value, (list, tuple, set)) else [value]
+    if not values:
+        raise ValueError("read_point: empty probe value list")
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    if not m["files"]:
+        # A file-less version (possible after purge_rows emptied it) has
+        # no schema source — fail descriptively, like read_incremental.
+        raise ValueError(
+            f"read_point: version {v} of {table_path} references no "
+            f"files — no schema to derive"
+        )
     idx = _index_dir(table_path, v, col)
     try:
         sidecar = spark.read.parquet(idx)
         bits = int(_read_json(spark, f"{idx}/_bloom_meta.json")["bits"])
     except Exception:
-        return spark.read.parquet(*m["files"]).where(F.col(col) == F.lit(value))
-    # The probe's k (word, mask) cells, computed with the SAME hash
-    # expressions and bit width the builder used (one 1-row job).
-    # xxhash64 hashes the TYPED binary value, so the literal must carry
+        return spark.read.parquet(*m["files"]).where(F.col(col).isin(values))
+    # Every value's k (word, mask) cells, computed with the SAME hash
+    # expressions and bit width the builder used, in ONE 1-row job.
+    # xxhash64 hashes the TYPED binary value, so each literal must carry
     # the column's exact dtype — an int probe against a bigint column
     # would silently hash differently and read as a false negative.
     dt = spark.read.parquet(m["files"][0]).schema[col].dataType
     probe = (
         spark.range(1)
         .select(
-            F.explode(F.array(*_positions(F.lit(value).cast(dt), bits))).alias(
-                "pos"
-            )
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(vi).alias("vi"), p.alias("pos"))
+                    for vi, val in enumerate(values)
+                    for p in _positions(F.lit(val).cast(dt), bits)
+                ])
+            ).alias("c")
         )
         .select(
-            F.expr("pos div 64").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias(
-                "bit"
-            ),
+            F.col("c.vi").alias("vi"),
+            F.expr("c.pos div 64").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(c.pos % 64 AS INT))"
+            ).alias("bit"),
         )
         .collect()
     )
-    cells = [(int(r["word"]), int(r["bit"])) for r in probe]
+    cells = [(int(r["vi"]), int(r["word"]), int(r["bit"])) for r in probe]
     hits = [
         F.max(
             F.when(
@@ -164,19 +196,27 @@ def read_point(
                 1,
             ).otherwise(0)
         ).alias(f"h{i}")
-        for i, (w, b) in enumerate(cells)
+        for i, (_vi, w, b) in enumerate(cells)
     ]
-    # ONE sidecar scan: every indexed file comes back with its per-probe
-    # hit flags; candidates are the all-hits rows, and the full listing
-    # doubles as the indexed set (files absent from it must stay
-    # candidates — pruning is only sound for files the index covers).
+    cell_idx_by_value: dict[int, list[int]] = {}
+    for i, (vi, _w, _b) in enumerate(cells):
+        cell_idx_by_value.setdefault(vi, []).append(i)
+    # ONE sidecar scan for ALL values: every indexed file comes back with
+    # its per-cell hit flags; a file is a candidate when SOME value has
+    # all of its cells set, and the full listing doubles as the indexed
+    # set (files absent from it must stay candidates — pruning is only
+    # sound for files the index covers).
     per_file = sidecar.groupBy("file").agg(*hits).collect()
-    indexed = {_path_key(r["file"]) for r in per_file}
-    cand_keys = {
-        _path_key(r["file"])
-        for r in per_file
-        if all(r[f"h{i}"] == 1 for i in range(len(cells)))
-    }
+    indexed: set[str] = set()
+    cand_keys: set[str] = set()
+    for r in per_file:
+        key = _path_key(r["file"])
+        indexed.add(key)
+        if any(
+            all(r[f"h{i}"] == 1 for i in idxs)
+            for idxs in cell_idx_by_value.values()
+        ):
+            cand_keys.add(key)
     keep = [
         f
         for f in m["files"]
@@ -184,4 +224,4 @@ def read_point(
     ]
     if not keep:
         return spark.read.parquet(m["files"][0]).where(F.lit(False))
-    return spark.read.parquet(*keep).where(F.col(col) == F.lit(value))
+    return spark.read.parquet(*keep).where(F.col(col).isin(values))

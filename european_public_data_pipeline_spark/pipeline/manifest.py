@@ -520,7 +520,14 @@ def read_where(
     keep, _total = prune_files(m, col, lo, hi)
     if not keep:
         # Preserve schema with an empty result: read one manifest file's
-        # schema and filter everything out (no file can match).
+        # schema and filter everything out (no file can match). A
+        # file-less version (possible after purge_rows emptied it) has
+        # no schema source — fail descriptively, like read_incremental.
+        if not m["files"]:
+            raise ValueError(
+                f"read_where: version {v} of {table_path} references no "
+                f"files — no schema to derive"
+            )
         return spark.read.parquet(m["files"][0]).where(F.lit(False))
     return spark.read.parquet(*keep).where(F.col(col).between(F.lit(lo), F.lit(hi)))
 
@@ -592,6 +599,112 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _apply_purge_plan(
+    spark: SparkSession,
+    table_path: str,
+    remap: dict,
+    removed: dict,
+    tombstone: str,
+) -> None:
+    """Drive a persisted purge plan to completion — the single code path
+    shared by a live ``purge_rows`` and crash replay, so a purge can die
+    at ANY point after its tombstone exists and still finish exactly:
+
+    1. Remap every committed manifest that still references an old file.
+       Idempotent: a manifest already remapped names no old files and is
+       skipped, so a replay never double-adjusts its row count.
+    2. Re-list versions and repeat until a full remap pass saw a stable
+       version set — a concurrent ``append_version`` that read a
+       pre-remap manifest carries old paths by reference into its own
+       new commit, and deleting those files would break that version;
+       the loop remaps late arrivals too. Purge windows are expected to
+       be single-writer; the loop is the safety net, and a never-stable
+       table aborts loudly with the tombstone intact for later replay.
+    3. Only then delete the old bytes and clear the tombstone.
+
+    ``remap`` maps old file -> replacement path ('' when the purge
+    emptied the file); ``removed`` maps old file -> purged-row count."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    for _attempt in range(5):
+        vs = versions(spark, table_path)
+        for v in vs:
+            mpath = f"{table_path}/manifest/{v:08d}.json"
+            m = _read_json(spark, mpath)
+            touched = [f for f in m["files"] if f in removed]
+            if not touched:
+                continue
+            new_list = []
+            for f in m["files"]:
+                if f not in removed:
+                    new_list.append(f)
+                elif remap.get(f):
+                    new_list.append(remap[f])
+                # else: emptied file drops out
+            m["files"] = new_list
+            m["row_count"] = int(m["row_count"]) - sum(
+                removed[f] for f in touched
+            )
+            stats = m.get("file_stats")
+            if stats:
+                for f in touched:
+                    stats.pop(_path_key(f), None)
+            _write_json(spark, mpath, m, overwrite=True)
+        if set(versions(spark, table_path)) == set(vs):
+            break
+    else:
+        raise RuntimeError(
+            f"purge of {table_path} could not observe a stable version "
+            f"set across 5 remap passes (publishers racing the purge); "
+            f"no data was deleted and the tombstone {tombstone} stays — "
+            f"the next purge_rows call replays it to completion"
+        )
+    for f in removed:
+        p_old = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p_old):
+            fs.delete(p_old, False)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone), False)
+
+
+def _replay_pending_purges(spark: SparkSession, table_path: str) -> None:
+    """Finish any crashed purge before planning a new one. Tombstones
+    carry the full remap plan, so replay completes the manifest remap
+    FIRST and deletes old files only once nothing references them. A
+    plan-less legacy tombstone (pre-round-8 format naming only the
+    doomed files) is honored conservatively: delete only files no
+    committed manifest still references — exactly the benign
+    post-remap-crash orphans that format could describe soundly."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if not fs.exists(pdir):
+        return
+    for st in fs.listStatus(pdir):
+        name = st.getPath().getName()
+        if not (name.startswith("pending-") and name.endswith(".json")):
+            continue
+        tomb = str(st.getPath().toString())
+        plan = _read_json(spark, tomb)
+        if "remap" in plan:
+            _apply_purge_plan(
+                spark, table_path, plan["remap"], plan["removed"], tomb
+            )
+            continue
+        referenced = set()
+        for v in versions(spark, table_path):
+            referenced.update(
+                _path_key(f)
+                for f in _read_json(
+                    spark, f"{table_path}/manifest/{v:08d}.json"
+                )["files"]
+            )
+        for old in plan["files"]:
+            if _path_key(old) in referenced:
+                continue  # still referenced: deleting would lose rows
+            p_old = jvm.org.apache.hadoop.fs.Path(old)
+            if fs.exists(p_old):
+                fs.delete(p_old, False)
+        fs.delete(st.getPath(), False)
+
+
 def purge_rows(
     spark: SparkSession, table_path: str, col: str, values: list
 ) -> dict:
@@ -617,14 +730,26 @@ def purge_rows(
       entries (conservative: pruning keeps stats-less files) — re-index
       with ``compact(..., )`` or a fresh publish if pruning matters.
     - The original files are physically deleted LAST, after every
-      manifest stopped referencing them — and the delete list is
-      persisted as a ``purge/pending-*.json`` tombstone BEFORE the
-      manifests are remapped, so a crash anywhere mid-purge is
-      recoverable: the next ``purge_rows`` call (any column) first
-      replays outstanding tombstones, deleting orphaned old files no
-      manifest references anymore. Without the tombstone a crash between
-      the last remap and the delete loop would leak the legally-erased
-      bytes forever (nothing would ever find them again).
+      manifest stopped referencing them — and the WHOLE plan (old->new
+      remap + per-file removal counts) is persisted as a
+      ``purge/pending-*.json`` tombstone BEFORE the manifests are
+      remapped, so a crash anywhere after the plan exists is recoverable
+      exactly: the next ``purge_rows`` call (any column) first replays
+      outstanding tombstones through the same ``_apply_purge_plan`` path
+      — finishing the manifest remap idempotently BEFORE deleting the
+      old bytes. (A tombstone naming only the doomed files would be
+      unsound: replaying it after a crash mid-remap would delete files
+      that not-yet-remapped manifests still reference, losing their
+      non-purged rows forever.) Without any tombstone a crash between
+      the last remap and the delete loop would instead leak the
+      legally-erased bytes forever (nothing would ever find them again).
+    - Concurrency: the remap-then-delete apply loop re-lists versions
+      until a full pass saw a stable set, so an ``append_version`` that
+      raced the purge (carrying old paths by reference) gets its commit
+      remapped too rather than left pointing at deleted files. Purge
+      windows should still be effectively single-writer — a publisher
+      that commits purge-matching NEW rows during the purge is out of
+      scope by design (the purge erases matches as of its snapshot).
     - NULL rows in ``col`` are never purge targets: the keep filter is
       explicitly NULL-safe (``~isin(values)`` alone evaluates to NULL —
       i.e. dropped — for NULL rows, which would silently erase them and
@@ -643,19 +768,9 @@ def purge_rows(
         raise FileNotFoundError(f"no committed manifests at {table_path}")
     jvm, fs, _ = hadoop_fs(spark, table_path)
 
-    # Replay tombstones from a prior crashed purge: delete any still-
-    # existing old files they name, then clear them.
-    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
-    if fs.exists(pdir):
-        for st in fs.listStatus(pdir):
-            name = st.getPath().getName()
-            if not (name.startswith("pending-") and name.endswith(".json")):
-                continue
-            for old in _read_json(spark, str(st.getPath().toString()))["files"]:
-                p_old = jvm.org.apache.hadoop.fs.Path(old)
-                if fs.exists(p_old):
-                    fs.delete(p_old, False)
-            fs.delete(st.getPath(), False)
+    # Finish any crashed purge first (remap-then-delete, from its
+    # persisted plan) so this purge plans against consistent manifests.
+    _replay_pending_purges(spark, table_path)
 
     manifests = {
         v: _read_json(spark, f"{table_path}/manifest/{v:08d}.json") for v in vs
@@ -722,45 +837,22 @@ def purge_rows(
             )
             rewritten[f] = new_files[0]
 
-    # Tombstone BEFORE remapping: if we crash after manifests stop
-    # referencing the old files, the next purge replays this list.
-    tombstone = None
     if removed_per_file:
+        # Tombstone BEFORE remapping — and it carries the WHOLE plan, so
+        # a crash at any later point is finished exactly by replay (the
+        # remap is completed from the plan before anything is deleted).
         tombstone = f"{table_path}/purge/pending-{uuid.uuid4().hex[:12]}.json"
         _write_json(
-            spark, tombstone, {"files": sorted(removed_per_file)}, overwrite=True
+            spark,
+            tombstone,
+            {"remap": rewritten, "removed": removed_per_file},
+            overwrite=True,
         )
-
-    # Remap every manifest in place (version numbers preserved).
-    for v, m in manifests.items():
-        touched = [f for f in m["files"] if f in removed_per_file]
-        if not touched:
-            continue
-        new_list = []
-        for f in m["files"]:
-            if f not in rewritten and f not in removed_per_file:
-                new_list.append(f)
-            elif rewritten.get(f):
-                new_list.append(rewritten[f])
-            # else: emptied file drops out
-        m["files"] = new_list
-        m["row_count"] = int(m["row_count"]) - sum(
-            removed_per_file[f] for f in touched
+        # Remap every manifest in place (version numbers preserved),
+        # then delete the old bytes last and clear the tombstone.
+        _apply_purge_plan(
+            spark, table_path, rewritten, removed_per_file, tombstone
         )
-        stats = m.get("file_stats")
-        if stats:
-            for f in touched:
-                stats.pop(_path_key(f), None)
-        _write_json(
-            spark, f"{table_path}/manifest/{v:08d}.json", m, overwrite=True
-        )
-
-    # Old bytes last: nothing references them anymore. The tombstone is
-    # cleared only after every delete succeeded.
-    for f in removed_per_file:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f), False)
-    if tombstone is not None:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone), False)
 
     return {
         "files_rewritten": sum(1 for v in rewritten.values() if v),

@@ -229,18 +229,52 @@ _DRIVER_GREEN_R6 = frozenset({
     "t11_tfidf_topk", "t12_corpus_head_mass",
 })
 
-# Round 6 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r07.json (freshest verdicts — checked last).
+# 50/50 green: the round-6 ADVICE-touched trio (q95, q104, s14) re-earned
+# theirs, every round-7 registration (d25, d26, g06, q106-q109, s15,
+# sm13, t22, p06) got a first verdict, and the r3/r4-era stalest names
+# (d01/d02/d05/d06/d08/d09, g01, p01/p02, q01-q16 families, q20-q28,
+# q48/q50/q51, sm04/sm05) were refreshed.
+_DRIVER_GREEN_R7 = frozenset({
+    "d01_dedup_keep_first", "d02_exact_dedup_fingerprint",
+    "d05_simhash_pairs", "d06_embedding_near_dup", "d08_dup_clusters",
+    "d09_incremental_dedup", "d25_repeated_span_removal",
+    "d26_span_excision_apply", "g01_pagerank",
+    "g06_star_connected_components", "p01_quality_report",
+    "p02_hicp_mom_yoy", "p06_constrained_curation_report",
+    "q01_pricing_summary", "q02_filter_project", "q03_revenue_forecast",
+    "q04_top_revenue_orders", "q05_region_customer_rollup",
+    "q06_priority_exists_semi", "q07_segment_anti",
+    "q08_monthly_revenue_mom", "q09_rolling_3m_revenue",
+    "q104_bucketed_changelog", "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan", "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning", "q10_top3_orders_per_customer",
+    "q11_nation_setops", "q12_cube_qty", "q13_pivot_linestatus",
+    "q14_quantiles_by_flag", "q15_moments_exact", "q16_distinct_counts",
+    "q20_time_code_roundtrip", "q21_orders_gap_profile",
+    "q24_string_functions", "q26_shipping_priority",
+    "q27_late_delivery_semi", "q28_try_arithmetic", "q48_winsorized_mean",
+    "q50_revenue_share", "q51_gap_fill_interpolate",
+    "q95_bucketed_market_share", "s14_ivf_nprobe_sweep",
+    "s15_multiprobe_lsh_topk", "sm04_source_mixture_weights",
+    "sm05_train_val_test_split", "sm13_repetition_capped_mixture",
+    "t22_perplexity_buckets",
+})
+
+# Round 7 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-7 changes to already-green queries land here as they happen):
-# write_bucketed gained the MANAGED-only location cleanup (q95/q104 ride
-# it); similarity.py gained an import-time assert on s14's constants.
-# Semantics should be identical, but a stale verdict is no verdict.
+# (round-8 changes to already-green queries land here as they happen):
+# the manifest purge/replay hardening + batched Bloom read_point touched
+# the shared metadata layer all four lakehouse queries ride (q108's
+# builder itself was rewritten onto the batched probe). Semantics should
+# be identical, but a stale verdict is no verdict.
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    "q95_bucketed_market_share",
-    "q104_bucketed_changelog",
-    "s14_ivf_nprobe_sweep",
+    "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan",
+    "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning",
 )
 
 
@@ -256,6 +290,7 @@ def _driver_order() -> list[str]:
     rounds = (
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
+        _DRIVER_GREEN_R7,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

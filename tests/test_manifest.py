@@ -648,3 +648,140 @@ def test_purge_tombstone_replay_reclaims_orphans(spark, tmp_path):
     ), "tombstones not cleared after successful purge"
     assert sorted(r["k"] for r in read_version(spark, t).collect()) == [
         0, 1, 2, 3, 4, 6, 7, 8, 9]
+
+
+def test_purge_crash_mid_remap_replays_to_completion(spark, tmp_path):
+    """Round-8 ADVICE (high): the tombstone carries the WHOLE remap plan,
+    so a crash at ANY point after it exists — including mid-remap, with
+    some manifests rewritten and some not — is finished exactly by the
+    next purge's replay: remap first (idempotently — the already-remapped
+    manifest must not be double-adjusted), delete old bytes only after
+    nothing references them. The pre-round-8 files-only tombstone would
+    have deleted files the un-remapped manifests still referenced,
+    permanently losing their NON-purged rows."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t, stats_cols=("k",))
+    M.append_version(_ranged(spark, 5, 9), t, stats_cols=("k",))
+    M.append_version(_ranged(spark, 10, 14), t, stats_cols=("k",))
+
+    # Crash after the SECOND manifest overwrite: v1 untouched (its file
+    # holds no purged key), one of v2/v3 remapped, the other still
+    # referencing the old files.
+    real_write = M._write_json
+    state = {"manifest_writes": 0}
+
+    def crashing_write(spark_, path_str, payload, *, overwrite):
+        if "/manifest/" in path_str and overwrite:
+            state["manifest_writes"] += 1
+            if state["manifest_writes"] == 2:
+                raise IOError("injected: transient FS error mid-remap")
+        return real_write(spark_, path_str, payload, overwrite=overwrite)
+
+    M._write_json = crashing_write
+    try:
+        with pytest.raises(IOError, match="mid-remap"):
+            M.purge_rows(spark, t, "k", [7, 12])
+    finally:
+        M._write_json = real_write
+
+    # Crash state: tombstone pending, at least one manifest still
+    # referencing an old (pre-purge) file, old bytes still on disk.
+    pend = [n for n in os.listdir(f"{t}/purge") if n.startswith("pending-")]
+    assert len(pend) == 1
+    plan = M._read_json(spark, f"{t}/purge/{pend[0]}")
+    assert set(plan) == {"remap", "removed"} and len(plan["removed"]) == 2
+    for old in plan["removed"]:
+        assert os.path.exists(old.replace("file:", "")), "old bytes deleted early"
+
+    # The next purge (matching nothing itself) replays the plan to
+    # completion before planning: erasure reaches every version, the
+    # non-purged rows all survive, row counts are exact, the old bytes
+    # are gone, and the tombstone is cleared.
+    out = M.purge_rows(spark, t, "k", [999_999])
+    assert out["rows_removed"] == 0
+    assert sorted(r["k"] for r in M.read_version(spark, t, 2).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9]
+    assert sorted(r["k"] for r in M.read_version(spark, t, 3).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 13, 14]
+    assert M._read_json(spark, f"{t}/manifest/00000002.json")["row_count"] == 9
+    assert M._read_json(spark, f"{t}/manifest/00000003.json")["row_count"] == 13
+    for old in plan["removed"]:
+        assert not os.path.exists(old.replace("file:", "")), "old bytes leaked"
+    assert not any(
+        n.startswith("pending-") for n in os.listdir(f"{t}/purge")
+    )
+    # And a fresh purge still works end-to-end on the replayed table.
+    out2 = M.purge_rows(spark, t, "k", [3])
+    assert out2["rows_removed"] == 1
+    assert sorted(r["k"] for r in M.read_version(spark, t, 1).collect()) == [
+        0, 1, 2, 4]
+
+
+def test_legacy_tombstone_never_deletes_referenced_files(spark, tmp_path):
+    """A plan-less (pre-round-8) tombstone naming a file a committed
+    manifest STILL references must not delete it on replay — that is the
+    crash-mid-remap case the legacy format cannot describe soundly, so
+    replay keeps anything still referenced (round-8 ADVICE)."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        _read_json,
+        _write_json,
+        publish_version,
+        purge_rows,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(_ranged(spark, 0, 9), t, stats_cols=("k",))
+    referenced = _read_json(spark, f"{t}/manifest/00000001.json")["files"][0]
+    _write_json(
+        spark, f"{t}/purge/pending-cafebabe.json",
+        {"files": [referenced]}, overwrite=True,
+    )
+    purge_rows(spark, t, "k", [999_999])  # triggers replay only
+    assert os.path.exists(referenced.replace("file:", "")), (
+        "legacy tombstone replay deleted a file a manifest references"
+    )
+    assert sorted(r["k"] for r in read_version(spark, t).collect()) == list(
+        range(10)
+    )
+
+
+def test_bloom_batched_probe_matches_separate_lookups(spark, tmp_path):
+    """read_point with a value LIST: one cell job + one sidecar scan +
+    one pruned read over the unioned candidate set, equal row-for-row to
+    the union of separate lookups, still pruning most files."""
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 800, 100):
+        append_version(_ranged(spark, lo, lo + 99), t)
+    build_bloom_index(spark, t, "k")
+
+    probes = [50, 450, 750]
+    batched = read_point(spark, t, "k", probes)
+    got = sorted(r["k"] for r in batched.collect())
+    sep = sorted(
+        r["k"] for p in probes for r in read_point(spark, t, "k", p).collect()
+    )
+    assert got == sep == probes
+    # Union of 3 single-file candidates (+ ~0 fp at this width) must
+    # still prune most of the 8 files.
+    planned = batched.select(F.input_file_name()).distinct().count()
+    assert planned <= 4
+    # Absent keys in the batch: present ones still exact, absent ones empty.
+    mixed = read_point(spark, t, "k", [50, 123_456])
+    assert sorted(r["k"] for r in mixed.collect()) == [50]
+    with pytest.raises(ValueError, match="empty probe"):
+        read_point(spark, t, "k", [])
