@@ -2082,3 +2082,155 @@ def q109_zorder_dual_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by_value",
     )
     return by_user.unionByName(by_value).orderBy("dim")
+
+
+def _scratch_table_path(prefix: str, sf_dir: str) -> str:
+    """Deterministic per-sf scratch path for self-published manifest
+    tables (q104's rerun pattern): re-runs replace the one table copy
+    instead of leaking a fresh tempdir per invocation, and the full-path
+    hash keeps two sf_dirs sharing a basename from colliding."""
+    import hashlib
+    import os
+    import re
+    import shutil
+    import tempfile
+
+    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
+    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+@register(
+    "q110_incremental_mv_refresh",
+    category="aggregate",
+    doc="Pull-based incremental MV refresh under the driver contract — "
+    "the scheduled-job twin of q96's algebraic merge, driven by the "
+    "source table's manifest log (pipeline/mv_refresh.py): the builder "
+    "self-publishes events as a scratch manifest table (base snapshot "
+    "v1), refreshes the MV (full compute), APPENDS the late arrivals as "
+    "v2 (O(batch) data + KB manifest), and refreshes again — the second "
+    "refresh reads the applied-version watermark from the MV's manifest "
+    "meta, diffs two KB manifests, plans ONLY v2's appended files "
+    "(O(delta)), aggregates them, and merges two aggregate-sized "
+    "relations; history is never re-scanned. The oracle recomputes the "
+    "same aggregate over ALL events directly, so the green hash proves "
+    "refresh == recompute THROUGH the driver, not just pytest "
+    "(tests/test_mv_refresh.py keeps the no-op re-run, rewrite-hazard "
+    "and purge-hazard fallback paths pinned). Money stays exact: "
+    "centi-unit BIGINT state (q85's recipe), derived double computed "
+    "once from the exact integer in both engines. At 100 TB this is "
+    "the MV-maintenance shape that makes dashboard refresh cost "
+    "proportional to the day's arrivals, not the corpus.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q110_incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        refresh_event_summary,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    src = _scratch_table_path("mvsrc_events", sf_dir)
+    mv = _scratch_table_path("mv_summary", sf_dir)
+    cutoff = "2024-01-20"
+    # Base snapshot -> full MV compute; append -> INCREMENTAL refresh
+    # (append commits carry v1's files by reference, so the watermark
+    # diff plans exactly the appended files — the O(delta) branch is
+    # taken deterministically, never the full-recompute fallback).
+    manifest.publish_version(ev.filter(F.col("ts") < cutoff), src)
+    refresh_event_summary(spark, src, mv)
+    manifest.append_version(ev.filter(F.col("ts") >= cutoff), src)
+    refresh_event_summary(spark, src, mv)
+    out = manifest.read_version(spark, mv)
+    return out.select(
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        (F.col("sum_value_c").cast("double") / F.lit(100.0)).alias("total_value"),
+        "first_ts",
+        "last_ts",
+    ).orderBy("event_type")
+
+
+@register(
+    "q111_purge_then_read",
+    category="scan-filter-project",
+    doc="GDPR hard-delete end state under the driver contract: the "
+    "builder self-publishes events as two manifest versions (base "
+    "publish + append), purge_rows(user_id=7) rewrites every affected "
+    "file ONCE across ALL committed history (plan-carrying tombstone "
+    "first, manifests remapped old->new, old bytes deleted last — "
+    "pipeline/manifest.py purge_rows; crash replay and the racing-"
+    "append guard stay pytest-pinned in tests/test_manifest.py), and "
+    "the query then reads BOTH the current version and time-traveled "
+    "v1. The oracle states the same aggregates with the user filtered "
+    "out, plus a literal-zero purged-row count (q25's bounds-audit "
+    "pattern: the builder COMPUTES the count over what it read) — so "
+    "the green hash proves erasure reached history, time travel still "
+    "works, and every non-purged row survived with exact totals. At "
+    "100 TB the purge plans its rewrites from KB manifests, zone-map-"
+    "skips clean files, and touches each affected file exactly once "
+    "regardless of how many versions share it.",
+    oracle="""
+SELECT dim, n, n_purged_user, total_value FROM (
+  SELECT 'current' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(0 AS BIGINT) AS n_purged_user,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events
+  WHERE user_id <> 7
+  UNION ALL
+  SELECT 'v1',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(0 AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+  FROM events
+  WHERE user_id <> 7 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+)
+ORDER BY dim
+""",
+)
+def q111_purge_then_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("purge_events", sf_dir)
+    cutoff = "2024-01-20"
+    manifest.publish_version(
+        ev.filter(F.col("ts") < cutoff).repartitionByRange(4, "ts"),
+        path,
+        stats_cols=("user_id",),
+    )
+    manifest.append_version(
+        ev.filter(F.col("ts") >= cutoff).repartitionByRange(4, "ts"),
+        path,
+        stats_cols=("user_id",),
+    )
+    manifest.purge_rows(spark, path, "user_id", [7])
+
+    def agg(df: DataFrame, dim: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("user_id") == 7, 1)).alias("n_purged_user"),
+            dsum("value").alias("total_value"),
+        ).select(F.lit(dim).alias("dim"), "n", "n_purged_user", "total_value")
+
+    cur = agg(manifest.read_version(spark, path), "current")
+    v1 = agg(manifest.read_version(spark, path, 1), "v1")
+    return cur.unionByName(v1).orderBy("dim")
