@@ -2299,3 +2299,169 @@ def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "d27_excision_fixpoint",
+    category="dedup",
+    doc="ExactSubstr excision iterated to FIXPOINT (Lee et al. 2021 run "
+    "the substring dedup until clean): one excision round (d25 detect + "
+    "d26 apply) removes every ORIGINAL corpus-repeated span, but the "
+    "token re-join forms NEW k-grams at seam boundaries, and a seam "
+    "gram can pair with a surviving instance anywhere in the corpus — "
+    "tests/test_dedup_excision.py documents the residual. d27 closes "
+    "the loop: detect -> excise -> re-detect on the REBUILT corpus, "
+    "repeating (bounded rounds, loud RuntimeError on non-convergence — "
+    "graph.py g06's pattern) until detection finds ZERO hot spans. "
+    "Output is a corpus-level certificate: round-1 work (affected "
+    "docs, excised tokens) and the round-2 residual are ORACLE-"
+    "RECOMPUTED (the DuckDB SQL nests the shared island CTE twice — "
+    "detection on the post-excision corpus stated independently), "
+    "while the fixpoint columns use q25's bounds-audit pattern (the "
+    "builder COMPUTES residual_islands_final/converged from its final "
+    "detection pass; the oracle states the contract: 0 and TRUE). "
+    "Scale shape per round: the same corpus-linear d25/d26 relations "
+    "(positioned grams, one map-side-combinable hot-gram groupBy, "
+    "islands doc-partitioned, re-assembly doc-bounded) with "
+    "localCheckpoint truncating lineage between rounds; tokens "
+    "strictly decrease every round so rounds are bounded (2-3 in "
+    "practice). At 100 TB, rounds after the first can instead update "
+    "the persisted gram-count relation by the excised/seam DELTA "
+    "(O(rewritten docs)) rather than re-scanning — documented here, "
+    "not needed at test scale.",
+    oracle=f"""
+WITH {_SQL_SPAN_ISLANDS},
+pos_t AS (
+  SELECT doc_id, i AS p, words[i] AS token
+  FROM w, UNNEST(generate_series(1, len(words))) AS t(i)
+),
+covered AS (
+  SELECT DISTINCT pt.doc_id, pt.p
+  FROM pos_t pt JOIN merged m
+    ON m.doc_id = pt.doc_id AND pt.p BETWEEN m.ms AND m.me
+),
+w2 AS (
+  SELECT pt.doc_id, list(pt.token ORDER BY pt.p) AS words
+  FROM pos_t pt
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = pt.doc_id AND c.p = pt.p)
+  GROUP BY pt.doc_id
+),
+pos2 AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(words[i:i+{SPAN_K - 1}], ' ')) AS h
+  FROM w2, UNNEST(generate_series(1, len(words) - {SPAN_K - 1})) AS t(i)
+),
+hot2 AS (SELECT h FROM pos2 GROUP BY h HAVING COUNT(*) >= {SPAN_TAU}),
+hits2 AS (
+  SELECT p.doc_id, p.s, p.s + {SPAN_K - 1} AS e FROM pos2 p JOIN hot2 USING (h)
+),
+isl2 AS (
+  SELECT doc_id, s, e,
+         SUM(CASE WHEN prev_e IS NULL OR s > prev_e + 1 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING)
+           AS island_id
+  FROM (SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_e
+        FROM hits2)
+),
+merged2 AS (
+  SELECT doc_id, island_id, MIN(s) AS ms, MAX(e) AS me
+  FROM isl2 GROUP BY doc_id, island_id
+)
+SELECT
+  CAST((SELECT COUNT(DISTINCT doc_id) FROM merged) AS BIGINT)
+    AS n_docs_affected_r1,
+  CAST((SELECT COUNT(*) FROM covered) AS BIGINT) AS excised_tokens_r1,
+  CAST((SELECT COUNT(*) FROM merged2) AS BIGINT) AS n_residual_islands_r2,
+  CAST((SELECT COUNT(DISTINCT doc_id) FROM merged2) AS BIGINT)
+    AS n_residual_docs_r2,
+  CAST(0 AS BIGINT) AS residual_islands_final,
+  TRUE AS converged
+""",
+)
+def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("doc_tokens", F.size("w"))
+
+    max_rounds = 10
+    detections: list[tuple[int, int]] = []  # (n_islands, n_docs) per pass
+    excised_r1 = 0
+    cur = base
+    for rnd in range(1, max_rounds + 1):
+        merged = repeated_span_islands(cur).cache()
+        row = merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("d"),
+        ).collect()[0]
+        detections.append((int(row["n"]), int(row["d"])))
+        if row["n"] == 0:
+            merged.unpersist()
+            break
+        pos_t = cur.select(
+            "doc_id", F.posexplode("w").alias("p0", "token")
+        ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+        covered = (
+            pos_t.alias("pt")
+            .join(
+                merged.alias("m"),
+                (F.col("pt.doc_id") == F.col("m.doc_id"))
+                & F.col("pt.p").between(F.col("m.ms"), F.col("m.me")),
+                "left_semi",
+            )
+            .select("doc_id", "p")
+        )
+        if rnd == 1:
+            excised_r1 = covered.count()
+        affected = merged.select("doc_id").distinct()
+        rebuilt = (
+            pos_t.join(affected, "doc_id", "left_semi")
+            .join(covered, ["doc_id", "p"], "left_anti")
+            .groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("p"), F.col("token")))
+                    ),
+                    lambda s: s.getField("token"),
+                ).alias("w")
+            )
+        )
+        untouched = cur.join(affected, "doc_id", "left_anti").select(
+            "doc_id", "w"
+        )
+        # Fully-excised docs drop out of `rebuilt` (no surviving tokens)
+        # — correct for further detection, they contribute no grams.
+        cur = (
+            untouched.unionByName(rebuilt)
+            .withColumn("doc_tokens", F.size("w"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        merged.unpersist()
+    else:
+        raise RuntimeError(
+            f"d27_excision_fixpoint: still finding repeated spans after "
+            f"{max_rounds} excision rounds (last pass: "
+            f"{detections[-1][0]} islands) — corpus did not converge; "
+            f"raise max_rounds or inspect seam behavior"
+        )
+
+    r2 = detections[1] if len(detections) > 1 else (0, 0)
+    final_islands, _ = detections[-1]
+    return spark.createDataFrame(
+        [(
+            detections[0][1],
+            excised_r1,
+            r2[0],
+            r2[1],
+            final_islands,
+            final_islands == 0,
+        )],
+        "n_docs_affected_r1 long, excised_tokens_r1 long, "
+        "n_residual_islands_r2 long, n_residual_docs_r2 long, "
+        "residual_islands_final long, converged boolean",
+    )
