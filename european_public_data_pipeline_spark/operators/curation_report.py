@@ -530,3 +530,184 @@ def p06_constrained_curation_report(spark: SparkSession, sf_dir: str) -> DataFra
         .unionByName(eff)
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+# p07: CCNet-faithful curation (round-8 chain — adds the perplexity gate)
+
+
+def _ccnet_oracle() -> str:
+    from european_public_data_pipeline_spark.operators.sampling import (
+        SM13_BUDGET_X,
+        SM13_MAX_EPOCH_BP,
+    )
+    from european_public_data_pipeline_spark.operators.text import (
+        _SQL_PPL_SCORED,
+    )
+
+    specs = registry._REGISTRY
+    d25 = specs["d25_repeated_span_removal"].oracle
+    t02 = specs["t02_quality_score"].oracle
+    return f"""
+WITH d25 AS ({d25}),
+t02 AS ({t02}),
+{_SQL_PPL_SCORED},
+s2 AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id NOT IN (
+    SELECT doc_id FROM d25
+    WHERE CAST(excised_tokens AS DOUBLE) / doc_tokens
+          > CAST({SPAN_DROP_RATIO} AS DOUBLE))
+),
+s3 AS (
+  SELECT doc_id FROM s2
+  WHERE doc_id IN (SELECT doc_id FROM t02
+                   WHERE quality_score >= {_QUALITY_MIN})
+),
+sb AS (
+  SELECT s3.doc_id,
+         CASE WHEN sc.score <= th.t1 THEN 'head'
+              WHEN sc.score <= th.t2 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM s3, scored sc, th
+  WHERE sc.doc_id = s3.doc_id
+),
+s4 AS (SELECT doc_id FROM sb WHERE bucket IN ('head', 'middle')),
+per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(string_split_regex(trim(d.text), '\\s+')) AS toks,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'sm13'), 1, 7)
+              AS BIGINT) % 10000 AS hv
+  FROM documents d JOIN s4 ON s4.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS source_tokens
+  FROM per_doc GROUP BY source
+),
+t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
+w AS (
+  SELECT source, source_tokens,
+         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
+  FROM s, t
+),
+ee AS (
+  SELECT source, source_tokens,
+         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
+                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
+                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT) AS desired
+  FROM w
+),
+cp AS (
+  SELECT source, source_tokens,
+         least(desired, {SM13_MAX_EPOCH_BP}) AS capped
+  FROM ee
+),
+em AS (
+  SELECT CAST(SUM(c.capped // 10000
+                  + CASE WHEN d.hv < c.capped % 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS emitted
+  FROM cp c JOIN per_doc d ON d.source = c.source
+),
+ef AS (
+  SELECT CAST(SUM(source_tokens * capped // 10000) AS BIGINT) AS eff FROM cp
+)
+SELECT stage, n FROM (
+  SELECT '1_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n
+  UNION ALL SELECT '2_span_dedup', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT '3_quality', (SELECT COUNT(*) FROM s3)
+  UNION ALL SELECT '4_ppl_' || bucket, COUNT(*) FROM sb GROUP BY bucket
+  UNION ALL SELECT '5_ppl_kept', (SELECT COUNT(*) FROM s4)
+  UNION ALL SELECT '6_emitted_docs', (SELECT emitted FROM em)
+  UNION ALL SELECT '7_effective_tokens', (SELECT eff FROM ef)
+)
+ORDER BY stage
+"""
+
+
+@register(
+    "p07_ccnet_curation_report",
+    category="pipeline",
+    doc="The CCNet pipeline end-to-end (Wenzek et al. 2020), as one "
+    "driver-checked composition: d25's ExactSubstr gate drops span-"
+    "dominated documents, t02's heuristic quality gate filters the "
+    "survivors, t22's reference-LM perplexity TERCILES gate the rest "
+    "(CCNet's actual production move: keep the head/middle buckets, "
+    "discard the tail; the bucket assignment comes from the SHARED "
+    "perplexity_scored relation, so the gate p07 applies is "
+    "definitionally the bucketing t22 reports — reference-source docs "
+    "have no score under their own LM and leave the target corpus "
+    "here), and sm13's repetition-capped temperature allocation turns "
+    "the survivors into the epoch plan. The report carries the full "
+    "funnel INCLUDING the per-bucket distribution of quality "
+    "survivors (stages 4_ppl_head/middle/tail), so a driver hash "
+    "match certifies the four-operator composition and the bucket "
+    "boundary placement in one row set. Oracle: the registered d25 "
+    "and t02 SQL plus the shared t22 scoring CTE chain, with the "
+    "allocation arithmetic restated over the perplexity-kept set. "
+    "All counts exact integers; thresholds exact integer micro-nats.",
+    oracle=_ccnet_oracle,  # lazy: composed from the registry on first use
+)
+def p07_ccnet_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.operators.sampling import (
+        repetition_allocation,
+        sm13_per_doc,
+    )
+    from european_public_data_pipeline_spark.operators.text import (
+        perplexity_scored,
+    )
+    from european_public_data_pipeline_spark.plans.registry import all_specs
+    from european_public_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d25 = all_specs()["d25_repeated_span_removal"].builder(spark, sf_dir)
+    heavy = d25.filter(
+        F.col("excised_tokens").cast("double") / F.col("doc_tokens")
+        > SPAN_DROP_RATIO
+    ).select("doc_id")
+    s2 = docs.join(heavy, "doc_id", "left_anti").cache()
+    good = (
+        all_specs()["t02_quality_score"].builder(spark, sf_dir)
+        .filter(F.col("quality_score") >= _QUALITY_MIN)
+        .select("doc_id")
+    )
+    s3 = s2.join(good, "doc_id", "left_semi").cache()
+    # Inner join against the shared scored relation: reference-source
+    # documents (the LM's training set) have no score and exit the
+    # target corpus here, exactly as in CCNet.
+    sb = (
+        s3.select("doc_id")
+        .join(perplexity_scored(spark, sf_dir).select("doc_id", "bucket"), "doc_id")
+        .cache()  # feeds the bucket histogram AND the keep-gate
+    )
+    s4 = sb.filter(F.col("bucket") != "tail").select("doc_id")
+    kept_docs = s3.join(s4, "doc_id", "left_semi")
+    alloc = repetition_allocation(sm13_per_doc(kept_docs))
+
+    def cnt(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(label).alias("stage"), "n"
+        )
+
+    buckets = (
+        sb.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.concat(F.lit("4_ppl_"), F.col("bucket")).alias("stage"), "n"
+        )
+    )
+    emitted = alloc.agg(F.sum("n_emitted").cast("long").alias("n")).select(
+        F.lit("6_emitted_docs").alias("stage"), "n"
+    )
+    eff = alloc.agg(F.sum("effective_tokens").cast("long").alias("n")).select(
+        F.lit("7_effective_tokens").alias("stage"), "n"
+    )
+    return (
+        cnt(docs, "1_raw")
+        .unionByName(cnt(s2, "2_span_dedup"))
+        .unionByName(cnt(s3, "3_quality"))
+        .unionByName(buckets)
+        .unionByName(cnt(s4, "5_ppl_kept"))
+        .unionByName(emitted)
+        .unionByName(eff)
+        .orderBy("stage")
+    )

@@ -1459,28 +1459,12 @@ def t21_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PPL_TRAIN_SOURCE = "src0"
 
-
-@register(
-    "t22_perplexity_buckets",
-    category="text",
-    bench=True,
-    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): train an "
-    "add-one-smoothed unigram LM on a REFERENCE source (src0 — the "
-    "'Wikipedia' of the corpus), score every other document's tokens "
-    "under it, and split the target corpus into head/middle/tail "
-    "terciles of per-token surprisal — the quality gate CCNet uses to "
-    "keep the cleanest third of CommonCrawl. Determinism: surprisal is "
-    "the DIFFERENCE of two per-count micro-nat floors (t21's monomial "
-    "recipe — floor(ln(N+V+1)*1e6) - floor(ln(c+1)*1e6), integers in "
-    "both engines), per-doc score is an exact integer division, and "
-    "tercile thresholds come from the score-domain histogram's "
-    "cumulative counts (rank-from-histogram — no global sort, no "
-    "corpus-sized window; the cumulative window runs over the "
-    "aggregate-sized score domain). Scale: one token-keyed probe join "
-    "against the vocab-sized LM (broadcast-able), one map-side-"
-    "combinable doc aggregate, domain-sized everything after.",
-    oracle=f"""
-WITH train AS (
+# Shared oracle CTE chain ending in ``scored`` (doc_id, n_toks, score)
+# and ``th`` (t1, t2 tercile thresholds) — the SQL twin of
+# ``perplexity_scored``; t22 aggregates it into buckets and p07 gates
+# the curation chain on it, and both oracles nest the SAME text so the
+# quality gate and the report cannot drift.
+_SQL_PPL_SCORED = f"""train AS (
   SELECT unnest({_SQL_TOKENS}) AS w FROM documents WHERE source = '{PPL_TRAIN_SOURCE}'
 ),
 counts AS (SELECT w, COUNT(*) AS c FROM train GROUP BY w),
@@ -1505,24 +1489,18 @@ hist AS (SELECT score, COUNT(*) AS cnt FROM scored GROUP BY score),
 cum AS (SELECT score, SUM(cnt) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
 nn AS (SELECT COUNT(*) AS n FROM scored),
 th AS (SELECT (SELECT MIN(score) FROM cum, nn WHERE cum >= (n + 2) // 3) AS t1,
-              (SELECT MIN(score) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS t2)
-SELECT bucket,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
-       CAST(MIN(score) AS BIGINT) AS min_score,
-       CAST(MAX(score) AS BIGINT) AS max_score
-FROM (
-  SELECT CASE WHEN score <= t1 THEN 'head'
-              WHEN score <= t2 THEN 'middle'
-              ELSE 'tail' END AS bucket,
-         n_toks, score
-  FROM scored, th
-)
-GROUP BY bucket
-ORDER BY bucket
-""",
-)
-def t22_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+              (SELECT MIN(score) FROM cum, nn WHERE cum >= (2 * n + 2) // 3) AS t2)"""
+
+
+def perplexity_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CCNet perplexity relation shared by t22 (bucket
+    aggregate) and p07 (curation gate): (doc_id, n_toks, score, bucket)
+    for every NON-reference document, where score is the exact integer
+    mean micro-nat surprisal under the add-one-smoothed src0 unigram LM
+    and bucket is the head/middle/tail tercile from the score-DOMAIN
+    histogram (q87's trick — the only window runs over the value
+    domain, never the corpus). One shared code path: the gate p07
+    applies is definitionally the bucketing t22 reports."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "source", F.explode(tokens()).alias("w")
@@ -1576,9 +1554,51 @@ def t22_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("score") <= F.col("t2"), "middle")
         .otherwise("tail")
     )
+    return scored.crossJoin(F.broadcast(th)).select(
+        "doc_id", "n_toks", "score", bucket.alias("bucket")
+    )
+
+
+@register(
+    "t22_perplexity_buckets",
+    category="text",
+    bench=True,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020): train an "
+    "add-one-smoothed unigram LM on a REFERENCE source (src0 — the "
+    "'Wikipedia' of the corpus), score every other document's tokens "
+    "under it, and split the target corpus into head/middle/tail "
+    "terciles of per-token surprisal — the quality gate CCNet uses to "
+    "keep the cleanest third of CommonCrawl. Determinism: surprisal is "
+    "the DIFFERENCE of two per-count micro-nat floors (t21's monomial "
+    "recipe — floor(ln(N+V+1)*1e6) - floor(ln(c+1)*1e6), integers in "
+    "both engines), per-doc score is an exact integer division, and "
+    "tercile thresholds come from the score-domain histogram's "
+    "cumulative counts (rank-from-histogram — no global sort, no "
+    "corpus-sized window; the cumulative window runs over the "
+    "aggregate-sized score domain). Scale: one token-keyed probe join "
+    "against the vocab-sized LM (broadcast-able), one map-side-"
+    "combinable doc aggregate, domain-sized everything after.",
+    oracle=f"""
+WITH {_SQL_PPL_SCORED}
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM (
+  SELECT CASE WHEN score <= t1 THEN 'head'
+              WHEN score <= t2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         n_toks, score
+  FROM scored, th
+)
+GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def t22_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        scored.crossJoin(F.broadcast(th))
-        .select(bucket.alias("bucket"), "n_toks", "score")
+        perplexity_scored(spark, sf_dir)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

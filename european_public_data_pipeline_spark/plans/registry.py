@@ -275,6 +275,10 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q107_incremental_version_scan",
     "q108_bloom_point_lookup",
     "q109_zorder_dual_pruning",
+    # t22's scoring was extracted into the shared perplexity_scored
+    # helper + _SQL_PPL_SCORED fragment (p07 composes them) — results
+    # verified identical locally, but a stale verdict is no verdict.
+    "t22_perplexity_buckets",
 )
 
 
