@@ -216,7 +216,16 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
     closing = ori.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    tri = wedges.join(closing, ["v", "w"], "left_semi").select("src", "v", "w")
+    # SHUFFLE_HASH, not the default sort-merge: SMJ would SORT the
+    # m^1.5-sized wedge relation (49M rows at sf0.1 — the sort's spill
+    # merge OOMed a 1 GiB heap under 32 concurrent tasks), while a
+    # shuffled hash join builds only on the m-sized edge relation
+    # (KB-scale per partition) and STREAMS the wedges through unsorted —
+    # the same asymmetry that makes it the right plan at 100 TB, where
+    # sorting the wedge relation would dominate the whole query.
+    tri = wedges.join(
+        closing.hint("shuffle_hash"), ["v", "w"], "left_semi"
+    ).select("src", "v", "w")
     # explode(array(...)), NOT a 3-way union of tri projections: a union
     # re-executes the wedge join once per branch (measured 3x the cost).
     nodes = tri.select(F.explode(F.array("src", "v", "w")).alias("node"))

@@ -279,6 +279,9 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # helper + _SQL_PPL_SCORED fragment (p07 composes them) — results
     # verified identical locally, but a stale verdict is no verdict.
     "t22_perplexity_buckets",
+    # g02's closing semi join switched from sort-merge to shuffled hash
+    # (no more m^1.5-row sort; fixes the sf0.1 1 GiB-heap OOM).
+    "g02_triangle_count",
 )
 
 
