@@ -49,6 +49,10 @@ CASES = [
     "sm13_repetition_capped_mixture",  # fixed-point sqrt weights + hash emission
     "s15_multiprobe_lsh_topk",  # margin-sorted bit flips + sequential-fold cosines
     "d26_span_excision_apply",  # positioned anti-join + ordered text re-assembly
+    # Round-8 recipes:
+    "d27_excision_fixpoint",    # iterated excision: islands + ordered rebuild per round
+    "q110_incremental_mv_refresh",  # centi-unit algebraic merge through manifest log
+    "p07_ccnet_curation_report",    # composed gates + domain-histogram tercile gate
 ]
 
 
