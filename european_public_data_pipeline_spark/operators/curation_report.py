@@ -401,8 +401,7 @@ SPAN_DROP_RATIO = 0.5  # drop docs more than half made of corpus-repeated spans
 
 def _constrained_oracle() -> str:
     from european_public_data_pipeline_spark.operators.sampling import (
-        SM13_BUDGET_X,
-        SM13_MAX_EPOCH_BP,
+        allocation_sql_ctes,
     )
 
     specs = registry._REGISTRY
@@ -423,44 +422,7 @@ s3 AS (
   WHERE doc_id IN (SELECT doc_id FROM t02
                    WHERE quality_score >= {_QUALITY_MIN})
 ),
-per_doc AS (
-  SELECT d.doc_id, d.source,
-         len(string_split_regex(trim(d.text), '\\s+')) AS toks,
-         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'sm13'), 1, 7)
-              AS BIGINT) % 10000 AS hv
-  FROM documents d JOIN s3 ON s3.doc_id = d.doc_id
-),
-s AS (
-  SELECT source, CAST(SUM(toks) AS BIGINT) AS source_tokens
-  FROM per_doc GROUP BY source
-),
-t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
-w AS (
-  SELECT source, source_tokens,
-         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
-  FROM s, t
-),
-ee AS (
-  SELECT source, source_tokens,
-         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
-                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
-                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT) AS desired
-  FROM w
-),
-cp AS (
-  SELECT source, source_tokens,
-         least(desired, {SM13_MAX_EPOCH_BP}) AS capped
-  FROM ee
-),
-em AS (
-  SELECT CAST(SUM(c.capped // 10000
-                  + CASE WHEN d.hv < c.capped % 10000 THEN 1 ELSE 0 END)
-              AS BIGINT) AS emitted
-  FROM cp c JOIN per_doc d ON d.source = c.source
-),
-ef AS (
-  SELECT CAST(SUM(source_tokens * capped // 10000) AS BIGINT) AS eff FROM cp
-)
+{allocation_sql_ctes('s3')}
 SELECT stage, n FROM (
   SELECT '1_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n
   UNION ALL SELECT '2_span_dedup', (SELECT COUNT(*) FROM s2)
@@ -538,8 +500,7 @@ def p06_constrained_curation_report(spark: SparkSession, sf_dir: str) -> DataFra
 
 def _ccnet_oracle() -> str:
     from european_public_data_pipeline_spark.operators.sampling import (
-        SM13_BUDGET_X,
-        SM13_MAX_EPOCH_BP,
+        allocation_sql_ctes,
     )
     from european_public_data_pipeline_spark.operators.text import (
         _SQL_PPL_SCORED,
@@ -573,44 +534,7 @@ sb AS (
   WHERE sc.doc_id = s3.doc_id
 ),
 s4 AS (SELECT doc_id FROM sb WHERE bucket IN ('head', 'middle')),
-per_doc AS (
-  SELECT d.doc_id, d.source,
-         len(string_split_regex(trim(d.text), '\\s+')) AS toks,
-         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'sm13'), 1, 7)
-              AS BIGINT) % 10000 AS hv
-  FROM documents d JOIN s4 ON s4.doc_id = d.doc_id
-),
-s AS (
-  SELECT source, CAST(SUM(toks) AS BIGINT) AS source_tokens
-  FROM per_doc GROUP BY source
-),
-t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
-w AS (
-  SELECT source, source_tokens,
-         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
-  FROM s, t
-),
-ee AS (
-  SELECT source, source_tokens,
-         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
-                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
-                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT) AS desired
-  FROM w
-),
-cp AS (
-  SELECT source, source_tokens,
-         least(desired, {SM13_MAX_EPOCH_BP}) AS capped
-  FROM ee
-),
-em AS (
-  SELECT CAST(SUM(c.capped // 10000
-                  + CASE WHEN d.hv < c.capped % 10000 THEN 1 ELSE 0 END)
-              AS BIGINT) AS emitted
-  FROM cp c JOIN per_doc d ON d.source = c.source
-),
-ef AS (
-  SELECT CAST(SUM(source_tokens * capped // 10000) AS BIGINT) AS eff FROM cp
-)
+{allocation_sql_ctes('s4')}
 SELECT stage, n FROM (
   SELECT '1_raw' AS stage, (SELECT COUNT(*) FROM documents) AS n
   UNION ALL SELECT '2_span_dedup', (SELECT COUNT(*) FROM s2)

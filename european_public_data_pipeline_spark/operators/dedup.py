@@ -2397,11 +2397,21 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = merged.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc_id").alias("d"),
+            # Merged islands are disjoint per doc, so summing their
+            # widths IS the covered-position count (d25's oracle uses
+            # the same identity) — no second corpus-sized pos_t build
+            # and semi join just to count what this KB-scale aggregate
+            # already knows.
+            F.coalesce(
+                F.sum(F.col("me") - F.col("ms") + 1), F.lit(0)
+            ).alias("cov"),
         ).collect()[0]
         detections.append((int(row["n"]), int(row["d"])))
         if row["n"] == 0:
             merged.unpersist()
             break
+        if rnd == 1:
+            excised_r1 = int(row["cov"])
         pos_t = cur.select(
             "doc_id", F.posexplode("w").alias("p0", "token")
         ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
@@ -2415,8 +2425,6 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_id", "p")
         )
-        if rnd == 1:
-            excised_r1 = covered.count()
         affected = merged.select("doc_id").distinct()
         rebuilt = (
             pos_t.join(affected, "doc_id", "left_semi")

@@ -1843,11 +1843,6 @@ ORDER BY event_type
 """,
 )
 def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import shutil
-    import tempfile
-
     from european_public_data_pipeline_spark.functions.exact import dsum
     from european_public_data_pipeline_spark.pipeline import manifest
     from european_public_data_pipeline_spark.tables import load_table
@@ -1856,13 +1851,7 @@ def q106_zonemap_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deterministic per-sf path, wiped before publishing (q104's rerun
     # pattern): re-runs replace the one table copy instead of leaking a
     # fresh tempdir + an extra manifest version per invocation.
-    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    # Full-path hash: two different sf_dirs sharing a basename must
-    # not collide on the same scratch table (ADVICE-class race).
-    import hashlib
-    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    path = os.path.join(tempfile.gettempdir(), f"zonemap_events_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_table_path("zonemap_events", sf_dir)
     manifest.publish_version(
         ev.repartitionByRange(8, "value"), path, stats_cols=("value",)
     )
@@ -1906,24 +1895,13 @@ ORDER BY o_orderpriority
 """,
 )
 def q107_incremental_version_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import shutil
-    import tempfile
-
     from european_public_data_pipeline_spark.functions.exact import dsum
     from european_public_data_pipeline_spark.pipeline import manifest
     from european_public_data_pipeline_spark.tables import load_table
 
     o = load_table(spark, sf_dir, "orders")
     cutoff = "1996-01-01"
-    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    # Full-path hash: two different sf_dirs sharing a basename must
-    # not collide on the same scratch table (ADVICE-class race).
-    import hashlib
-    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    path = os.path.join(tempfile.gettempdir(), f"inc_orders_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_table_path("inc_orders", sf_dir)
     manifest.publish_version(
         o.filter(F.col("o_orderdate").cast("date") < cutoff), path
     )
@@ -1975,11 +1953,6 @@ ORDER BY user_id
 """,
 )
 def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import shutil
-    import tempfile
-
     from european_public_data_pipeline_spark.functions.exact import dsum
     from european_public_data_pipeline_spark.pipeline import manifest
     from european_public_data_pipeline_spark.pipeline.bloom_index import (
@@ -1989,13 +1962,7 @@ def q108_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    # Full-path hash: two different sf_dirs sharing a basename must
-    # not collide on the same scratch table (ADVICE-class race).
-    import hashlib
-    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    path = os.path.join(tempfile.gettempdir(), f"bloom_events_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_table_path("bloom_events", sf_dir)
     # Time-ordered layout: every user's rows scatter across files, the
     # case where zone maps on user_id are useless and Blooms are not.
     manifest.publish_version(ev.repartitionByRange(8, "ts"), path)
@@ -2046,24 +2013,13 @@ ORDER BY dim
 """,
 )
 def q109_zorder_dual_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import re
-    import shutil
-    import tempfile
-
     from european_public_data_pipeline_spark.functions.exact import dsum
     from european_public_data_pipeline_spark.pipeline import manifest
     from european_public_data_pipeline_spark.pipeline.layout import zorder_by
     from european_public_data_pipeline_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    tag = re.sub(r"[^0-9a-z]+", "_", os.path.basename(sf_dir.rstrip("/")).lower())
-    # Full-path hash: two different sf_dirs sharing a basename must
-    # not collide on the same scratch table (ADVICE-class race).
-    import hashlib
-    tag += "_" + hashlib.md5(sf_dir.encode()).hexdigest()[:6]
-    path = os.path.join(tempfile.gettempdir(), f"zorder_events_{tag}")
-    shutil.rmtree(path, ignore_errors=True)
+    path = _scratch_table_path("zorder_events", sf_dir)
     manifest.publish_version(
         zorder_by(ev, "user_id", "value", 8),
         path,
@@ -2129,8 +2085,8 @@ SELECT event_type,
        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
        CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
             AS DOUBLE) AS total_value,
-       MIN(ts) AS first_ts,
-       MAX(ts) AS last_ts
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -2198,7 +2154,8 @@ SELECT dim, n, n_purged_user, total_value FROM (
          CAST(0 AS BIGINT),
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
   FROM events
-  WHERE user_id <> 7 AND ts < TIMESTAMP '2024-01-20 00:00:00'
+  WHERE user_id <> 7
+    AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
 )
 ORDER BY dim
 """,

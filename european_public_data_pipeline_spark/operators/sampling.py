@@ -956,6 +956,56 @@ def sm13_repetition_capped_mixture(spark: SparkSession, sf_dir: str) -> DataFram
     return repetition_allocation(sm13_per_doc(docs))
 
 
+def allocation_sql_ctes(survivor_cte: str) -> str:
+    """The repetition-capped allocation arithmetic as an oracle CTE chain
+    (per_doc -> s -> t -> w -> ee -> cp -> em -> ef) restated over
+    ``documents`` joined to ``survivor_cte`` (a CTE of surviving
+    doc_ids). ONE definition shared by every curation-chain oracle (p06,
+    p07) so the restatements cannot drift from each other — the same
+    no-drift move as text._SQL_PPL_SCORED / dedup._SQL_SPAN_ISLANDS.
+    (sm13's own registered oracle keeps its per-source SELECT over the
+    same arithmetic; it is the independently driver-verified origin the
+    chains' ``em``/``ef`` totals are checked against.)"""
+    return f"""per_doc AS (
+  SELECT d.doc_id, d.source,
+         len(string_split_regex(trim(d.text), '\\s+')) AS toks,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'sm13'), 1, 7)
+              AS BIGINT) % 10000 AS hv
+  FROM documents d JOIN {survivor_cte} ON {survivor_cte}.doc_id = d.doc_id
+),
+s AS (
+  SELECT source, CAST(SUM(toks) AS BIGINT) AS source_tokens
+  FROM per_doc GROUP BY source
+),
+t AS (SELECT CAST(SUM(source_tokens) AS BIGINT) AS total FROM s),
+w AS (
+  SELECT source, source_tokens,
+         CAST(floor(sqrt(CAST(source_tokens AS DOUBLE) / total) * 1e9) AS BIGINT) AS sw
+  FROM s, t
+),
+ee AS (
+  SELECT source, source_tokens,
+         CAST(floor({SM13_BUDGET_X}.0 * (SELECT total FROM t)
+                    * (CAST(sw AS DOUBLE) / (SELECT CAST(SUM(sw) AS BIGINT) FROM w))
+                    / CAST(source_tokens AS DOUBLE) * 10000) AS BIGINT) AS desired
+  FROM w
+),
+cp AS (
+  SELECT source, source_tokens,
+         least(desired, {SM13_MAX_EPOCH_BP}) AS capped
+  FROM ee
+),
+em AS (
+  SELECT CAST(SUM(c.capped // 10000
+                  + CASE WHEN d.hv < c.capped % 10000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS emitted
+  FROM cp c JOIN per_doc d ON d.source = c.source
+),
+ef AS (
+  SELECT CAST(SUM(source_tokens * capped // 10000) AS BIGINT) AS eff FROM cp
+)"""
+
+
 def sm13_per_doc(docs: DataFrame) -> DataFrame:
     """(source, toks, hv) projection the allocation runs on — shared with
     p06's constrained chain so the two cannot drift."""

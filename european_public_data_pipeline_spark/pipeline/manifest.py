@@ -696,13 +696,38 @@ def _replay_pending_purges(spark: SparkSession, table_path: str) -> None:
                     spark, f"{table_path}/manifest/{v:08d}.json"
                 )["files"]
             )
+        kept = []
         for old in plan["files"]:
             if _path_key(old) in referenced:
-                continue  # still referenced: deleting would lose rows
+                kept.append(old)  # still referenced: deleting loses rows
+                continue
             p_old = jvm.org.apache.hadoop.fs.Path(old)
             if fs.exists(p_old):
                 fs.delete(p_old, False)
-        fs.delete(st.getPath(), False)
+        if kept:
+            # A legacy crash-mid-remap: the listed files are still live
+            # in some manifest AND may still contain the rows a past
+            # purge was legally required to erase. The legacy format
+            # carries no remap plan to finish, so the erasure CANNOT be
+            # completed here — keep the tombstone as a persistent signal
+            # (it re-warns on every purge until remediated) instead of
+            # silently declaring the purge done. Remediation: re-run
+            # purge_rows with the original column/values — it rewrites
+            # the still-referenced files under new names, after which
+            # this replay can reclaim the old bytes and clear the
+            # tombstone.
+            import warnings
+
+            warnings.warn(
+                f"purge tombstone {tomb} names {len(kept)} file(s) still "
+                f"referenced by committed manifests (legacy plan-less "
+                f"format, crash mid-remap): a prior purge's erasure is "
+                f"INCOMPLETE in those versions. Tombstone kept; re-run "
+                f"purge_rows with the original column/values to finish.",
+                stacklevel=2,
+            )
+        else:
+            fs.delete(st.getPath(), False)
 
 
 def purge_rows(

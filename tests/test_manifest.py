@@ -743,13 +743,31 @@ def test_legacy_tombstone_never_deletes_referenced_files(spark, tmp_path):
         spark, f"{t}/purge/pending-cafebabe.json",
         {"files": [referenced]}, overwrite=True,
     )
-    purge_rows(spark, t, "k", [999_999])  # triggers replay only
+    with pytest.warns(UserWarning, match="INCOMPLETE"):
+        purge_rows(spark, t, "k", [999_999])  # triggers replay only
     assert os.path.exists(referenced.replace("file:", "")), (
         "legacy tombstone replay deleted a file a manifest references"
     )
     assert sorted(r["k"] for r in read_version(spark, t).collect()) == list(
         range(10)
     )
+    # The incomplete erasure stays SIGNALLED: the tombstone is retained
+    # (legacy format carries no plan to finish the remap), not silently
+    # cleared as if the purge had completed.
+    assert any(
+        n.startswith("pending-") for n in os.listdir(f"{t}/purge")
+    ), "legacy tombstone cleared despite incomplete erasure"
+    # Remediation path: re-purging the original values rewrites the
+    # still-referenced file under a new name; the replay then reclaims
+    # the old bytes and clears the tombstone (with a final warning for
+    # the pre-remediation replay pass).
+    with pytest.warns(UserWarning, match="INCOMPLETE"):
+        purge_rows(spark, t, "k", [5])
+    purge_rows(spark, t, "k", [999_999])
+    assert not any(
+        n.startswith("pending-") for n in os.listdir(f"{t}/purge")
+    ), "tombstone not cleared after remediation rewrote the file"
+    assert not os.path.exists(referenced.replace("file:", ""))
 
 
 def test_bloom_batched_probe_matches_separate_lookups(spark, tmp_path):
