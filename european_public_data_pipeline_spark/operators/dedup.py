@@ -2473,3 +2473,140 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_residual_islands_r2 long, n_residual_docs_r2 long, "
         "residual_islands_final long, converged boolean",
     )
+
+
+@register(
+    "d28_incremental_gram_index",
+    category="dedup",
+    doc="Incremental maintenance of the ExactSubstr gram-count index — "
+    "the 100 TB move d27's doc promises: after an excision round "
+    "rewrites some documents, do NOT re-scan the corpus to rebuild the "
+    "k-gram counts; update them by the DELTA of the rewritten docs "
+    "only (subtract the affected docs' old gram multiset, add their "
+    "rebuilt gram multiset — seam grams enter, excised grams leave, "
+    "surviving grams cancel exactly), then full-outer-merge the delta "
+    "into the count relation. The delta relation is O(rewritten-doc "
+    "tokens), the merge is index-keyed (h) — vs a recount's full "
+    "corpus scan + full re-shuffle; at warehouse scale the counts "
+    "live as a manifest table and the merge is pipeline/merge.py's "
+    "keyed MERGE. Certified EXACTLY: the oracle recomputes the counts "
+    "from the post-excision corpus directly (the shared island CTE + "
+    "kept-token rebuild), and the output includes a checksum over the "
+    "ENTIRE count relation (sum of hash28(h) mod 1000003 times count "
+    "— portable integer arithmetic in both engines), so a hash match "
+    "proves every per-gram count, not just the aggregates.",
+    oracle=f"""
+WITH {_SQL_SPAN_ISLANDS},
+pos_t AS (
+  SELECT doc_id, i AS p, words[i] AS token
+  FROM w, UNNEST(generate_series(1, len(words))) AS t(i)
+),
+covered AS (
+  SELECT DISTINCT pt.doc_id, pt.p
+  FROM pos_t pt JOIN merged m
+    ON m.doc_id = pt.doc_id AND pt.p BETWEEN m.ms AND m.me
+),
+w2 AS (
+  SELECT pt.doc_id, list(pt.token ORDER BY pt.p) AS words
+  FROM pos_t pt
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = pt.doc_id AND c.p = pt.p)
+  GROUP BY pt.doc_id
+),
+pos2 AS (
+  SELECT doc_id,
+         md5(array_to_string(words[i:i+{SPAN_K - 1}], ' ')) AS h
+  FROM w2, UNNEST(generate_series(1, len(words) - {SPAN_K - 1})) AS t(i)
+),
+c2 AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM pos2 GROUP BY h)
+SELECT CAST(SUM(c) AS BIGINT) AS gram_instances_after,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams_after,
+       CAST(COUNT(CASE WHEN c >= {SPAN_TAU} THEN 1 END) AS BIGINT)
+         AS hot_grams_after,
+       CAST(SUM((CAST('0x' || substr(h, 1, 7) AS BIGINT) % 1000003) * c)
+            AS BIGINT) AS count_checksum
+FROM c2
+""",
+)
+def d28_incremental_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    ).withColumn("doc_tokens", F.size("w"))
+
+    def grams(rel: DataFrame) -> DataFrame:
+        gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
+        return (
+            rel.filter(F.col("doc_tokens") >= k)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("doc_tokens") - (k - 1))
+                ).alias("s"),
+                "w",
+            )
+            .select("doc_id", F.md5(gram).alias("h"))
+        )
+
+    merged = repeated_span_islands(base).cache()
+    affected = merged.select("doc_id").distinct()
+    counts1 = grams(base).groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+
+    # Delta: the affected docs' OLD grams leave, their REBUILT grams
+    # enter. Everything here is O(affected-doc tokens).
+    aff_base = base.join(affected, "doc_id", "left_semi")
+    old_aff = grams(aff_base).select("h", F.lit(-1).alias("d"))
+    pos_t = aff_base.select(
+        "doc_id", F.posexplode("w").alias("p0", "token")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+    covered = (
+        pos_t.alias("pt")
+        .join(
+            merged.alias("m"),
+            (F.col("pt.doc_id") == F.col("m.doc_id"))
+            & F.col("pt.p").between(F.col("m.ms"), F.col("m.me")),
+            "left_semi",
+        )
+        .select("doc_id", "p")
+    )
+    rebuilt = (
+        pos_t.join(covered, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("p"), F.col("token")))
+                ),
+                lambda s: s.getField("token"),
+            ).alias("w")
+        )
+        .withColumn("doc_tokens", F.size("w"))
+    )
+    new_aff = grams(rebuilt).select("h", F.lit(1).alias("d"))
+    delta = (
+        old_aff.unionByName(new_aff).groupBy("h").agg(F.sum("d").alias("d"))
+    )
+    counts2 = (
+        counts1.join(delta, "h", "full_outer")
+        .select(
+            "h",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+    chk_term = (
+        F.conv(F.substring(F.col("h"), 1, 7), 16, 10).cast("long")
+        % F.lit(1000003)
+    ) * F.col("c")
+    return counts2.agg(
+        F.sum("c").cast("long").alias("gram_instances_after"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams_after"),
+        F.count(F.when(F.col("c") >= SPAN_TAU, 1))
+        .cast("long")
+        .alias("hot_grams_after"),
+        F.sum(chk_term).cast("long").alias("count_checksum"),
+    )
