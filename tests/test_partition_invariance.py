@@ -53,6 +53,7 @@ CASES = [
     "d27_excision_fixpoint",    # iterated excision: islands + ordered rebuild per round
     "q110_incremental_mv_refresh",  # centi-unit algebraic merge through manifest log
     "p07_ccnet_curation_report",    # composed gates + domain-histogram tercile gate
+    "d28_incremental_gram_index",   # multiset delta merge + integer count checksum
 ]
 
 

@@ -164,6 +164,26 @@ def test_t22_no_corpus_window(spark, sf_small):
     assert len(re.findall(r"rangepartitioning", plan)) <= 1
 
 
+def test_p07_no_corpus_window(spark, sf_small):
+    """p07 inherits t22's domain-histogram tercile window through the
+    shared perplexity_scored relation — that (value-range-bounded)
+    window must remain the ONLY Sort/Window on a single-partition
+    exchange, and the corpus-sized relations (token probe, per-doc
+    score, gate joins) must stay hash-partitioned."""
+    df = SPECS["p07_ccnet_curation_report"].builder(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # The stage-row union re-prints the shared scored/th subtree in many
+    # branches, so count DISTINCT offending exchanges (by plan_id), not
+    # textual repetitions of the same node.
+    ids = {
+        m2
+        for m in _SP_PATTERN.finditer(plan)
+        for m2 in re.findall(r"plan_id=(\d+)", m.group(0))
+    }
+    assert len(ids) <= 1, f"distinct single-partition Sort/Window nodes: {ids}"
+    assert "hashpartitioning(doc_id" in plan
+
+
 def test_s07_seed_selection_has_no_global_window(spark, sf_small):
     plan = _formatted_plan(spark, "s07_kmeans_assignments", sf_small)
     # Per-vector assignment windows partition by vec_id; the seed TakeOrdered
@@ -201,6 +221,11 @@ _SINGLE_PARTITION_OK = {
     # q87 domain trick). test_t22_no_corpus_window pins that the
     # corpus-sized relations stay partitioned.
     "t22_perplexity_buckets",
+    # p07 composes t22's perplexity gate through the SHARED
+    # perplexity_scored relation, so the same domain-histogram window
+    # (and only it) appears in its plan; test_p07_no_corpus_window pins
+    # that nothing corpus-sized joined the single-partition club.
+    "p07_ccnet_curation_report",
 }
 
 _SP_PATTERN = re.compile(r"(Sort|Window)[^\n]*\n[^\n]*Exchange SinglePartition")
