@@ -282,6 +282,10 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # g02's closing semi join switched from sort-merge to shuffled hash
     # (no more m^1.5-row sort; fixes the sf0.1 1 GiB-heap OOM).
     "g02_triangle_count",
+    # q25's exact distinct moved out of the fused agg (the countDistinct
+    # Expand rewrite doubled the percentile buffers and OOMed a 1 GiB
+    # heap at sf0.1) into its own two-stage aggregate + 3-row join.
+    "q25_approx_distinct",
 )
 
 
