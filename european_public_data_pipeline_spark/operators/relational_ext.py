@@ -2204,3 +2204,248 @@ def q111_purge_then_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = agg(manifest.read_version(spark, path), "current")
     v1 = agg(manifest.read_version(spark, path, 1), "v1")
     return cur.unionByName(v1).orderBy("dim")
+
+
+@register(
+    "q112_clustered_compact_scan",
+    category="scan-filter-project",
+    doc="Clustered compaction under the driver contract — Delta's "
+    "OPTIMIZE ZORDER move for one key (pipeline/manifest.compact with "
+    "cluster_by): four interleaved appends leave every file spanning "
+    "the full o_totalprice range (zone maps prune nothing), then ONE "
+    "compaction rewrites the head version range-partitioned + sorted "
+    "on the key with stats recomputed automatically, and the query "
+    "reads a selective price band through read_where's manifest prune. "
+    "The oracle states the same filtered aggregate over orders "
+    "directly, so the green hash proves the rewrite lost and invented "
+    "NOTHING while restoring selective pruning (the file-count drop "
+    "itself is pinned in tests/test_manifest.py — repartitionByRange "
+    "samples, so file boundaries are not oracle-assertable). At 100 TB "
+    "this is the scheduled rewrite that keeps append-heavy tables "
+    "selectively readable; the compaction is the table's only "
+    "full-size write.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+FROM orders
+WHERE o_totalprice BETWEEN CAST(10000.0 AS DOUBLE) AND CAST(20000.0 AS DOUBLE)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q112_clustered_compact_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch_table_path("compact_orders", sf_dir)
+    # Interleaved appends: every slice (hence every file) spans the full
+    # price range — the layout clustered compaction exists to repair.
+    for r in range(4):
+        manifest.append_version(
+            o.filter(F.col("o_orderkey") % 4 == r).coalesce(2),
+            path,
+            stats_cols=("o_totalprice",),
+        )
+    manifest.compact(spark, path, target_files=4, cluster_by="o_totalprice")
+    pruned = manifest.read_where(
+        spark, path, "o_totalprice", float(10000.0), float(20000.0)
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q113_merge_upsert",
+    category="join",
+    doc="Transactional-MERGE semantics under the driver contract "
+    "(pipeline/merge.py merge_by_key): the scratch target starts as "
+    "the shared CDC snapshot A (q97/q100/q104's 'yesterday'), snapshot "
+    "B upserts into it — key-matched rows replaced (the %7 balance "
+    "shifts), new keys appended (the %13 gap rows), unmatched target "
+    "rows preserved (B's %11 'deletes' do NOT delete in a MERGE "
+    "without WHEN NOT MATCHED BY SOURCE — they simply stay, which the "
+    "oracle's FULL OUTER COALESCE states exactly). Duplicate-update "
+    "detection, partition-scoped rewrites, moved-key handling and "
+    "schema evolution stay pytest-pinned (tests/test_merge.py); the "
+    "driver hash certifies the end state row-for-row. At 100 TB "
+    "merge_by_key rewrites only the partitions the update batch "
+    "touches — O(touched partitions), not O(table).",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 <> 0
+),
+b AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                   ELSE c_acctbal END AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+       COALESCE(b.bal, a.bal) AS bal
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+ORDER BY c_custkey
+""",
+)
+def q113_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline.merge import merge_by_key
+
+    a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("c_custkey"),
+        F.col("old_bal").cast("double").alias("bal"),
+    )
+    b = _cdc_snapshot_b(spark, sf_dir).select(
+        F.col("b_key").alias("c_custkey"),
+        F.col("new_bal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("merge_customer", sf_dir)
+    a.write.mode("overwrite").parquet(path)
+    merge_by_key(spark, path, b, keys=["c_custkey"])
+    return spark.read.parquet(path).select("c_custkey", "bal").orderBy(
+        "c_custkey"
+    )
+
+
+@register(
+    "q114_scd2_history",
+    category="join",
+    doc="SCD Type-2 history under the driver contract (pipeline/scd.py "
+    "scd2_apply): snapshot A loads as the initial current rows "
+    "(valid_from t1, open-ended), snapshot B applies as the day-2 "
+    "batch — changed keys (the %7 balance shifts) get their current "
+    "row CLOSED at t2 and a new current row opened, brand-new keys "
+    "(the %13 gap rows) open at t2, unchanged keys keep their t1 row, "
+    "and keys absent from B stay current (SCD2 closes on observed "
+    "change, not on absence). The oracle restates the complete "
+    "(current + history) row set from the two snapshot predicates "
+    "directly — closed rows with exact [t1, t2) ranges included — so "
+    "the hash certifies every validity interval byte-for-byte. "
+    "snapshot_at time travel and multi-batch idempotency stay "
+    "pytest-pinned (tests/test_scd.py).",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 <> 0
+),
+b AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                   ELSE c_acctbal END AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0
+),
+t AS (SELECT TIMESTAMP '2024-01-01 00:00:00' AS t1,
+             TIMESTAMP '2024-02-01 00:00:00' AS t2)
+SELECT c_custkey, bal, valid_from, valid_to, is_current FROM (
+  -- closed: keys in both whose balance changed
+  SELECT a.c_custkey, a.bal, t.t1 AS valid_from, t.t2 AS valid_to,
+         FALSE AS is_current
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE a.bal IS DISTINCT FROM b.bal
+  UNION ALL
+  -- re-opened current rows for those changed keys
+  SELECT b.c_custkey, b.bal, t.t2, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE a.bal IS DISTINCT FROM b.bal
+  UNION ALL
+  -- unchanged keys present in both: the original t1 row stays current
+  SELECT a.c_custkey, a.bal, t.t1, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE NOT (a.bal IS DISTINCT FROM b.bal)
+  UNION ALL
+  -- keys only in A: absence is not change; t1 row stays current
+  SELECT a.c_custkey, a.bal, t.t1, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a, t WHERE a.c_custkey NOT IN (SELECT c_custkey FROM b)
+  UNION ALL
+  -- brand-new keys in B open at t2
+  SELECT b.c_custkey, b.bal, t.t2, CAST(NULL AS TIMESTAMP), TRUE
+  FROM b, t WHERE b.c_custkey NOT IN (SELECT c_custkey FROM a)
+)
+ORDER BY c_custkey, valid_from
+""",
+)
+def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline.scd import (
+        read_scd2,
+        scd2_apply,
+    )
+
+    a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("c_custkey"),
+        F.col("old_bal").cast("double").alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    b = _cdc_snapshot_b(spark, sf_dir).select(
+        F.col("b_key").alias("c_custkey"),
+        F.col("new_bal").cast("double").alias("bal"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    )
+    import shutil
+
+    path = _scratch_table_path("scd2_customer", sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    scd2_apply(spark, path, a, key_cols=["c_custkey"], attr_cols=["bal"])
+    scd2_apply(spark, path, b, key_cols=["c_custkey"], attr_cols=["bal"])
+    return read_scd2(spark, path).select(
+        "c_custkey", "bal", "valid_from", "valid_to", "is_current"
+    ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "q115_wap_gated_publish",
+    category="scan-filter-project",
+    doc="Write-audit-publish happy path under the driver contract "
+    "(pipeline/wap.py write_audit_publish): the batch stages with its "
+    "row-level constraints lifted onto the write job as observed "
+    "metrics (ONE source scan), the audit gate passes, and the batch "
+    "publishes via dynamic partition overwrite; the query aggregates "
+    "the PUBLISHED table and the oracle states the same aggregate over "
+    "the source predicate — a lost or duplicated row anywhere in the "
+    "stage/publish cycle hash-mismatches. The failing-audit quarantine "
+    "path (exception + staging retained + report) stays pytest-pinned "
+    "in tests/test_wap.py; publish_version_gated is the manifest-native "
+    "twin.",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1998-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q115_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline.wap import (
+        write_audit_publish,
+    )
+    from european_public_data_pipeline_spark.quality.checks import CheckSuite
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1998-01-01"
+    )
+    batch = li.select("l_orderkey", "l_returnflag", "l_quantity")
+    suite = (
+        CheckSuite(batch)
+        .expect_not_null(["l_orderkey", "l_returnflag"])
+        .expect_no_violation("non_positive_qty", F.col("l_quantity") <= 0)
+    )
+    path = _scratch_table_path("wap_lineitem", sf_dir)
+    write_audit_publish(batch, suite, path, ["l_returnflag"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
