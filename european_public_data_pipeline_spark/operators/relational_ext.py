@@ -2387,10 +2387,7 @@ def q114_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_bal").cast("double").alias("bal"),
         F.lit("2024-02-01 00:00:00").cast("timestamp").alias("effective_ts"),
     )
-    import shutil
-
     path = _scratch_table_path("scd2_customer", sf_dir)
-    shutil.rmtree(path, ignore_errors=True)
     scd2_apply(spark, path, a, key_cols=["c_custkey"], attr_cols=["bal"])
     scd2_apply(spark, path, b, key_cols=["c_custkey"], attr_cols=["bal"])
     return read_scd2(spark, path).select(

@@ -144,9 +144,27 @@ def read_point(
     interactive-scale (the sidecar aggregation carries k flags per
     value); for analytic IN-lists of many thousands, join against the
     table instead."""
-    values = list(value) if isinstance(value, (list, tuple, set)) else [value]
+    if isinstance(value, set):
+        # Sets enumerate in hash order — sort for a deterministic probe
+        # plan (cell column order, candidate ordering in explains/tests).
+        values = sorted(value)
+    elif isinstance(value, (list, tuple)):
+        values = list(value)
+    else:
+        values = [value]
     if not values:
         raise ValueError("read_point: empty probe value list")
+    if len(values) > 256:
+        # The sidecar aggregate carries k flag columns PER probe value —
+        # an analytic-size IN-list would build a thousands-wide aggregate
+        # and a driver-side candidate union. That shape belongs in a join
+        # against the table, not a point lookup; fail loudly instead of
+        # degrading.
+        raise ValueError(
+            f"read_point: {len(values)} probe values exceeds the "
+            f"interactive-lookup cap (256); join against the table for "
+            f"analytic IN-lists"
+        )
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
     if not m["files"]:

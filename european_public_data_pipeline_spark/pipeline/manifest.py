@@ -232,6 +232,43 @@ def _commit(
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
         if st.getPath().getName().endswith(".parquet")
     )
+    if carried_files:
+        # Writer fence against a racing purge_rows: this commit may have
+        # read its prior manifest BEFORE the purge remapped it, in which
+        # case ``carried_files`` names doomed old paths that the purge's
+        # stable-version-set loop might never see (our manifest does not
+        # exist yet, so its re-list cannot find us). Re-checking the
+        # pending-tombstone dir here and applying the persisted remap
+        # plan OURSELVES means an in-flight purge (tombstone present)
+        # can never be outrun: either the purge finished first (prior
+        # manifest re-read already remapped, no tombstone) or the
+        # tombstone is still there and we remap at commit time. One dir
+        # existence probe on the no-purge fast path.
+        pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+        if fs.exists(pdir):
+            for st in fs.listStatus(pdir):
+                nm = st.getPath().getName()
+                if not (nm.startswith("pending-") and nm.endswith(".json")):
+                    continue
+                plan = _read_json(spark, str(st.getPath().toString()))
+                if "remap" not in plan:
+                    # Legacy plan-less tombstone: replay keeps any file a
+                    # manifest references, so carrying them stays sound.
+                    continue
+                removed, remap = plan["removed"], plan["remap"]
+                touched = [f for f in carried_files if f in removed]
+                if not touched:
+                    continue
+                carried_files = tuple(
+                    remap.get(f, f) for f in carried_files
+                    if f not in removed or remap.get(f)
+                )
+                carried_rows -= sum(removed[f] for f in touched)
+                if carried_stats:
+                    carried_stats = {
+                        k: v for k, v in carried_stats.items()
+                        if k not in {_path_key(f) for f in touched}
+                    }
     # Parquet count() is answered from row-group metadata — no data read.
     rows = carried_rows + spark.read.parquet(data_dir).count()
     payload = {
@@ -620,6 +657,10 @@ def _apply_purge_plan(
        the loop remaps late arrivals too. Purge windows are expected to
        be single-writer; the loop is the safety net, and a never-stable
        table aborts loudly with the tombstone intact for later replay.
+       An append this loop cannot see (manifest not yet committed when
+       the loop last listed) is covered from the OTHER side: ``_commit``
+       fences carried files against pending tombstones and applies this
+       same plan itself before writing its manifest.
     3. Only then delete the old bytes and clear the tombstone.
 
     ``remap`` maps old file -> replacement path ('' when the purge

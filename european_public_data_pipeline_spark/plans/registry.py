@@ -261,31 +261,50 @@ _DRIVER_GREEN_R7 = frozenset({
     "t22_perplexity_buckets",
 })
 
-# Round 7 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r08.json (freshest verdicts — checked last).
+# 50/50 green: every round-8 registration (q110-q115, d27, d28, p07) got
+# a first verdict, the round-8 modified set (the manifest/Bloom lakehouse
+# quartet q106-q109, t22, g02, q25) re-earned theirs, and the r3-era
+# stalest names (d15-d18, q44/q53/q57-q59, q74/q75, q17-q19, q82/q85/q87,
+# s07-s12, sm06/sm07, t13-t18, m03, p03, d07) were refreshed.
+_DRIVER_GREEN_R8 = frozenset({
+    "d07_ml_minhash_lsh", "d15_cross_source_duplication",
+    "d16_top_repeated_chunks", "d17_cluster_representatives",
+    "d18_threshold_sensitivity", "d27_excision_fixpoint",
+    "d28_incremental_gram_index", "g02_triangle_count",
+    "m03_feature_extraction", "p03_curation_report",
+    "p07_ccnet_curation_report", "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan", "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning", "q110_incremental_mv_refresh",
+    "q111_purge_then_read", "q112_clustered_compact_scan",
+    "q113_merge_upsert", "q114_scd2_history", "q115_wap_gated_publish",
+    "q17_events_json_extract", "q18_event_hourly_windows",
+    "q19_sessionization", "q25_approx_distinct", "q44_price_histogram",
+    "q53_full_outer_reconciliation", "q57_min_cost_supplier",
+    "q58_customer_order_distribution", "q59_every_quarter_customers",
+    "q74_referential_orphans", "q75_distribution_drift",
+    "q82_variant_json_path", "q85_ewma_smoothing", "q87_mad_outliers",
+    "s07_kmeans_assignments", "s08_power_iteration_pca",
+    "s09_embedding_quality_audit", "s10_ml_brp_lsh_audit",
+    "s11_truncated_dim_recall", "s12_product_quantization",
+    "sm06_epoch_shuffle", "sm07_temperature_mixture",
+    "t13_vocab_coverage", "t14_unigram_cross_entropy",
+    "t15_pii_redaction", "t16_langid_confusion", "t17_bm25_scoring",
+    "t18_zipf_slope", "t22_perplexity_buckets",
+})
+
+# Round 8 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-8 changes to already-green queries land here as they happen):
-# the manifest purge/replay hardening + batched Bloom read_point touched
-# the shared metadata layer all four lakehouse queries ride (q108's
-# builder itself was rewritten onto the batched probe). Semantics should
-# be identical, but a stale verdict is no verdict.
+# (round-9 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    "q106_zonemap_pruned_scan",
-    "q107_incremental_version_scan",
-    "q108_bloom_point_lookup",
-    "q109_zorder_dual_pruning",
-    # t22's scoring was extracted into the shared perplexity_scored
-    # helper + _SQL_PPL_SCORED fragment (p07 composes them) — results
-    # verified identical locally, but a stale verdict is no verdict.
-    "t22_perplexity_buckets",
-    # g02's closing semi join switched from sort-merge to shuffled hash
-    # (no more m^1.5-row sort; fixes the sf0.1 1 GiB-heap OOM).
-    "g02_triangle_count",
-    # q25's exact distinct moved out of the fused agg (the countDistinct
-    # Expand rewrite doubled the percentile buffers and OOMed a 1 GiB
-    # heap at sf0.1) into its own two-stage aggregate + 3-row join.
-    "q25_approx_distinct",
+    # d27's fixpoint loop now maintains the gram-count relation by d28's
+    # O(rewritten-docs) delta merge in rounds >= 2 instead of re-running
+    # full detection on the rebuilt corpus. Oracle unchanged (it states
+    # the fixpoint contract independently of how detection is computed),
+    # but a stale verdict is no verdict.
+    "d27_excision_fixpoint",
 )
 
 
@@ -301,7 +320,7 @@ def _driver_order() -> list[str]:
     rounds = (
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
-        _DRIVER_GREEN_R7,
+        _DRIVER_GREEN_R7, _DRIVER_GREEN_R8,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

@@ -803,3 +803,65 @@ def test_bloom_batched_probe_matches_separate_lookups(spark, tmp_path):
     assert sorted(r["k"] for r in mixed.collect()) == [50]
     with pytest.raises(ValueError, match="empty probe"):
         read_point(spark, t, "k", [])
+
+
+def test_append_fences_against_pending_purge_tombstone(spark, tmp_path):
+    """Round-9 ADVICE: an append that read its prior manifest BEFORE a
+    purge remapped it could commit references to the doomed old files in
+    the window after the purge's stable-version-set check — the purge
+    cannot re-list a manifest that does not exist yet. ``_commit`` now
+    fences carried files against pending tombstones and applies the
+    persisted remap plan itself, so the racing append's manifest
+    references the rewritten paths with an exact adjusted row count."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)
+    M.append_version(_ranged(spark, 5, 9), t)
+
+    # Freeze a purge mid-flight: tombstone written (full plan), NO
+    # manifest remapped yet — the exact window where a racing append's
+    # prior-manifest read saw old paths.
+    real_write = M._write_json
+
+    def crashing_write(spark_, path_str, payload, *, overwrite):
+        if "/manifest/" in path_str and overwrite:
+            raise IOError("injected: crash before any remap")
+        return real_write(spark_, path_str, payload, overwrite=overwrite)
+
+    M._write_json = crashing_write
+    try:
+        with pytest.raises(IOError, match="before any remap"):
+            M.purge_rows(spark, t, "k", [7])
+    finally:
+        M._write_json = real_write
+
+    plan = M._read_json(
+        spark,
+        f"{t}/purge/"
+        + [n for n in os.listdir(f"{t}/purge") if n.startswith("pending-")][0],
+    )
+    (old_file,) = plan["removed"]
+
+    # The racing append: its prior manifest (v2) still references the
+    # old file. The fence must swap in the remapped path and subtract
+    # the purged row from the carried count.
+    v3 = M.append_version(_ranged(spark, 10, 14), t)
+    m3 = M._read_json(spark, f"{t}/manifest/{v3:08d}.json")
+    assert old_file not in m3["files"], "append committed a doomed file ref"
+    assert plan["remap"][old_file] in m3["files"]
+    assert m3["row_count"] == 14  # 15 appended-total rows minus purged k=7
+
+    # Replay completes the purge; the fenced manifest is already exact
+    # (idempotent: no double row-count adjustment) and reads see every
+    # non-purged row with the old bytes gone.
+    M.purge_rows(spark, t, "k", [999_999])
+    assert sorted(r["k"] for r in M.read_version(spark, t, v3).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 11, 12, 13, 14]
+    assert M._read_json(spark, f"{t}/manifest/{v3:08d}.json")["row_count"] == 14
+    assert not os.path.exists(old_file.replace("file:", ""))
+    assert not any(
+        n.startswith("pending-") for n in os.listdir(f"{t}/purge")
+    )
