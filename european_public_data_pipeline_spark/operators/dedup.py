@@ -2320,15 +2320,20 @@ def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     "while the fixpoint columns use q25's bounds-audit pattern (the "
     "builder COMPUTES residual_islands_final/converged from its final "
     "detection pass; the oracle states the contract: 0 and TRUE). "
-    "Scale shape per round: the same corpus-linear d25/d26 relations "
-    "(positioned grams, one map-side-combinable hot-gram groupBy, "
-    "islands doc-partitioned, re-assembly doc-bounded) with "
-    "localCheckpoint truncating lineage between rounds; tokens "
-    "strictly decrease every round so rounds are bounded (2-3 in "
-    "practice). At 100 TB, rounds after the first can instead update "
-    "the persisted gram-count relation by the excised/seam DELTA "
-    "(O(rewritten docs)) rather than re-scanning — documented here, "
-    "not needed at test scale.",
+    "Scale shape: round 1 pays the ONE corpus scan, building the "
+    "positioned-gram index (doc_id, s, h) and its count relation; every "
+    "later round is d28's incremental maintenance COMPOSED into the "
+    "loop — affected docs' old gram positions leave the index (they are "
+    "already IN it: no recompute), rebuilt docs' seam grams enter, the "
+    "count merge is index-keyed (h), the hot set is a FILTER on the "
+    "maintained counts, and detection is the maintained index semi-"
+    "joined to the hot set. Per-round cost after round 1: O(rewritten-"
+    "doc tokens) delta + index-keyed merges — never a corpus re-scan "
+    "(at warehouse scale the index/counts persist as manifest tables "
+    "and the merges are pipeline/merge.py keyed MERGEs). Islands stay "
+    "doc-partitioned, re-assembly doc-bounded, localCheckpoint "
+    "truncates per-round lineage; tokens strictly decrease every round "
+    "so rounds are bounded (2-3 in practice).",
     oracle=f"""
 WITH {_SQL_SPAN_ISLANDS},
 pos_t AS (
@@ -2383,17 +2388,65 @@ SELECT
 """,
 )
 def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = SPAN_K
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     ).withColumn("doc_tokens", F.size("w"))
 
+    def positioned_grams(rel: DataFrame) -> DataFrame:
+        gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
+        return (
+            rel.filter(F.col("doc_tokens") >= k)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.lit(1), F.col("doc_tokens") - (k - 1))
+                ).alias("s"),
+                "w",
+            )
+            .select("doc_id", "s", F.md5(gram).alias("h"))
+        )
+
     max_rounds = 10
     detections: list[tuple[int, int]] = []  # (n_islands, n_docs) per pass
     excised_r1 = 0
     cur = base
+    # The ONE corpus scan: round 1 builds the positioned-gram index and
+    # its count relation. Rounds >= 2 never re-scan — both relations are
+    # maintained by the O(rewritten-docs) delta (d28 composed in).
+    pos_idx = positioned_grams(cur).localCheckpoint(eager=True)
+    counts = (
+        pos_idx.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("s")
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for rnd in range(1, max_rounds + 1):
-        merged = repeated_span_islands(cur).cache()
+        # Detection off the MAINTAINED relations: hot set = filter on
+        # counts; hits = index semi-joined to hot (AQE broadcasts the
+        # hot side when it fits); islands doc-partitioned as in
+        # repeated_span_islands — algebraically the same detection, its
+        # input now incrementally maintained instead of recomputed.
+        hot = counts.filter(F.col("c") >= SPAN_TAU).select("h")
+        hits = pos_idx.join(hot, "h", "left_semi").select(
+            "doc_id", "s", (F.col("s") + (k - 1)).alias("e")
+        )
+        isl = hits.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
+            "island_id",
+            F.sum(
+                F.when(
+                    F.col("prev_e").isNull()
+                    | (F.col("s") > F.col("prev_e") + 1),
+                    1,
+                ).otherwise(0)
+            ).over(w_run),
+        )
+        merged = isl.groupBy("doc_id", "island_id").agg(
+            F.min("s").alias("ms"), F.max("e").alias("me")
+        ).cache()
         row = merged.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc_id").alias("d"),
@@ -2412,9 +2465,14 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         if rnd == 1:
             excised_r1 = int(row["cov"])
-        pos_t = cur.select(
-            "doc_id", F.posexplode("w").alias("p0", "token")
-        ).select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+        # Excision of the affected docs only — every relation below is
+        # O(affected-doc tokens).
+        affected = merged.select("doc_id").distinct()
+        pos_t = (
+            cur.join(affected, "doc_id", "left_semi")
+            .select("doc_id", F.posexplode("w").alias("p0", "token"))
+            .select("doc_id", (F.col("p0") + 1).alias("p"), "token")
+        )
         covered = (
             pos_t.alias("pt")
             .join(
@@ -2425,10 +2483,10 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("doc_id", "p")
         )
-        affected = merged.select("doc_id").distinct()
+        # Fully-excised docs drop out of `rebuilt` (no surviving tokens)
+        # — correct for further detection, they contribute no grams.
         rebuilt = (
-            pos_t.join(affected, "doc_id", "left_semi")
-            .join(covered, ["doc_id", "p"], "left_anti")
+            pos_t.join(covered, ["doc_id", "p"], "left_anti")
             .groupBy("doc_id")
             .agg(
                 F.transform(
@@ -2438,14 +2496,42 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.getField("token"),
                 ).alias("w")
             )
+            .withColumn("doc_tokens", F.size("w"))
+            .localCheckpoint(eager=True)
         )
-        untouched = cur.join(affected, "doc_id", "left_anti").select(
-            "doc_id", "w"
+        # d28's delta maintenance, composed: the affected docs' old gram
+        # positions are already IN the index (subtract — no recompute);
+        # the rebuilt docs' grams (seams included) enter. The count
+        # merge is index-keyed (h); the index update is doc-keyed.
+        new_pos = positioned_grams(rebuilt)
+        delta = (
+            pos_idx.join(affected, "doc_id", "left_semi")
+            .select("h", F.lit(-1).alias("d"))
+            .unionByName(new_pos.select("h", F.lit(1).alias("d")))
+            .groupBy("h")
+            .agg(F.sum("d").alias("d"))
         )
-        # Fully-excised docs drop out of `rebuilt` (no surviving tokens)
-        # — correct for further detection, they contribute no grams.
+        counts = (
+            counts.join(delta, "h", "full_outer")
+            .select(
+                "h",
+                (
+                    F.coalesce(F.col("c"), F.lit(0))
+                    + F.coalesce(F.col("d"), F.lit(0))
+                ).alias("c"),
+            )
+            .filter(F.col("c") > 0)
+            .localCheckpoint(eager=True)
+        )
+        pos_idx = (
+            pos_idx.join(affected, "doc_id", "left_anti")
+            .unionByName(new_pos)
+            .localCheckpoint(eager=True)
+        )
         cur = (
-            untouched.unionByName(rebuilt)
+            cur.join(affected, "doc_id", "left_anti")
+            .select("doc_id", "w")
+            .unionByName(rebuilt.select("doc_id", "w"))
             .withColumn("doc_tokens", F.size("w"))
             .localCheckpoint(eager=True)  # truncate per-round lineage
         )

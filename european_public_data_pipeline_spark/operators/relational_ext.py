@@ -2446,3 +2446,159 @@ def q115_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q116_mv_refresh_rewrite_hazard",
+    category="aggregate",
+    doc="The MV-refresh REWRITE-HAZARD path under the driver contract — "
+    "q110 proves the O(delta) append branch; this proves the detector "
+    "that guards it (pipeline/mv_refresh.py): publish base -> refresh "
+    "(full), append -> refresh (incremental), COMPACT the source "
+    "(rewrites every file under new names, bumping the version), append "
+    "again -> refresh. The applied version's file set is no longer "
+    "contained in the current one, so the third refresh must fall back "
+    "to a FULL recompute — a detector that wrongly stayed incremental "
+    "would re-absorb the compacted files (the whole table) on top of "
+    "the already-merged state and double-count every pre-compaction "
+    "row, hash-mismatching the oracle's direct recompute. Each refresh "
+    "also commits WHICH branch it took into the MV's manifest meta, and "
+    "the builder emits those as result columns against oracle literals "
+    "(q25's bounds-audit pattern), so the green hash pins the branch "
+    "SEQUENCE (incremental then full), not just the end state. At "
+    "100 TB this is the guard that makes scheduled compaction safe to "
+    "run under a live MV: the next refresh pays one rebuild, and every "
+    "refresh after that is O(delta) again.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       CAST('incremental' AS VARCHAR) AS refresh2_mode,
+       CAST('full' AS VARCHAR) AS refresh3_mode
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q116_mv_refresh_rewrite_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        refresh_event_summary,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    src = _scratch_table_path("mvhaz_events", sf_dir)
+    mv = _scratch_table_path("mvhaz_summary", sf_dir)
+    c1, c2 = "2024-01-15", "2024-01-25"
+    manifest.publish_version(ev.filter(F.col("ts") < c1), src)
+    refresh_event_summary(spark, src, mv)  # full (first build)
+    manifest.append_version(
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), src
+    )
+    refresh_event_summary(spark, src, mv)  # incremental (append chain)
+    mode2 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    manifest.compact(spark, src, target_files=2)  # rewrite hazard
+    manifest.append_version(ev.filter(F.col("ts") >= c2), src)
+    refresh_event_summary(spark, src, mv)  # full (containment broken)
+    mode3 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    out = manifest.read_version(spark, mv)
+    return out.select(
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        F.lit(mode2).alias("refresh2_mode"),
+        F.lit(mode3).alias("refresh3_mode"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q117_bloom_stale_sidecar_purge",
+    category="scan-filter-project",
+    doc="Bloom-index soundness across purge_rows under the driver "
+    "contract — the composition q108's docstring promises: publish "
+    "events (two versions, time-ordered so user rows scatter), build "
+    "the user_id Bloom sidecar, then purge one user. The purge rewrites "
+    "every affected file under a NEW name without bumping any version, "
+    "so the sidecar is now STALE: read_point must keep the never-seen "
+    "rewritten files as candidates (pruning is only sound for files the "
+    "index covers) — the probe of a LIVE user through the stale sidecar "
+    "is exact, and the probe of the PURGED user returns zero rows even "
+    "though the sidecar's filters still bit-match the erased key in the "
+    "old (deleted) files. pipeline/bloom_index.py rebuild_index then "
+    "rebuilds every existing sidecar for the column against the current "
+    "file lists (the post-purge remediation), the live probe re-reads "
+    "exactly, and — since unchanged files keep identical filters while "
+    "rewritten files go from always-candidate to probe-tested — the "
+    "rebuilt plan's file set is deterministically a SUBSET of the stale "
+    "plan's (emitted as a boolean against an oracle literal TRUE, q25's "
+    "bounds-audit pattern). At 100 TB: purge staleness degrades point "
+    "lookups toward full scans but never toward wrong answers, and one "
+    "metadata-scale rebuild per indexed version restores the pruning.",
+    oracle="""
+SELECT dim, n, total_value, rebuild_narrows FROM (
+  SELECT 'live_rebuilt' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE)
+           AS total_value,
+         TRUE AS rebuild_narrows
+  FROM events WHERE user_id = 3
+  UNION ALL
+  SELECT 'live_stale',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE),
+         TRUE
+  FROM events WHERE user_id = 3
+  UNION ALL
+  SELECT 'purged_stale', CAST(0 AS BIGINT), CAST(0 AS DOUBLE), TRUE
+)
+ORDER BY dim
+""",
+)
+def q117_bloom_stale_sidecar_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+        rebuild_index,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("bloomstale_events", sf_dir)
+    cutoff = "2024-01-20"
+    manifest.publish_version(
+        ev.filter(F.col("ts") < cutoff).repartitionByRange(4, "ts"), path
+    )
+    manifest.append_version(
+        ev.filter(F.col("ts") >= cutoff).repartitionByRange(4, "ts"), path
+    )
+    build_bloom_index(spark, path, "user_id")
+    manifest.purge_rows(spark, path, "user_id", [7])  # sidecar now stale
+
+    live_stale = read_point(spark, path, "user_id", 3)
+    purged_stale = read_point(spark, path, "user_id", 7)
+    stale_planned = set(live_stale.inputFiles())
+    rebuild_index(spark, path, "user_id")
+    live_rebuilt = read_point(spark, path, "user_id", 3)
+    narrows = set(live_rebuilt.inputFiles()) <= stale_planned
+
+    def agg(df: DataFrame, dim: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(dsum("value"), F.lit(0.0)).alias("total_value"),
+        ).select(
+            F.lit(dim).alias("dim"),
+            "n",
+            "total_value",
+            F.lit(narrows).alias("rebuild_narrows"),
+        )
+
+    return (
+        agg(live_rebuilt, "live_rebuilt")
+        .unionByName(agg(live_stale, "live_stale"))
+        .unionByName(agg(purged_stale, "purged_stale"))
+        .orderBy("dim")
+    )

@@ -243,3 +243,35 @@ def read_point(
     if not keep:
         return spark.read.parquet(m["files"][0]).where(F.lit(False))
     return spark.read.parquet(*keep).where(F.col(col).isin(values))
+
+
+def rebuild_index(
+    spark: SparkSession, table_path: str, col: str
+) -> list[str]:
+    """Rebuild EVERY existing Bloom sidecar for ``col`` against its
+    version's CURRENT file list — the post-``purge_rows`` remediation.
+    A purge rewrites files under new names IN PLACE across all committed
+    history without bumping any version, so every sidecar built before
+    it is stale at once: still sound (``read_point`` keeps never-seen
+    files as candidates — rewritten files are simply read unpruned), but
+    the point-lookup planning degrades toward a full scan as more files
+    are rewritten. This walks the index dir, finds each version that has
+    a ``col`` sidecar, and rebuilds it from that version's manifest.
+    Returns the rebuilt index paths. One distributed build job per
+    indexed version; versions without a sidecar are untouched (nobody
+    point-reads them through an index)."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    idx_root = jvm.org.apache.hadoop.fs.Path(f"{table_path}/index")
+    fs = idx_root.getFileSystem(hconf)
+    if not fs.exists(idx_root):
+        return []
+    suffix = f"-bloom-{col}"
+    rebuilt = []
+    for st in fs.listStatus(idx_root):
+        name = st.getPath().getName()
+        if not (name.startswith("v") and name.endswith(suffix)):
+            continue
+        v = int(name[1:len(name) - len(suffix)])
+        rebuilt.append(build_bloom_index(spark, table_path, col, version=v))
+    return rebuilt

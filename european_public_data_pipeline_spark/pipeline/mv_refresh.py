@@ -51,6 +51,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
 
 _META_KEY = "applied_src_version"
 _META_FILES_MD5 = "applied_src_files_md5"
+_META_MODE = "refresh_mode"
 
 
 def _files_md5(spark: SparkSession, table_path: str, version: int) -> str:
@@ -129,6 +130,10 @@ def refresh_event_summary(
         meta={
             _META_KEY: src_v,
             _META_FILES_MD5: _files_md5(spark, src_path, src_v),
+            # Which branch produced this MV version — auditable from the
+            # committed meta (q116 pins the hazard detector through the
+            # driver hash by emitting these as result columns).
+            _META_MODE: "incremental" if incremental else "full",
         },
     )
     return src_v

@@ -305,6 +305,10 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # the fixpoint contract independently of how detection is computed),
     # but a stale verdict is no verdict.
     "d27_excision_fixpoint",
+    # refresh_event_summary (shared with q116) now commits which branch
+    # it took into the MV meta — q110's results are meta-independent,
+    # but its ridden helper changed.
+    "q110_incremental_mv_refresh",
 )
 
 

@@ -123,7 +123,38 @@ def main() -> None:
             .parquet(f"{dst}/lineitem.parquet")
         )
     link_others(dst, {"orders", "lineitem"})
-    print("scale extensions ready: sx100_events sx10_docs sx10_emb sx100_facts")
+
+    # Fact-sized keyed snapshot pair for MERGE/SCD2 measurements
+    # (q113/q114's sx100 extension keeps customer dim-sized by design, so
+    # their measured 1.0x proved nothing about fact-sized keyed batches):
+    # a PRISTINE 100x orders base partitioned by order month (~80
+    # partitions; o_orderkey -> o_orderdate is fixed, so keys stay in
+    # partition), plus an update batch touching keys in ONE month
+    # (price bump) and a small new-key slice. The measurement script
+    # copies base fresh per timed run — merge mutates it.
+    dst = "/tmp/sx100_merge"
+    if not os.path.exists(f"{dst}/base"):
+        o100 = spark.read.parquet("/tmp/sx100_facts/orders.parquet").withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        )
+        o100.write.partitionBy("o_month").mode("overwrite").parquet(f"{dst}/base")
+        upd_keys = o100.filter(F.col("o_month") == "1995-03")
+        maxk = o100.agg(F.max("o_orderkey")).collect()[0][0] + 1
+        new_keys = (
+            o100.filter(F.col("o_month") == "1995-04")
+            .limit(10_000)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(maxk))
+        )
+        (
+            upd_keys.unionByName(new_keys)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 1.01)
+            .write.mode("overwrite")
+            .parquet(f"{dst}/updates.parquet")
+        )
+    print(
+        "scale extensions ready: sx100_events sx10_docs sx10_emb "
+        "sx100_facts sx100_merge"
+    )
 
 
 if __name__ == "__main__":

@@ -865,3 +865,45 @@ def test_append_fences_against_pending_purge_tombstone(spark, tmp_path):
     assert not any(
         n.startswith("pending-") for n in os.listdir(f"{t}/purge")
     )
+
+
+def test_rebuild_index_covers_every_indexed_version(spark, tmp_path):
+    """rebuild_index is the post-purge remediation: a purge rewrites
+    files in place across ALL committed history, staling every sidecar
+    at once. The helper must find each version that has a sidecar for
+    the column, rebuild it against that version's CURRENT file list, and
+    leave point reads exact — including time-traveled ones."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+        rebuild_index,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 9), t)
+    M.append_version(_ranged(spark, 10, 19), t)
+    build_bloom_index(spark, t, "k", version=1)
+    build_bloom_index(spark, t, "k", version=2)
+
+    M.purge_rows(spark, t, "k", [5])  # both sidecars now stale
+
+    # Stale reads stay exact (never-seen rewritten files kept).
+    assert sorted(r["k"] for r in read_point(spark, t, "k", 7).collect()) == [7]
+    assert read_point(spark, t, "k", 5).count() == 0
+
+    rebuilt = rebuild_index(spark, t, "k")
+    assert len(rebuilt) == 2 and all(os.path.isdir(p.replace("file:", "")) for p in rebuilt)
+
+    # Post-rebuild: current and time-traveled point reads exact, and the
+    # rebuilt sidecars reference no deleted pre-purge files.
+    assert sorted(r["k"] for r in read_point(spark, t, "k", 7).collect()) == [7]
+    assert sorted(
+        r["k"] for r in read_point(spark, t, "k", 7, version=1).collect()
+    ) == [7]
+    assert read_point(spark, t, "k", 5).count() == 0
+    for p in rebuilt:
+        for r in spark.read.parquet(p).select("file").distinct().collect():
+            assert os.path.exists(r["file"].replace("file:", ""))
