@@ -110,3 +110,61 @@ def test_scd2_no_op_batch_changes_nothing(spark, tmp_path):
     before = _all(spark, path)
     _apply(spark, path, [(1, "lux", "gold", T2)])  # same attrs: no-op
     assert _all(spark, path) == before
+
+
+def test_scd2_partition_scoped_apply(spark, tmp_path):
+    """With ``partition_col`` (a stable function of the key), an apply
+    must produce the same logical table as the unscoped layout AND leave
+    untouched sub-partitions' current files physically alone — the
+    fact-scale cost fix measured in PLANS.md round 9."""
+    import glob
+    import time
+
+    path = str(tmp_path / "dim")
+    schema = "k long, region string, city string, tier string, effective_ts timestamp"
+
+    def apply(rows):
+        scd2_apply(
+            spark,
+            path,
+            spark.createDataFrame(rows, schema),
+            key_cols=["k"],
+            attr_cols=["city", "tier"],
+            partition_col="region",
+        )
+
+    apply([
+        (1, "eu", "lux", "gold", T1), (2, "eu", "ber", "silver", T1),
+        (3, "us", "nyc", "gold", T1), (4, "us", "sfo", "bronze", T1),
+    ])
+    us_files = sorted(glob.glob(f"{path}/is_current=true/region=us/*.parquet"))
+    assert us_files, "expected sub-partitioned current layout"
+    t0 = time.time()
+    time.sleep(1.1)
+    # Batch touches ONLY eu: k=1 changes, k=5 new.
+    apply([(1, "eu", "par", "gold", T2), (5, "eu", "rom", "silver", T2)])
+
+    rows = sorted(
+        (r["k"], r["region"], r["city"], r["valid_from"], r["valid_to"],
+         bool(r["is_current"]))
+        for r in read_scd2(spark, path).collect()
+    )
+    assert rows == [
+        (1, "eu", "lux", T1, T2, False),
+        (1, "eu", "par", T2, None, True),
+        (2, "eu", "ber", T1, None, True),
+        (3, "us", "nyc", T1, None, True),
+        (4, "us", "sfo", T1, None, True),
+        (5, "eu", "rom", T2, None, True),
+    ]
+    # The us current sub-partition was not rewritten: same files, old mtimes.
+    us_after = sorted(glob.glob(f"{path}/is_current=true/region=us/*.parquet"))
+    assert us_after == us_files
+    assert all(os.path.getmtime(f) < t0 for f in us_after)
+    # History landed under its sub-partition.
+    assert glob.glob(f"{path}/is_current=false/region=eu/*.parquet")
+    # Point-in-time reconstruction still works on the scoped layout.
+    snap = sorted(
+        (r["k"], r["city"]) for r in snapshot_at(spark, path, T1).collect()
+    )
+    assert snap == [(1, "lux"), (2, "ber"), (3, "nyc"), (4, "sfo")]
