@@ -309,6 +309,9 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # it took into the MV meta — q110's results are meta-independent,
     # but its ridden helper changed.
     "q110_incremental_mv_refresh",
+    # scd2_apply grew optional partition-scoped applies; q114 rides the
+    # default (unscoped) path, verified locally, but the helper changed.
+    "q114_scd2_history",
 )
 
 
