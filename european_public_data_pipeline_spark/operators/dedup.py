@@ -2100,15 +2100,17 @@ merged AS (
 )"""
 
 
-def repeated_span_islands(base: DataFrame) -> DataFrame:
-    """Merged corpus-repeated-span islands per document: (doc_id, island_id,
-    ms, me) from a (doc_id, w: array<string>, doc_tokens) relation.
-    Shared by d25 (work-order aggregation) and d26 (excision apply) so
-    detection and execution cannot drift."""
+def positioned_span_grams(base: DataFrame) -> DataFrame:
+    """Positioned SPAN_K-gram relation (doc_id, s, h) from a (doc_id,
+    w: array<string>, doc_tokens) relation — the ONE definition of what
+    a span gram is, shared by d25/d26 (via ``repeated_span_islands``),
+    d27's maintained gram index, and d28's delta maintenance, so the
+    detection input cannot drift between the batch and incremental
+    paths."""
     k = SPAN_K
     gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
     # sequence(1, n) counts DOWN for n < 1 — docs shorter than k emit none.
-    pos = (
+    return (
         base.filter(F.col("doc_tokens") >= k)
         .select(
             "doc_id",
@@ -2119,10 +2121,13 @@ def repeated_span_islands(base: DataFrame) -> DataFrame:
         )
         .select("doc_id", "s", F.md5(gram).alias("h"))
     )
-    hot = pos.groupBy("h").count().filter(F.col("count") >= SPAN_TAU).select("h")
-    hits = pos.join(hot, "h", "left_semi").select(
-        "doc_id", "s", (F.col("s") + (k - 1)).alias("e")
-    )
+
+
+def span_islands_from_hits(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge of (doc_id, s, e) hit spans into (doc_id,
+    island_id, ms, me) — doc-partitioned windows, per-partition work
+    bounded by document length. The ONE definition of island merging,
+    shared by ``repeated_span_islands`` and d27's incremental loop."""
     w_doc = Window.partitionBy("doc_id").orderBy("s")
     w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
     w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2137,6 +2142,21 @@ def repeated_span_islands(base: DataFrame) -> DataFrame:
     return isl.groupBy("doc_id", "island_id").agg(
         F.min("s").alias("ms"), F.max("e").alias("me")
     )
+
+
+def repeated_span_islands(base: DataFrame) -> DataFrame:
+    """Merged corpus-repeated-span islands per document: (doc_id, island_id,
+    ms, me) from a (doc_id, w: array<string>, doc_tokens) relation.
+    Shared by d25 (work-order aggregation) and d26 (excision apply) so
+    detection and execution cannot drift; composes the same
+    ``positioned_span_grams`` / ``span_islands_from_hits`` pieces d27's
+    incremental loop detects with."""
+    pos = positioned_span_grams(base)
+    hot = pos.groupBy("h").count().filter(F.col("count") >= SPAN_TAU).select("h")
+    hits = pos.join(hot, "h", "left_semi").select(
+        "doc_id", "s", (F.col("s") + (SPAN_K - 1)).alias("e")
+    )
+    return span_islands_from_hits(hits)
 
 
 @register(
@@ -2394,20 +2414,6 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     ).withColumn("doc_tokens", F.size("w"))
 
-    def positioned_grams(rel: DataFrame) -> DataFrame:
-        gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
-        return (
-            rel.filter(F.col("doc_tokens") >= k)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.lit(1), F.col("doc_tokens") - (k - 1))
-                ).alias("s"),
-                "w",
-            )
-            .select("doc_id", "s", F.md5(gram).alias("h"))
-        )
-
     max_rounds = 10
     detections: list[tuple[int, int]] = []  # (n_islands, n_docs) per pass
     excised_r1 = 0
@@ -2415,38 +2421,23 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The ONE corpus scan: round 1 builds the positioned-gram index and
     # its count relation. Rounds >= 2 never re-scan — both relations are
     # maintained by the O(rewritten-docs) delta (d28 composed in).
-    pos_idx = positioned_grams(cur).localCheckpoint(eager=True)
+    pos_idx = positioned_span_grams(cur).localCheckpoint(eager=True)
     counts = (
         pos_idx.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=True)
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("s")
-    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
-    w_run = w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for rnd in range(1, max_rounds + 1):
         # Detection off the MAINTAINED relations: hot set = filter on
         # counts; hits = index semi-joined to hot (AQE broadcasts the
-        # hot side when it fits); islands doc-partitioned as in
-        # repeated_span_islands — algebraically the same detection, its
-        # input now incrementally maintained instead of recomputed.
+        # hot side when it fits); islands merged by the SAME shared
+        # span_islands_from_hits d25/d26 ride — algebraically the same
+        # detection, its input incrementally maintained, not recomputed.
         hot = counts.filter(F.col("c") >= SPAN_TAU).select("h")
         hits = pos_idx.join(hot, "h", "left_semi").select(
             "doc_id", "s", (F.col("s") + (k - 1)).alias("e")
         )
-        isl = hits.withColumn("prev_e", F.max("e").over(w_prev)).withColumn(
-            "island_id",
-            F.sum(
-                F.when(
-                    F.col("prev_e").isNull()
-                    | (F.col("s") > F.col("prev_e") + 1),
-                    1,
-                ).otherwise(0)
-            ).over(w_run),
-        )
-        merged = isl.groupBy("doc_id", "island_id").agg(
-            F.min("s").alias("ms"), F.max("e").alias("me")
-        ).cache()
+        merged = span_islands_from_hits(hits).cache()
         row = merged.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("doc_id").alias("d"),
@@ -2503,7 +2494,7 @@ def d27_excision_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         # positions are already IN the index (subtract — no recompute);
         # the rebuilt docs' grams (seams included) enter. The count
         # merge is index-keyed (h); the index update is doc-keyed.
-        new_pos = positioned_grams(rebuilt)
+        new_pos = positioned_span_grams(rebuilt)
         delta = (
             pos_idx.join(affected, "doc_id", "left_semi")
             .select("h", F.lit(-1).alias("d"))
@@ -2615,25 +2606,14 @@ FROM c2
 """,
 )
 def d28_incremental_gram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = SPAN_K
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     ).withColumn("doc_tokens", F.size("w"))
 
     def grams(rel: DataFrame) -> DataFrame:
-        gram = F.array_join(F.slice(F.col("w"), F.col("s"), k), " ")
-        return (
-            rel.filter(F.col("doc_tokens") >= k)
-            .select(
-                "doc_id",
-                F.explode(
-                    F.sequence(F.lit(1), F.col("doc_tokens") - (k - 1))
-                ).alias("s"),
-                "w",
-            )
-            .select("doc_id", F.md5(gram).alias("h"))
-        )
+        # The shared gram definition; position pruned (counts only need h).
+        return positioned_span_grams(rel).select("doc_id", "h")
 
     merged = repeated_span_islands(base).cache()
     affected = merged.select("doc_id").distinct()

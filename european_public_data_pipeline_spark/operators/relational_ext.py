@@ -2602,3 +2602,94 @@ def q117_bloom_stale_sidecar_purge(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(agg(purged_stale, "purged_stale"))
         .orderBy("dim")
     )
+
+
+@register(
+    "q118_scd2_partition_scoped",
+    category="join",
+    doc="Partition-scoped SCD2 applies under the driver contract — the "
+    "fact-scale path added in round 9 (pipeline/scd.py scd2_apply "
+    "partition_col; measured 9.16s -> 3.14s with 2/80 sub-partitions "
+    "rewritten, PLANS.md): the same two-snapshot history as q114, but "
+    "the table sub-partitions current AND history by kb (a bucket "
+    "derived from the key — a stable function, merge_by_key's "
+    "keys_stay_in_partition contract), and the day-2 batch touches "
+    "ONLY buckets b1/b3. The apply must scope its change detection and "
+    "current-row replace to those two sub-partitions; the oracle "
+    "restates the COMPLETE history — including every untouched "
+    "bucket's still-current rows — so a scoped rewrite that dropped "
+    "any out-of-scope row (the NULL-partition overwrite hazard class "
+    "caught in review, pinned in tests/test_scd.py) hash-mismatches. "
+    "At 100 TB this row certifies the layout that makes SCD2 applies "
+    "O(touched partitions) on fact-sized keyed tables.",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, 'b' || CAST(c_custkey % 8 AS VARCHAR) AS kb,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 <> 0
+),
+b AS (
+  SELECT c_custkey, 'b' || CAST(c_custkey % 8 AS VARCHAR) AS kb,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                   ELSE c_acctbal END AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0 AND c_custkey % 8 IN (1, 3)
+),
+t AS (SELECT TIMESTAMP '2024-01-01 00:00:00' AS t1,
+             TIMESTAMP '2024-02-01 00:00:00' AS t2)
+SELECT c_custkey, kb, bal, valid_from, valid_to, is_current FROM (
+  SELECT a.c_custkey, a.kb, a.bal, t.t1 AS valid_from, t.t2 AS valid_to,
+         FALSE AS is_current
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE a.bal IS DISTINCT FROM b.bal
+  UNION ALL
+  SELECT b.c_custkey, b.kb, b.bal, t.t2, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE a.bal IS DISTINCT FROM b.bal
+  UNION ALL
+  SELECT a.c_custkey, a.kb, a.bal, t.t1, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a JOIN b ON a.c_custkey = b.c_custkey, t
+  WHERE NOT (a.bal IS DISTINCT FROM b.bal)
+  UNION ALL
+  SELECT a.c_custkey, a.kb, a.bal, t.t1, CAST(NULL AS TIMESTAMP), TRUE
+  FROM a, t WHERE a.c_custkey NOT IN (SELECT c_custkey FROM b)
+  UNION ALL
+  SELECT b.c_custkey, b.kb, b.bal, t.t2, CAST(NULL AS TIMESTAMP), TRUE
+  FROM b, t WHERE b.c_custkey NOT IN (SELECT c_custkey FROM a)
+)
+ORDER BY c_custkey, valid_from
+""",
+)
+def q118_scd2_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline.scd import (
+        read_scd2,
+        scd2_apply,
+    )
+
+    kb = F.concat(F.lit("b"), F.pmod(F.col("c_custkey"), 8).cast("string"))
+    a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("c_custkey"),
+        F.col("old_bal").cast("double").alias("bal"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("effective_ts"),
+    ).withColumn("kb", kb)
+    b = (
+        _cdc_snapshot_b(spark, sf_dir)
+        .select(
+            F.col("b_key").alias("c_custkey"),
+            F.col("new_bal").cast("double").alias("bal"),
+            F.lit("2024-02-01 00:00:00").cast("timestamp").alias("effective_ts"),
+        )
+        .withColumn("kb", kb)
+        .filter(F.col("kb").isin("b1", "b3"))
+    )
+    path = _scratch_table_path("scd2_scoped_customer", sf_dir)
+    scd2_apply(
+        spark, path, a,
+        key_cols=["c_custkey"], attr_cols=["bal"], partition_col="kb",
+    )
+    scd2_apply(
+        spark, path, b,
+        key_cols=["c_custkey"], attr_cols=["bal"], partition_col="kb",
+    )
+    return read_scd2(spark, path).select(
+        "c_custkey", "kb", "bal", "valid_from", "valid_to", "is_current"
+    ).orderBy("c_custkey", "valid_from")

@@ -68,13 +68,21 @@ def _choose_bits(max_rows_per_file: int) -> int:
 
 
 def build_bloom_index(
-    spark: SparkSession, table_path: str, col: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    col: str,
+    version: int | None = None,
+    bits: int | None = None,
 ) -> str:
     """Build (or rebuild) the per-file Bloom index for ``col`` over one
     committed version. Two jobs: a row-group-metadata count per file to
     size the filter, then the index build itself — explode each row's k
     bit positions keyed by input_file_name, OR-fold into (file, word,
-    mask) cells."""
+    mask) cells. ``bits`` pins the filter width instead of re-choosing
+    it from the data — ``rebuild_index`` passes the prior sidecar's
+    width so files the rebuild did not change keep BIT-IDENTICAL
+    filters (re-choosing could shrink the width after a purge and
+    recompute every filter with a different hash range)."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
     if not m["files"]:
@@ -83,14 +91,15 @@ def build_bloom_index(
             f"no files — nothing to index"
         )
     src = spark.read.parquet(*m["files"])
-    max_rows = (
-        src.groupBy(F.input_file_name())
-        .count()
-        .agg(F.max("count"))
-        .collect()[0][0]
-        or 0
-    )
-    bits = _choose_bits(int(max_rows))
+    if bits is None:
+        max_rows = (
+            src.groupBy(F.input_file_name())
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+            or 0
+        )
+        bits = _choose_bits(int(max_rows))
     rows = (
         src.select(F.col(col).alias("__k"))
         .withColumn("file", F.input_file_name())
@@ -260,18 +269,44 @@ def rebuild_index(
     Returns the rebuilt index paths. One distributed build job per
     indexed version; versions without a sidecar are untouched (nobody
     point-reads them through an index)."""
+    import re
+
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     idx_root = jvm.org.apache.hadoop.fs.Path(f"{table_path}/index")
     fs = idx_root.getFileSystem(hconf)
     if not fs.exists(idx_root):
         return []
-    suffix = f"-bloom-{col}"
     rebuilt = []
     for st in fs.listStatus(idx_root):
         name = st.getPath().getName()
-        if not (name.startswith("v") and name.endswith(suffix)):
+        # Exact (version, column) parse — a column name that itself
+        # contains "-bloom-" or a hyphen must not confuse the split.
+        m = re.match(r"^v(\d{8})-bloom-(.+)$", name)
+        if not m or m.group(2) != col:
             continue
-        v = int(name[1:len(name) - len(suffix)])
-        rebuilt.append(build_bloom_index(spark, table_path, col, version=v))
+        v = int(m.group(1))
+        mf = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        if not mf["files"]:
+            # The purge emptied this version entirely: nothing to index,
+            # and build_bloom_index would (rightly) refuse. Drop the
+            # orphaned sidecar — read_point on a file-less version fails
+            # descriptively regardless — and keep rebuilding the rest.
+            fs.delete(st.getPath(), True)
+            continue
+        # Keep the prior width: a purge only shrinks files, so the old
+        # width still satisfies the bits-per-key target, and unchanged
+        # files get bit-identical filters (the rebuilt plan's candidate
+        # set is then provably a subset of the stale plan's — q117).
+        try:
+            prior_bits: int | None = int(
+                _read_json(
+                    spark, f"{_index_dir(table_path, v, col)}/_bloom_meta.json"
+                )["bits"]
+            )
+        except Exception:
+            prior_bits = None
+        rebuilt.append(
+            build_bloom_index(spark, table_path, col, version=v, bits=prior_bits)
+        )
     return rebuilt

@@ -232,57 +232,58 @@ def _commit(
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
         if st.getPath().getName().endswith(".parquet")
     )
-    if carried_files:
+
+    def _purge_fence() -> tuple[tuple[str, ...], int, dict | None]:
         # Writer fence against a racing purge_rows: this commit may have
         # read its prior manifest BEFORE the purge remapped it, in which
         # case ``carried_files`` names doomed old paths that the purge's
         # stable-version-set loop might never see (our manifest does not
         # exist yet, so its re-list cannot find us). Re-checking the
-        # pending-tombstone dir here and applying the persisted remap
-        # plan OURSELVES means an in-flight purge (tombstone present)
-        # can never be outrun: either the purge finished first (prior
-        # manifest re-read already remapped, no tombstone) or the
-        # tombstone is still there and we remap at commit time. One dir
-        # existence probe on the no-purge fast path.
+        # pending-tombstone dir and applying the persisted remap plan
+        # OURSELVES covers the purge-in-flight case: the tombstone is
+        # written before any remap and cleared only after the deletes,
+        # so a purge whose work overlapped this commit's preparation is
+        # visible here. This NARROWS the race to the fence->write_json
+        # gap (a purge that starts, completes its stable check, and
+        # deletes inside that sub-second window can still orphan our
+        # references); fully closing it needs a commit lock, and purge
+        # windows are documented single-writer. One dir existence probe
+        # on the no-purge fast path.
+        cf, cr, cs = carried_files, carried_rows, carried_stats
         pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
-        if fs.exists(pdir):
-            for st in fs.listStatus(pdir):
-                nm = st.getPath().getName()
-                if not (nm.startswith("pending-") and nm.endswith(".json")):
-                    continue
-                plan = _read_json(spark, str(st.getPath().toString()))
-                if "remap" not in plan:
-                    # Legacy plan-less tombstone: replay keeps any file a
-                    # manifest references, so carrying them stays sound.
-                    continue
-                removed, remap = plan["removed"], plan["remap"]
-                touched = [f for f in carried_files if f in removed]
-                if not touched:
-                    continue
-                carried_files = tuple(
-                    remap.get(f, f) for f in carried_files
-                    if f not in removed or remap.get(f)
-                )
-                carried_rows -= sum(removed[f] for f in touched)
-                if carried_stats:
-                    carried_stats = {
-                        k: v for k, v in carried_stats.items()
-                        if k not in {_path_key(f) for f in touched}
-                    }
+        if not fs.exists(pdir):
+            return cf, cr, cs
+        for st in fs.listStatus(pdir):
+            nm = st.getPath().getName()
+            if not (nm.startswith("pending-") and nm.endswith(".json")):
+                continue
+            plan = _read_json(spark, str(st.getPath().toString()))
+            if "remap" not in plan:
+                # Legacy plan-less tombstone: replay keeps any file a
+                # manifest references, so carrying them stays sound.
+                continue
+            removed, remap = plan["removed"], plan["remap"]
+            touched = [f for f in cf if f in removed]
+            if not touched:
+                continue
+            cf = tuple(
+                remap.get(f, f) for f in cf
+                if f not in removed or remap.get(f)
+            )
+            cr -= sum(removed[f] for f in touched)
+            if cs:
+                cs = {
+                    k: v for k, v in cs.items()
+                    if k not in {_path_key(f) for f in touched}
+                }
+        return cf, cr, cs
+
     # Parquet count() is answered from row-group metadata — no data read.
-    rows = carried_rows + spark.read.parquet(data_dir).count()
-    payload = {
-        "version": n,
-        "files": list(carried_files) + staged,
-        "row_count": rows,
-        "published_at": time.time(),
-    }
-    if meta:
-        payload["meta"] = meta
-    stats = dict(carried_stats or {})
+    staged_rows = spark.read.parquet(data_dir).count()
+    staged_stats: dict = {}
     if stats_cols:
         try:
-            stats.update(_file_stats(spark, data_dir, stats_cols))
+            staged_stats = _file_stats(spark, data_dir, stats_cols)
         except Exception:
             # A bad stats column (typo, schema drift) aborts the commit
             # AFTER the batch was written; the uuid-named staged dir is
@@ -291,6 +292,21 @@ def _commit(
             # publish failed-audit cleanup).
             fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
             raise
+    if carried_files:
+        # Fence LAST — after the staged-batch scans above, which are the
+        # seconds-long part of a commit; a purge starting during them is
+        # still caught here, immediately before the manifest write.
+        carried_files, carried_rows, carried_stats = _purge_fence()
+    payload = {
+        "version": n,
+        "files": list(carried_files) + staged,
+        "row_count": carried_rows + staged_rows,
+        "published_at": time.time(),
+    }
+    if meta:
+        payload["meta"] = meta
+    stats = dict(carried_stats or {})
+    stats.update(staged_stats)
     if stats:
         payload["file_stats"] = stats
     try:
@@ -658,9 +674,11 @@ def _apply_purge_plan(
        be single-writer; the loop is the safety net, and a never-stable
        table aborts loudly with the tombstone intact for later replay.
        An append this loop cannot see (manifest not yet committed when
-       the loop last listed) is covered from the OTHER side: ``_commit``
-       fences carried files against pending tombstones and applies this
-       same plan itself before writing its manifest.
+       the loop last listed) is guarded from the OTHER side: ``_commit``
+       fences carried files against pending tombstones immediately
+       before writing its manifest and applies this same plan itself.
+       The two sides together narrow the race to the sub-second
+       fence->write gap; purge windows remain documented single-writer.
     3. Only then delete the old bytes and clear the tombstone.
 
     ``remap`` maps old file -> replacement path ('' when the purge

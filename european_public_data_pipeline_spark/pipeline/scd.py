@@ -114,10 +114,20 @@ def scd2_apply(
         # Scope to the batch's partitions: matching current rows can
         # only live there (partition value is a function of the key).
         # Dynamic overwrite below then only touches these partitions.
+        # NULL needs its own predicate — isin() evaluates to NULL (not
+        # TRUE) for NULL-valued rows, which would silently exclude the
+        # whole NULL sub-partition from `current` while the batch's
+        # opened rows still land in it: the overwrite would then replace
+        # that sub-partition with ONLY the opened rows, deleting every
+        # other key's current row there.
         batch_parts = [
             r[0] for r in batch.select(partition_col).distinct().collect()
         ]
-        current = current.filter(F.col(partition_col).isin(batch_parts))
+        non_null = [p for p in batch_parts if p is not None]
+        scope = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if len(non_null) < len(batch_parts):
+            scope = scope | F.col(partition_col).isNull()
+        current = current.filter(scope)
     u = batch.alias("u")
     c = current.alias("c")
     joined = u.join(c, key_cols, "left")

@@ -305,6 +305,13 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # the fixpoint contract independently of how detection is computed),
     # but a stale verdict is no verdict.
     "d27_excision_fixpoint",
+    # The shared span-gram/island helpers were refactored into
+    # positioned_span_grams + span_islands_from_hits (d27's loop and
+    # repeated_span_islands now compose the same pieces) — results
+    # verified identical locally, but every rider changed.
+    "d25_repeated_span_removal",
+    "d26_span_excision_apply",
+    "d28_incremental_gram_index",
     # refresh_event_summary (shared with q116) now commits which branch
     # it took into the MV meta — q110's results are meta-independent,
     # but its ridden helper changed.
@@ -312,6 +319,16 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     # scd2_apply grew optional partition-scoped applies; q114 rides the
     # default (unscoped) path, verified locally, but the helper changed.
     "q114_scd2_history",
+    # manifest._commit grew the purge writer fence (every append/publish
+    # commit executes it) and bloom_index.read_point's probe handling
+    # changed (set normalization + cap) — the whole manifest-riding
+    # lakehouse set re-earns its verdict.
+    "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan",
+    "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning",
+    "q111_purge_then_read",
+    "q112_clustered_compact_scan",
 )
 
 

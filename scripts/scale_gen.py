@@ -4,12 +4,16 @@ measurements (crossJoin a copies range, offset the join keys by max(id)+1 so spa
 id spaces cannot collide, symlink the unchanged tables). Dirs land under /tmp and do NOT survive rounds — re-run
 this script before measuring.
 
-Usage: python scripts/scale_gen.py  (builds all four extensions, idempotent)
+Usage: python scripts/scale_gen.py  (builds all five extensions, idempotent)
 
   /tmp/sx100_events  events x100 (event_id offset)
   /tmp/sx10_docs     documents x10 (doc_id offset, text perturbed per copy)
   /tmp/sx10_emb      embeddings x10 (vec_id offset)
   /tmp/sx100_facts   orders+lineitem x100 (orderkey offset, dims shared)
+  /tmp/sx100_merge   fact-sized MERGE/SCD2 snapshot pair: pristine 100x
+                     orders base partitioned by o_month + a one-month
+                     update batch; mutable target — COPY base fresh per
+                     timed run (merge/scd2 rewrite it in place)
 
 Measurement protocol (see .claude/skills/verify/SKILL.md): build a FRESH
 DataFrame per timed run (prior actions leave reusable shuffle outputs that
@@ -133,7 +137,7 @@ def main() -> None:
     # (price bump) and a small new-key slice. The measurement script
     # copies base fresh per timed run — merge mutates it.
     dst = "/tmp/sx100_merge"
-    if not os.path.exists(f"{dst}/base"):
+    if not os.path.exists(f"{dst}/updates.parquet"):
         o100 = spark.read.parquet("/tmp/sx100_facts/orders.parquet").withColumn(
             "o_month", F.date_format("o_orderdate", "yyyy-MM")
         )

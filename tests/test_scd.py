@@ -168,3 +168,40 @@ def test_scd2_partition_scoped_apply(spark, tmp_path):
         (r["k"], r["city"]) for r in snapshot_at(spark, path, T1).collect()
     )
     assert snap == [(1, "lux"), (2, "ber"), (3, "nyc"), (4, "sfo")]
+
+
+def test_scd2_partition_scoped_apply_null_partition_value(spark, tmp_path):
+    """A NULL partition value must scope with an explicit isNull
+    predicate — plain isin() evaluates to NULL for NULL-valued current
+    rows, which would drop the whole NULL sub-partition's untouched
+    keys from the rewrite (round-9 review finding)."""
+    path = str(tmp_path / "dim")
+    schema = "k long, region string, city string, tier string, effective_ts timestamp"
+
+    def apply(rows):
+        scd2_apply(
+            spark,
+            path,
+            spark.createDataFrame(rows, schema),
+            key_cols=["k"],
+            attr_cols=["city", "tier"],
+            partition_col="region",
+        )
+
+    apply([
+        (1, None, "lux", "gold", T1), (2, None, "ber", "silver", T1),
+        (3, "us", "nyc", "gold", T1),
+    ])
+    # Batch touches the NULL partition only: k=1 changes, k=4 new.
+    apply([(1, None, "par", "gold", T2), (4, None, "rom", "silver", T2)])
+    rows = sorted(
+        (r["k"], r["region"], r["city"], bool(r["is_current"]))
+        for r in read_scd2(spark, path).collect()
+    )
+    assert rows == [
+        (1, None, "lux", False),
+        (1, None, "par", True),
+        (2, None, "ber", True),   # untouched NULL-partition key SURVIVES
+        (3, "us", "nyc", True),
+        (4, None, "rom", True),
+    ]
