@@ -207,11 +207,28 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Feeds both wedge sides and the closing join.
     ori = oriented_edges(edges).cache()
+    # Shuffle width for the wedge pipeline: tied to cluster parallelism,
+    # NOT the session's shuffle-partition default. The wedge stages move
+    # the m^1.5 relation through wide-fan-out shuffles, and Spark's
+    # bypass-merge shuffle writer (chosen when reducers <= 200) opens
+    # one compressed block writer PER REDUCE PARTITION PER TASK —
+    # ~64 KB of LZ4 buffers each, so 32 concurrent map tasks x 200
+    # reducers is ~450 MB of unmanaged heap before any data: that, plus
+    # the semi join's build maps, OOMs a 1 GiB plain-session heap
+    # (observed as LZ4BlockOutputStream allocation failures in
+    # DiskBlockObjectWriter.open). 2x defaultParallelism keeps every
+    # task slot busy while bounding concurrent writer buffers to
+    # tasks x 2: right on one 32-thread JVM and on a 1000-executor
+    # cluster alike (AQE may still coalesce the read side).
+    np_w = spark.sparkContext.defaultParallelism * 2
     w1 = ori.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
     w2 = ori.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
     # Wedge (v, w) at pivot src with rank(v) < rank(w): the closing edge,
-    # if present, is then necessarily oriented v -> w.
-    wedges = w1.join(w2, "src").filter(
+    # if present, is then necessarily oriented v -> w. Both sides arrive
+    # hash-partitioned (src, np_w), so the join adds no extra Exchange.
+    wedges = w1.repartition(np_w, "src").join(
+        w2.repartition(np_w, "src"), "src"
+    ).filter(
         (F.col("dv") < F.col("dw"))
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
     )
@@ -222,9 +239,12 @@ def g02_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffled hash join builds only on the m-sized edge relation
     # (KB-scale per partition) and STREAMS the wedges through unsorted —
     # the same asymmetry that makes it the right plan at 100 TB, where
-    # sorting the wedge relation would dominate the whole query.
-    tri = wedges.join(
-        closing.hint("shuffle_hash"), ["v", "w"], "left_semi"
+    # sorting the wedge relation would dominate the whole query. Both
+    # sides co-partitioned (v, w) at the bounded width above.
+    tri = wedges.repartition(np_w, "v", "w").join(
+        closing.repartition(np_w, "v", "w").hint("shuffle_hash"),
+        ["v", "w"],
+        "left_semi",
     ).select("src", "v", "w")
     # explode(array(...)), NOT a 3-way union of tri projections: a union
     # re-executes the wedge join once per branch (measured 3x the cost).

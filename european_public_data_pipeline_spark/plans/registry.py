@@ -329,6 +329,11 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q109_zorder_dual_pruning",
     "q111_purge_then_read",
     "q112_clustered_compact_scan",
+    # g02's wedge/closing shuffles now pin width to 2x defaultParallelism
+    # with explicit co-partitioning (the 200-reducer default rode the
+    # bypass-merge writer's per-partition LZ4 buffers into a fresh
+    # plain-session OOM at sf0.1); same algebra, new plan shape.
+    "g02_triangle_count",
 )
 
 
