@@ -260,3 +260,25 @@ def test_q44_single_fact_scan_via_cached_domain(spark, sf_small):
     specializes the bounds branch and the fact table is scanned twice."""
     plan = _formatted_plan(spark, "q44_price_histogram", sf_small)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_g02_wedge_shuffles_ride_bounded_width(spark, sf_small):
+    """g02's wedge/closing shuffles must stay pinned to 2x
+    defaultParallelism with explicit co-partitioning — at the session's
+    200-reducer default the bypass-merge shuffle writer opens one LZ4
+    block writer per reduce partition per task (~450MB of unmanaged heap
+    at 32 concurrent tasks), which OOMed a fresh plain 1 GiB session at
+    sf0.1 (round 9). The joins must also add no Exchange of their own on
+    top of the pinned repartitions."""
+    df = SPECS["g02_triangle_count"].builder(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    np_w = spark.sparkContext.defaultParallelism * 2
+    # The pinned widths are present on the wedge (src) and closing (v, w)
+    # exchanges...
+    assert len(re.findall(rf"hashpartitioning\(src#\d+L?, {np_w}\)", plan)) >= 2
+    assert len(re.findall(rf"hashpartitioning\(v#\d+L?, w#\d+L?, {np_w}\)", plan)) >= 2
+    # ...and no wedge-pipeline shuffle fell back to the session default
+    # (REPARTITION_BY_COL exchanges carry the pinned counts; the only
+    # allowed default-width exchanges belong to the upstream edge build).
+    semi = plan.split("ShuffledHashJoin", 1)
+    assert len(semi) == 2, "closing semi join must stay a shuffled hash join"
