@@ -2693,3 +2693,87 @@ def q118_scd2_partition_scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_scd2(spark, path).select(
         "c_custkey", "kb", "bal", "valid_from", "valid_to", "is_current"
     ).orderBy("c_custkey", "valid_from")
+
+
+@register(
+    "q119_retention_expire_versions",
+    category="scan-filter-project",
+    doc="Retention GC under the driver contract — the lifecycle op that "
+    "completes the lakehouse layer (pipeline/manifest.py "
+    "expire_versions, Iceberg's expire_snapshots): publish v1, append "
+    "v2 (carries v1's files BY REFERENCE), compact v3 (rewrites "
+    "everything), append v4, then expire to keep_last=2. The refcount "
+    "is the content of the proof: v1/v2's manifests and their "
+    "now-exclusively-owned bytes are reclaimed, while every byte the "
+    "retained v3/v4 reference survives — the CURRENT aggregate and the "
+    "TIME-TRAVELED v3 aggregate are both restated by the oracle from "
+    "the source predicates, so a GC that deleted one shared file too "
+    "many (the classic retention bug: diffing directories instead of "
+    "refcounting manifests) hash-mismatches. Bounds-audit literals pin "
+    "the rest: exactly two versions expired, some bytes actually "
+    "reclaimed, and the expired v1 no longer time-travels. "
+    "vacuum_orphans (crashed-publisher staging reclaim, age-fenced) "
+    "and the rollback-target/pending-purge guards stay pytest-pinned "
+    "(tests/test_manifest.py). At 100 TB this bounds time-travel "
+    "storage: manifests are KB-sized, the delete list is exact from "
+    "the refcount, and no directory diff ever runs.",
+    oracle="""
+SELECT dim, n, total_value, n_expired, reclaimed_some, v1_gone FROM (
+  SELECT 'current' AS dim,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(2 AS BIGINT) AS n_expired,
+         TRUE AS reclaimed_some,
+         TRUE AS v1_gone
+  FROM events
+  UNION ALL
+  SELECT 'v3_time_travel',
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+         CAST(2 AS BIGINT), TRUE, TRUE
+  FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00'
+)
+ORDER BY dim
+""",
+)
+def q119_retention_expire_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("expire_events", sf_dir)
+    c1, c2 = "2024-01-15", "2024-01-25"
+    manifest.publish_version(ev.filter(F.col("ts") < c1), path)          # v1
+    manifest.append_version(
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), path
+    )                                                                     # v2
+    manifest.compact(spark, path, target_files=2)                         # v3
+    manifest.append_version(ev.filter(F.col("ts") >= c2), path)          # v4
+    out = manifest.expire_versions(spark, path, keep_last=2)
+    try:
+        manifest.read_version(spark, path, 1)
+        v1_gone = False
+    except Exception:
+        v1_gone = True
+
+    def agg(df: DataFrame, dim: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        ).select(
+            F.lit(dim).alias("dim"),
+            "n",
+            "total_value",
+            F.lit(out["versions_expired"]).cast("long").alias("n_expired"),
+            F.lit(out["files_deleted"] > 0).alias("reclaimed_some"),
+            F.lit(v1_gone).alias("v1_gone"),
+        )
+
+    return (
+        agg(manifest.read_version(spark, path), "current")
+        .unionByName(agg(manifest.read_version(spark, path, 3), "v3_time_travel"))
+        .orderBy("dim")
+    )

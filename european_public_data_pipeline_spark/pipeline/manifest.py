@@ -652,6 +652,137 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def expire_versions(
+    spark: SparkSession, table_path: str, keep_last: int
+) -> dict:
+    """Retention GC — Iceberg's expire_snapshots for the manifest table:
+    drop every committed version except the newest ``keep_last`` (the
+    LATEST pointer's target is always retained too, so a rolled-back
+    table never loses the version it is serving), then delete the data
+    files that NO retained manifest references. Refcounting is the whole
+    point: append chains carry prior files BY REFERENCE, so a file
+    published in v1 and still referenced by the retained v4 must survive
+    v1's expiry — only bytes exclusively owned by expired history are
+    reclaimed (after a compaction rewrote the table, the pre-compaction
+    originals finally become reclaimable). Expired versions' Bloom
+    sidecar directories are dropped with them.
+
+    Crash-safe by ordering, like purge replay: expired MANIFESTS are
+    deleted first (the files become unreferenced-by-any-manifest), the
+    newly unreferenced files after — a crash between the two leaves only
+    benign orphans that ``vacuum_orphans`` reclaims. Refuses to run
+    while a pending purge tombstone exists (the tombstone's remap plan
+    names files by path; expiring versions under it could strand the
+    replay) — run ``purge_rows`` once to replay it first. Maintenance
+    windows are single-writer, like purge/compact.
+
+    At 100 TB this is the op that keeps time-travel storage bounded:
+    manifests are KB-sized so planning is metadata-scale, and the delete
+    list is exact from the refcount — never a directory diff."""
+    if keep_last < 1:
+        raise ValueError("expire_versions: keep_last must be >= 1")
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if fs.exists(pdir) and any(
+        st.getPath().getName().startswith("pending-")
+        for st in fs.listStatus(pdir)
+    ):
+        raise RuntimeError(
+            f"expire_versions: {table_path} has a pending purge tombstone; "
+            f"run purge_rows (any values) to replay it to completion first"
+        )
+    vs = versions(spark, table_path)
+    if not vs:
+        return {"versions_expired": 0, "files_deleted": 0, "indexes_dropped": 0}
+    keep = set(vs[-keep_last:]) | {current_version(spark, table_path)}
+    expired = [v for v in vs if v not in keep]
+    if not expired:
+        return {"versions_expired": 0, "files_deleted": 0, "indexes_dropped": 0}
+    retained_refs = {
+        _path_key(f)
+        for v in keep
+        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]
+    }
+    doomed: dict[str, str] = {}  # path_key -> original path string
+    for v in expired:
+        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]:
+            k = _path_key(f)
+            if k not in retained_refs:
+                doomed.setdefault(k, f)
+    # 1. Manifests first: after this, the doomed files are referenced by
+    #    nothing and time travel to expired versions fails descriptively.
+    for v in expired:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{table_path}/manifest/{v:08d}.json"),
+            False,
+        )
+    # 2. Exclusively-owned bytes.
+    n_files = 0
+    for f in doomed.values():
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p):
+            fs.delete(p, False)
+            n_files += 1
+    # 3. Expired versions' index sidecars (any column).
+    n_idx = 0
+    idx_root = jvm.org.apache.hadoop.fs.Path(f"{table_path}/index")
+    if fs.exists(idx_root):
+        prefixes = tuple(f"v{v:08d}-" for v in expired)
+        for st in fs.listStatus(idx_root):
+            if st.getPath().getName().startswith(prefixes):
+                fs.delete(st.getPath(), True)
+                n_idx += 1
+    return {
+        "versions_expired": len(expired),
+        "files_deleted": n_files,
+        "indexes_dropped": n_idx,
+    }
+
+
+def vacuum_orphans(
+    spark: SparkSession, table_path: str, min_age_seconds: float = 86400.0
+) -> dict:
+    """Reclaim data files under ``{table}/data`` that NO committed
+    manifest references — Delta's VACUUM: crashed publishers leave
+    uuid-staged batches no manifest ever named, and a crash inside
+    ``expire_versions`` (between manifest and file deletes) leaves
+    exactly-once-referenced bytes behind. ``min_age_seconds`` is the
+    safety fence against in-flight commits: a publisher stages its batch
+    BEFORE writing the manifest, so a young unreferenced file may be a
+    commit in progress — only files older than the fence are deleted
+    (default one day, far beyond any commit's stage-to-manifest gap).
+    Empty staging directories are removed after their files. Metadata-
+    scale: reads every manifest (KB each) and lists the data tree."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    referenced = {
+        _path_key(f)
+        for v in versions(spark, table_path)
+        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]
+    }
+    droot = jvm.org.apache.hadoop.fs.Path(f"{table_path}/data")
+    if not fs.exists(droot):
+        return {"files_deleted": 0, "dirs_removed": 0}
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
+    n_files = 0
+    dirs = []
+    it = fs.listFiles(droot, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        if _path_key(str(p.toString())) in referenced:
+            continue
+        if st.getModificationTime() > cutoff_ms:
+            continue  # possibly an in-flight commit's staged batch
+        fs.delete(p, False)
+        n_files += 1
+    n_dirs = 0
+    for st in fs.listStatus(droot):
+        if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
+            fs.delete(st.getPath(), True)
+            n_dirs += 1
+    return {"files_deleted": n_files, "dirs_removed": n_dirs}
+
+
 def _apply_purge_plan(
     spark: SparkSession,
     table_path: str,

@@ -907,3 +907,108 @@ def test_rebuild_index_covers_every_indexed_version(spark, tmp_path):
     for p in rebuilt:
         for r in spark.read.parquet(p).select("file").distinct().collect():
             assert os.path.exists(r["file"].replace("file:", ""))
+
+
+def test_expire_versions_refcounts_shared_files(spark, tmp_path):
+    """Retention GC must delete ONLY bytes no retained manifest
+    references: append chains share files by reference, so expiring v1
+    while the retained head still carries v1's files must keep them;
+    after a compaction rewrote the table, the pre-compaction originals
+    become exclusively-expired and are reclaimed. Expired sidecars drop;
+    time travel inside retention survives."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)       # v1
+    M.append_version(_ranged(spark, 5, 9), t)       # v2 = v1 files + batch
+    v1_files = M._read_json(spark, f"{t}/manifest/00000001.json")["files"]
+    build_bloom_index(spark, t, "k", version=1)
+
+    # Expire v1 while v2 still references its files: manifest + sidecar
+    # go, every byte stays.
+    out = M.expire_versions(spark, t, keep_last=1)
+    assert out == {"versions_expired": 1, "files_deleted": 0, "indexes_dropped": 1}
+    assert M.versions(spark, t) == [2]
+    for f in v1_files:
+        assert os.path.exists(f.replace("file:", ""))
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == list(range(10))
+    with pytest.raises(Exception):
+        M.read_version(spark, t, 1)  # expired: time travel fails loudly
+
+    # Compact (v3 rewrites everything), append v4, then expire to the
+    # last two: v2's files (the original shared batches) are now
+    # exclusively-expired and reclaimed.
+    M.compact(spark, t, target_files=2)             # v3
+    M.append_version(_ranged(spark, 10, 14), t)     # v4
+    v2_files = M._read_json(spark, f"{t}/manifest/00000002.json")["files"]
+    retained = {
+        M._path_key(f)
+        for v in (3, 4)
+        for f in M._read_json(spark, f"{t}/manifest/{v:08d}.json")["files"]
+    }
+    exclusive = {M._path_key(f) for f in v2_files} - retained
+    out = M.expire_versions(spark, t, keep_last=2)
+    assert out["versions_expired"] == 1
+    assert out["files_deleted"] == len(exclusive) > 0
+    assert M.versions(spark, t) == [3, 4]
+    for f in v1_files:
+        assert not os.path.exists(f.replace("file:", "")), "expired bytes leaked"
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == list(range(15))
+    assert sorted(r["k"] for r in M.read_version(spark, t, 3).collect()) == list(range(10))
+
+
+def test_expire_versions_retains_rollback_target_and_guards_purge(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)       # v1
+    M.publish_version(_ranged(spark, 5, 9), t)      # v2 (rewrite)
+    M.publish_version(_ranged(spark, 10, 14), t)    # v3 (rewrite)
+    M.rollback(spark, t, 1)
+    # keep_last=1 would nominally keep only v3 — but LATEST points at v1.
+    out = M.expire_versions(spark, t, keep_last=1)
+    assert out["versions_expired"] == 1            # only v2 expired
+    assert M.versions(spark, t) == [1, 3]
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == [0, 1, 2, 3, 4]
+    # Pending purge tombstone blocks expiry.
+    M._write_json(
+        spark, f"{t}/purge/pending-cafe.json",
+        {"remap": {}, "removed": {}}, overwrite=True,
+    )
+    with pytest.raises(RuntimeError, match="pending purge"):
+        M.expire_versions(spark, t, keep_last=1)
+    with pytest.raises(ValueError, match="keep_last"):
+        M.expire_versions(spark, t, keep_last=0)
+
+
+def test_vacuum_orphans_reclaims_unreferenced_aged_files(spark, tmp_path):
+    import os
+    import time as _t
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)
+    # A crashed publisher's staged batch: written, never committed.
+    orphan_dir = f"{t}/data/v00000099-deadbeefcafe"
+    _ranged(spark, 90, 94).write.parquet(orphan_dir)
+    # Age the orphans past the fence.
+    old = _t.time() - 10_000
+    for root, _dirs, files in os.walk(orphan_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["files_deleted"] >= 1 and out["dirs_removed"] >= 1
+    assert not os.path.exists(orphan_dir)
+    # Referenced data untouched; young unreferenced files survive the fence.
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == [0, 1, 2, 3, 4]
+    young_dir = f"{t}/data/v00000098-00000000beef"
+    _ranged(spark, 80, 84).write.parquet(young_dir)
+    out2 = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out2["files_deleted"] == 0
+    assert os.path.exists(young_dir)
