@@ -2777,3 +2777,74 @@ def q119_retention_expire_versions(spark: SparkSession, sf_dir: str) -> DataFram
         .unionByName(agg(manifest.read_version(spark, path, 3), "v3_time_travel"))
         .orderBy("dim")
     )
+
+
+@register(
+    "q120_manifest_schema_evolution",
+    category="scan-filter-project",
+    doc="Additive schema evolution on manifest tables under the driver "
+    "contract — the manifest OWNS the schema (pipeline/manifest.py "
+    "_merge_schemas/_read_files, Delta/Iceberg's rule): v1 publishes "
+    "events WITHOUT the event_type column, v2 appends the later rows "
+    "WITH it; the committed v2 manifest records the union schema "
+    "(prior columns first, new column appended), so the current read "
+    "serves every row with pre-evolution rows reading the new column "
+    "as NULL — parquet-footer inference would instead serve whichever "
+    "file's schema the reader sampled and silently drop the column for "
+    "everyone. The oracle restates the per-bucket aggregate with a "
+    "CASE on the cutoff (legacy rows grouped under the NULL-backfill "
+    "bucket), so a reader that lost the column, backfilled the wrong "
+    "rows, or dropped legacy rows hash-mismatches; the time-traveled "
+    "v1 column count (a pre-evolution schema stays ITS OWN schema) "
+    "rides as a bounds-audit literal. Same-name type conflicts refuse "
+    "loudly and compaction/purge preserve evolution — pytest-pinned "
+    "(tests/test_manifest.py). At 100 TB: schema changes are a KB "
+    "manifest commit, never a table rewrite, and readers never pay "
+    "footer sampling to learn the schema.",
+    oracle="""
+SELECT bucket, n, total_value, v1_ncols FROM (
+  SELECT CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+              THEN '(pre-evolution)' ELSE event_type END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(3 AS BIGINT) AS v1_ncols
+  FROM events
+  GROUP BY 1
+)
+ORDER BY bucket
+""",
+)
+def q120_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch_table_path("evolve_events", sf_dir)
+    cutoff = "2024-01-20"
+    manifest.publish_version(
+        ev.filter(F.col("ts") < cutoff).select("event_id", "ts", "value"), path
+    )
+    manifest.append_version(
+        ev.filter(F.col("ts") >= cutoff).select(
+            "event_id", "ts", "value", "event_type"
+        ),
+        path,
+    )
+    v1_ncols = len(manifest.read_version(spark, path, 1).columns)
+    return (
+        manifest.read_version(spark, path)
+        .groupBy(
+            F.coalesce(F.col("event_type"), F.lit("(pre-evolution)")).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "bucket", "n", "total_value",
+            F.lit(v1_ncols).cast("long").alias("v1_ncols"),
+        )
+        .orderBy("bucket")
+    )

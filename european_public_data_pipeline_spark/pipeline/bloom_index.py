@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.manifest import (
     _path_key,
+    _read_files,
     _read_json,
     _write_json,
     current_version,
@@ -90,7 +91,7 @@ def build_bloom_index(
             f"build_bloom_index: version {v} of {table_path} references "
             f"no files — nothing to index"
         )
-    src = spark.read.parquet(*m["files"])
+    src = _read_files(spark, m)
     if bits is None:
         max_rows = (
             src.groupBy(F.input_file_name())
@@ -188,13 +189,13 @@ def read_point(
         sidecar = spark.read.parquet(idx)
         bits = int(_read_json(spark, f"{idx}/_bloom_meta.json")["bits"])
     except Exception:
-        return spark.read.parquet(*m["files"]).where(F.col(col).isin(values))
+        return _read_files(spark, m).where(F.col(col).isin(values))
     # Every value's k (word, mask) cells, computed with the SAME hash
     # expressions and bit width the builder used, in ONE 1-row job.
     # xxhash64 hashes the TYPED binary value, so each literal must carry
     # the column's exact dtype — an int probe against a bigint column
     # would silently hash differently and read as a false negative.
-    dt = spark.read.parquet(m["files"][0]).schema[col].dataType
+    dt = _read_files(spark, m, [m["files"][0]]).schema[col].dataType
     probe = (
         spark.range(1)
         .select(
@@ -250,8 +251,8 @@ def read_point(
         if _path_key(f) in cand_keys or _path_key(f) not in indexed
     ]
     if not keep:
-        return spark.read.parquet(m["files"][0]).where(F.lit(False))
-    return spark.read.parquet(*keep).where(F.col(col).isin(values))
+        return _read_files(spark, m, [m["files"][0]]).where(F.lit(False))
+    return _read_files(spark, m, keep).where(F.col(col).isin(values))
 
 
 def rebuild_index(

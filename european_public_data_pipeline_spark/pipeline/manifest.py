@@ -121,6 +121,53 @@ def versions(spark: SparkSession, table_path: str) -> list[int]:
     return sorted(out)
 
 
+def _merge_schemas(prior_json: str | None, staged):
+    """Additive schema evolution (Delta/Iceberg's rule): the new
+    version's schema is the prior schema plus any columns the staged
+    batch introduces, in prior-first order. A same-name column with a
+    DIFFERENT type is an error — silent coercion would corrupt either
+    history or the batch; widen explicitly by rewriting instead."""
+    from pyspark.sql.types import StructType
+
+    if prior_json is None:
+        return staged
+    prior = StructType.fromJson(json.loads(prior_json))
+    by_name = {f.name: f for f in prior.fields}
+    out = list(prior.fields)
+    for f in staged.fields:
+        have = by_name.get(f.name)
+        if have is None:
+            out.append(f)
+        elif have.dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution conflict on column {f.name!r}: table has "
+                f"{have.dataType.simpleString()}, batch has "
+                f"{f.dataType.simpleString()} — additive evolution only; "
+                f"widen by explicit rewrite"
+            )
+    return StructType(out)
+
+
+def _read_files(spark: SparkSession, m: dict, files: list | None = None) -> DataFrame:
+    """Plan a read over a manifest's files USING THE MANIFEST'S SCHEMA
+    when recorded: the manifest, not parquet-footer inference, owns the
+    table schema — after additive evolution, pre-evolution files lack
+    the new columns, and an inferred read would serve whichever file's
+    schema the reader sampled (silently dropping columns). With the
+    stored schema, missing columns read as NULL — the lakehouse
+    contract. Tables committed before schemas were recorded fall back
+    to inference (their files are homogeneous by construction)."""
+    fl = m["files"] if files is None else files
+    sj = m.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(
+            StructType.fromJson(json.loads(sj))
+        ).parquet(*fl)
+    return spark.read.parquet(*fl)
+
+
 def _stage_dir(table_path: str, n: int) -> str:
     """A publisher-unique staging prefix for candidate version ``n``.
 
@@ -213,6 +260,7 @@ def _commit(
     meta: dict | None = None,
     stats_cols: tuple[str, ...] = (),
     carried_stats: dict | None = None,
+    carried_schema: str | None = None,
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -279,7 +327,12 @@ def _commit(
         return cf, cr, cs
 
     # Parquet count() is answered from row-group metadata — no data read.
-    staged_rows = spark.read.parquet(data_dir).count()
+    staged_df = spark.read.parquet(data_dir)
+    staged_rows = staged_df.count()
+    # The manifest owns the schema (readers never infer): prior columns
+    # first, the batch's new columns appended — additive evolution, with
+    # a loud error on a same-name type conflict (_merge_schemas).
+    version_schema = _merge_schemas(carried_schema, staged_df.schema).json()
     staged_stats: dict = {}
     if stats_cols:
         try:
@@ -302,6 +355,7 @@ def _commit(
         "files": list(carried_files) + staged,
         "row_count": carried_rows + staged_rows,
         "published_at": time.time(),
+        "schema": version_schema,
     }
     if meta:
         payload["meta"] = meta
@@ -372,6 +426,13 @@ def append_version(
     n = vs[-1] + 1
     data_dir = _stage_dir(table_path, n)
     df.write.mode("overwrite").parquet(data_dir)
+    carried_schema = prior.get("schema")
+    if carried_schema is None and prior["files"]:
+        # Legacy table (committed before schemas were recorded): derive
+        # the carried schema from one prior file's footer so an evolving
+        # append cannot orphan the prior columns. Homogeneous by
+        # construction — any file serves.
+        carried_schema = spark.read.parquet(prior["files"][0]).schema.json()
     return _commit(
         spark,
         table_path,
@@ -382,6 +443,7 @@ def append_version(
         meta=meta if meta is not None else prior.get("meta"),
         stats_cols=stats_cols,
         carried_stats=prior.get("file_stats"),
+        carried_schema=carried_schema,
     )
 
 
@@ -425,7 +487,7 @@ def compact(
         raise FileNotFoundError(f"nothing to compact at {table_path}")
     head = vs[-1]
     prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
-    df = spark.read.parquet(*prior["files"])
+    df = _read_files(spark, prior)
     if cluster_by is not None:
         df = df.repartitionByRange(
             max(1, target_files), cluster_by
@@ -478,7 +540,7 @@ def read_version(
     Loads exactly the manifest's file list — never a directory listing."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
-    return spark.read.parquet(*m["files"])
+    return _read_files(spark, m)
 
 
 def read_incremental(
@@ -502,7 +564,8 @@ def read_incremental(
     old = set(
         _read_json(spark, f"{table_path}/manifest/{from_version:08d}.json")["files"]
     )
-    new = _read_json(spark, f"{table_path}/manifest/{to_v:08d}.json")["files"]
+    m_to = _read_json(spark, f"{table_path}/manifest/{to_v:08d}.json")
+    new = m_to["files"]
     added = [f for f in new if f not in old]
     if not added:
         from pyspark.sql import functions as F
@@ -516,8 +579,8 @@ def read_incremental(
                 f"read_incremental: versions {from_version}..{to_v} of "
                 f"{table_path} reference no files — no schema to derive"
             )
-        return spark.read.parquet(schema_file).where(F.lit(False))
-    return spark.read.parquet(*added)
+        return _read_files(spark, m_to, [schema_file]).where(F.lit(False))
+    return _read_files(spark, m_to, added)
 
 
 def prune_files(
@@ -581,8 +644,10 @@ def read_where(
                 f"read_where: version {v} of {table_path} references no "
                 f"files — no schema to derive"
             )
-        return spark.read.parquet(m["files"][0]).where(F.lit(False))
-    return spark.read.parquet(*keep).where(F.col(col).between(F.lit(lo), F.lit(hi)))
+        return _read_files(spark, m, [m["files"][0]]).where(F.lit(False))
+    return _read_files(spark, m, keep).where(
+        F.col(col).between(F.lit(lo), F.lit(hi))
+    )
 
 
 def publish_version_gated(df: DataFrame, suite, table_path: str) -> int:
@@ -1016,9 +1081,14 @@ def purge_rows(
     removed_per_file: dict[str, int] = {}
     if candidates:
         # One job over every candidate file: per-file total and matched
-        # counts, keyed by input_file_name.
+        # counts, keyed by input_file_name. Read with the NEWEST stored
+        # schema (the additive superset): a pre-evolution candidate that
+        # lacks an evolved purge column reads it as NULL -> zero matches
+        # -> untouched, instead of failing inference. (Files that DO
+        # match are rewritten below with their OWN natural schema — a
+        # purge must not widen a file it rewrites.)
         counts = (
-            spark.read.parquet(*candidates)
+            _read_files(spark, manifests[vs[-1]], candidates)
             .select(
                 F.input_file_name().alias("__f"),
                 F.col(col).isin(values).alias("__m"),

@@ -1012,3 +1012,63 @@ def test_vacuum_orphans_reclaims_unreferenced_aged_files(spark, tmp_path):
     out2 = M.vacuum_orphans(spark, t, min_age_seconds=3600)
     assert out2["files_deleted"] == 0
     assert os.path.exists(young_dir)
+
+
+def test_manifest_schema_evolution_additive(spark, tmp_path):
+    """The manifest owns the schema: an append may ADD columns; every
+    reader (current, time travel, incremental, zone-pruned) serves the
+    union schema with pre-evolution rows reading the new columns as
+    NULL. A same-name type conflict fails loudly. Compaction preserves
+    the evolved schema."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)  # v1: (k, v)
+    evolved = spark.createDataFrame(
+        [(10, "v10", "s1"), (11, "v11", "s2")], "k long, v string, src string"
+    ).coalesce(1)
+    M.append_version(evolved, t, stats_cols=("k",))  # v2 adds src
+
+    cur = M.read_version(spark, t)
+    assert cur.columns == ["k", "v", "src"]
+    rows = sorted((r["k"], r["src"]) for r in cur.collect())
+    assert rows == [(0, None), (1, None), (2, None), (3, None), (4, None),
+                    (10, "s1"), (11, "s2")]
+    # Time travel to v1 serves v1's OWN (pre-evolution) schema.
+    assert M.read_version(spark, t, 1).columns == ["k", "v"]
+    # Incremental delta between v1 and v2 carries the evolved schema.
+    inc = M.read_incremental(spark, t, 1, 2)
+    assert inc.columns == ["k", "v", "src"]
+    assert sorted(r["k"] for r in inc.collect()) == [10, 11]
+    # Zone-pruned read on k over the mixed files serves the union schema.
+    w = M.read_where(spark, t, "k", 0, 20)
+    assert w.columns == ["k", "v", "src"] and w.count() == 7
+    # Compaction preserves the evolved schema and the NULL backfill.
+    M.compact(spark, t, target_files=1)
+    c = M.read_version(spark, t)
+    assert c.columns == ["k", "v", "src"]
+    assert sorted((r["k"], r["src"]) for r in c.collect()) == rows
+    # Type conflict: k as string must refuse.
+    bad = spark.createDataFrame([("x", "y")], "k string, v string")
+    with pytest.raises(Exception, match="schema evolution conflict"):
+        M.append_version(bad, t)
+
+
+def test_purge_on_evolved_column_skips_pre_evolution_files(spark, tmp_path):
+    """Purging values of a column ADDED by evolution: pre-evolution
+    candidate files read the column as NULL through the superset schema
+    (zero matches -> untouched), files that match are rewritten with
+    their OWN natural schema, and reads stay exact."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)  # v1: (k, v), no src
+    evolved = spark.createDataFrame(
+        [(10, "v10", 7), (11, "v11", 8)], "k long, v string, src long"
+    ).coalesce(1)
+    M.append_version(evolved, t)
+    out = M.purge_rows(spark, t, "src", [7])
+    assert out["rows_removed"] == 1
+    cur = M.read_version(spark, t)
+    assert sorted((r["k"], r["src"]) for r in cur.collect()) == [
+        (0, None), (1, None), (2, None), (3, None), (4, None), (11, 8)]
