@@ -717,6 +717,36 @@ def table_history(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _referenced_files(
+    spark: SparkSession, table_path: str, vers: list[int] | None = None
+) -> set[str]:
+    """Path keys of every file a committed manifest references — THE
+    liveness set shared by retention GC, vacuum, and legacy-tombstone
+    replay, so the three can never disagree on what is live. Pending
+    purge tombstones' remap TARGETS count as live too: a crashed purge
+    has already written its rewritten files, and replay will commit
+    them into the manifests — a vacuum that reclaimed them would make
+    the replay remap every manifest to deleted paths."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    vs = vers if vers is not None else versions(spark, table_path)
+    refs = {
+        _path_key(f)
+        for v in vs
+        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]
+    }
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if fs.exists(pdir):
+        for st in fs.listStatus(pdir):
+            nm = st.getPath().getName()
+            if not (nm.startswith("pending-") and nm.endswith(".json")):
+                continue
+            plan = _read_json(spark, str(st.getPath().toString()))
+            refs.update(
+                _path_key(t) for t in plan.get("remap", {}).values() if t
+            )
+    return refs
+
+
 def expire_versions(
     spark: SparkSession, table_path: str, keep_last: int
 ) -> dict:
@@ -750,6 +780,7 @@ def expire_versions(
     pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
     if fs.exists(pdir) and any(
         st.getPath().getName().startswith("pending-")
+        and st.getPath().getName().endswith(".json")
         for st in fs.listStatus(pdir)
     ):
         raise RuntimeError(
@@ -763,11 +794,7 @@ def expire_versions(
     expired = [v for v in vs if v not in keep]
     if not expired:
         return {"versions_expired": 0, "files_deleted": 0, "indexes_dropped": 0}
-    retained_refs = {
-        _path_key(f)
-        for v in keep
-        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]
-    }
+    retained_refs = _referenced_files(spark, table_path, sorted(keep))
     doomed: dict[str, str] = {}  # path_key -> original path string
     for v in expired:
         for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]:
@@ -819,11 +846,7 @@ def vacuum_orphans(
     Empty staging directories are removed after their files. Metadata-
     scale: reads every manifest (KB each) and lists the data tree."""
     jvm, fs, _ = hadoop_fs(spark, table_path)
-    referenced = {
-        _path_key(f)
-        for v in versions(spark, table_path)
-        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]
-    }
+    referenced = _referenced_files(spark, table_path)
     droot = jvm.org.apache.hadoop.fs.Path(f"{table_path}/data")
     if not fs.exists(droot):
         return {"files_deleted": 0, "dirs_removed": 0}
@@ -943,14 +966,7 @@ def _replay_pending_purges(spark: SparkSession, table_path: str) -> None:
                 spark, table_path, plan["remap"], plan["removed"], tomb
             )
             continue
-        referenced = set()
-        for v in versions(spark, table_path):
-            referenced.update(
-                _path_key(f)
-                for f in _read_json(
-                    spark, f"{table_path}/manifest/{v:08d}.json"
-                )["files"]
-            )
+        referenced = _referenced_files(spark, table_path)
         kept = []
         for old in plan["files"]:
             if _path_key(old) in referenced:
@@ -1081,14 +1097,42 @@ def purge_rows(
     removed_per_file: dict[str, int] = {}
     if candidates:
         # One job over every candidate file: per-file total and matched
-        # counts, keyed by input_file_name. Read with the NEWEST stored
-        # schema (the additive superset): a pre-evolution candidate that
-        # lacks an evolved purge column reads it as NULL -> zero matches
-        # -> untouched, instead of failing inference. (Files that DO
+        # counts, keyed by input_file_name. Plan the read with a ONE-
+        # COLUMN schema for the purge column (parquet reads by name), so
+        # a candidate that lacks the column — a pre-evolution file, OR a
+        # newest version whose rewrite dropped it while older versions
+        # still carry it — reads NULL -> zero matches -> untouched,
+        # instead of failing inference or the newest-schema projection.
+        # The column's type comes from the newest manifest schema that
+        # HAS it, else a candidate file's own footer. (Files that DO
         # match are rewritten below with their OWN natural schema — a
         # purge must not widen a file it rewrites.)
+        from pyspark.sql.types import StructType
+
+        purge_field = None
+        for v in reversed(vs):
+            sj = manifests[v].get("schema")
+            if not sj:
+                continue
+            for fld in StructType.fromJson(json.loads(sj)).fields:
+                if fld.name == col:
+                    purge_field = fld
+                    break
+            if purge_field is not None:
+                break
+        if purge_field is None:
+            for f in candidates:
+                sch = spark.read.parquet(f).schema
+                if col in sch.names:
+                    purge_field = sch[col]
+                    break
+        if purge_field is None:
+            raise ValueError(
+                f"purge_rows: column {col!r} exists in no committed "
+                f"version of {table_path}"
+            )
         counts = (
-            _read_files(spark, manifests[vs[-1]], candidates)
+            spark.read.schema(StructType([purge_field])).parquet(*candidates)
             .select(
                 F.input_file_name().alias("__f"),
                 F.col(col).isin(values).alias("__m"),

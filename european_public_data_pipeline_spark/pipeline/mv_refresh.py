@@ -100,10 +100,19 @@ def refresh_event_summary(
     # purge_rows rewrites history in place without bumping versions: the
     # applied manifest's file list changing under the MV means the rows
     # the aggregate absorbed may no longer exist — rebuild, even when no
-    # new source version arrived.
-    history_intact = applied == 0 or (
-        meta.get(_META_FILES_MD5) == _files_md5(spark, src_path, applied)
-    )
+    # new source version arrived. An applied manifest that no longer
+    # EXISTS (expire_versions retention GC dropped it) is the same
+    # signal: the watermark's anchor is gone, so fall back to a full
+    # recompute instead of failing every refresh forever.
+    if applied == 0:
+        history_intact = True
+    else:
+        try:
+            history_intact = meta.get(_META_FILES_MD5) == _files_md5(
+                spark, src_path, applied
+            )
+        except Exception:
+            history_intact = False  # applied version expired/unreadable
     if applied >= src_v and history_intact:
         return applied  # nothing new — idempotent no-op
 

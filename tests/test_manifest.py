@@ -1072,3 +1072,111 @@ def test_purge_on_evolved_column_skips_pre_evolution_files(spark, tmp_path):
     cur = M.read_version(spark, t)
     assert sorted((r["k"], r["src"]) for r in cur.collect()) == [
         (0, None), (1, None), (2, None), (3, None), (4, None), (11, 8)]
+
+
+def test_vacuum_never_reclaims_pending_purge_remap_targets(spark, tmp_path):
+    """Round-9 review (data loss): a purge that crashed AFTER writing its
+    rewritten files and tombstone but BEFORE any remap leaves the remap
+    TARGETS unreferenced by every manifest — vacuum must treat them as
+    live (the replay will commit them), or the replay remaps manifests
+    to deleted paths and then deletes the originals."""
+    import os
+    import time as _t
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 9), t)
+    real_write = M._write_json
+
+    def crashing_write(spark_, path_str, payload, *, overwrite):
+        if "/manifest/" in path_str and overwrite:
+            raise IOError("injected: crash before any remap")
+        return real_write(spark_, path_str, payload, overwrite=overwrite)
+
+    M._write_json = crashing_write
+    try:
+        with pytest.raises(IOError):
+            M.purge_rows(spark, t, "k", [7])
+    finally:
+        M._write_json = real_write
+    pend = [n for n in os.listdir(f"{t}/purge") if n.startswith("pending-")]
+    plan = M._read_json(spark, f"{t}/purge/{pend[0]}")
+    (target,) = [v for v in plan["remap"].values() if v]
+
+    # Age EVERYTHING under data/ past the fence, then vacuum.
+    old = _t.time() - 10_000
+    for root, _dirs, files in os.walk(f"{t}/data"):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert os.path.exists(target.replace("file:", "")), (
+        "vacuum reclaimed a pending tombstone's remap target")
+    # Replay completes exactly: purged key gone, all other rows intact.
+    M.purge_rows(spark, t, "k", [999_999])
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == [
+        0, 1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_mv_refresh_full_rebuild_when_applied_version_expired(spark, tmp_path):
+    """Round-9 review: retention GC can expire the source version an MV
+    last applied; the next refresh must fall back to a FULL recompute
+    (the watermark's anchor is gone), not fail forever."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        refresh_event_summary,
+    )
+    from pyspark.sql import functions as F
+
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    ev = spark.createDataFrame(
+        [("a", 1.0, "2024-01-01 00:00:00"), ("b", 2.0, "2024-01-02 00:00:00")],
+        "event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    M.publish_version(ev, src)                       # v1
+    refresh_event_summary(spark, src, mv)            # applied = 1
+    M.publish_version(ev.union(ev), src)             # v2 (rewrite)
+    M.publish_version(ev, src)                       # v3 (rewrite)
+    M.expire_versions(spark, src, keep_last=2)       # v1 (the anchor) gone
+    refresh_event_summary(spark, src, mv)            # must not raise
+    out = {r["event_type"]: r["n_events"] for r in M.read_version(spark, mv).collect()}
+    assert out == {"a": 1, "b": 1}
+
+
+def test_purge_on_column_dropped_by_later_rewrite(spark, tmp_path):
+    """Round-9 review: purging a column that a later full rewrite DROPPED
+    from the current schema must still erase it from the older,
+    still-time-travelable versions (single-column probe schema, not the
+    newest manifest's projection)."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    with_src = spark.createDataFrame(
+        [(0, "a", 7), (1, "b", 8)], "k long, v string, src long"
+    ).coalesce(1)
+    M.publish_version(with_src, t)                       # v1 has src
+    M.publish_version(_ranged(spark, 10, 12), t)         # v2 rewrite drops src
+    out = M.purge_rows(spark, t, "src", [7])
+    assert out["rows_removed"] == 1
+    assert sorted(r["k"] for r in M.read_version(spark, t, 1).collect()) == [1]
+    assert sorted(r["k"] for r in M.read_version(spark, t).collect()) == [10, 11, 12]
+    with pytest.raises(ValueError, match="exists in no committed"):
+        M.purge_rows(spark, t, "nope", [1])
+
+
+def test_expire_guard_ignores_crashed_tmp_tombstones(spark, tmp_path):
+    """Round-9 review: a crashed _write_json leaves pending-*.json.<uuid>.tmp
+    — not a tombstone. The expiry guard must ignore it (replay and the
+    commit fence already do), or expiry is blocked forever with a
+    remediation (purge_rows) that cannot clear it."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(_ranged(spark, 0, 4), t)
+    M.publish_version(_ranged(spark, 5, 9), t)
+    os.makedirs(f"{t}/purge", exist_ok=True)
+    open(f"{t}/purge/pending-abc.json.deadbeef.tmp", "w").write("{}")
+    out = M.expire_versions(spark, t, keep_last=1)
+    assert out["versions_expired"] == 1

@@ -277,8 +277,14 @@ def test_g02_wedge_shuffles_ride_bounded_width(spark, sf_small):
     # exchanges...
     assert len(re.findall(rf"hashpartitioning\(src#\d+L?, {np_w}\)", plan)) >= 2
     assert len(re.findall(rf"hashpartitioning\(v#\d+L?, w#\d+L?, {np_w}\)", plan)) >= 2
-    # ...and no wedge-pipeline shuffle fell back to the session default
-    # (REPARTITION_BY_COL exchanges carry the pinned counts; the only
-    # allowed default-width exchanges belong to the upstream edge build).
-    semi = plan.split("ShuffledHashJoin", 1)
-    assert len(semi) == 2, "closing semi join must stay a shuffled hash join"
+    # ...no wedge-pipeline shuffle fell back to the session default:
+    # the wedge keys (src / v,w) may appear ONLY at the pinned width —
+    # a dropped repartition or a join-added Exchange would re-emerge at
+    # the session's shuffle-partition count (the round-9 OOM shape).
+    default_w = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert default_w != np_w, "test setup: widths must differ to discriminate"
+    assert not re.findall(rf"hashpartitioning\(src#\d+L?, {default_w}\)", plan)
+    assert not re.findall(
+        rf"hashpartitioning\(v#\d+L?, w#\d+L?, {default_w}\)", plan
+    )
+    assert "ShuffledHashJoin" in plan, "closing semi join must stay a shuffled hash join"
