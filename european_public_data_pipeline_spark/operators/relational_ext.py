@@ -2848,3 +2848,256 @@ def q120_manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q121_declarative_mv_second_shape",
+    category="aggregate",
+    doc="The generic MV engine maintaining a SECOND declarative shape "
+    "under the driver contract — the round-10 generalization of q110's "
+    "one hard-coded view (pipeline/mv_refresh.py): refresh_mv takes an "
+    "MVSpec (group keys + re-aggregable count/sum/min/max measures) on "
+    "the unchanged watermark + files-md5 + containment-hazard "
+    "machinery, and ORDER_TOTALS_SPEC maintains per-customer order "
+    "totals over a manifest orders table — the 100 TB generalization "
+    "of the reference's gold stage (load_hicp_to_sql.py:54-101), which "
+    "is exactly a maintained downstream aggregate of silver. Publish "
+    "pre-1999 orders -> refresh (full), append the rest -> refresh: "
+    "the second refresh must take the O(delta) incremental branch "
+    "(append commits carry prior files by reference), and the branch "
+    "it took rides as a bounds-audit literal from the MV's committed "
+    "meta. The oracle recomputes the totals over ALL orders directly, "
+    "so the green hash proves spec-driven merge == recompute for a "
+    "shape the engine had never seen — and non-re-aggregable measures "
+    "(avg/median/distinct) refuse at spec construction, pytest-pinned "
+    "in tests/test_mv_refresh.py. Money stays exact: centi-unit BIGINT "
+    "state, derived double computed once from the exact integer in "
+    "both engines.",
+    oracle="""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_total_c,
+       CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS DOUBLE) AS total_value,
+       MIN(CAST(o_orderdate AS TIMESTAMP)) AS first_order,
+       MAX(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+       CAST('incremental' AS VARCHAR) AS refresh2_mode
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+""",
+)
+def q121_declarative_mv_second_shape(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        ORDER_TOTALS_SPEC,
+        refresh_mv,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    src = _scratch_table_path("mv2src_orders", sf_dir)
+    mv = _scratch_table_path("mv2_order_totals", sf_dir)
+    cutoff = "1999-01-01"
+    manifest.publish_version(o.filter(F.col("o_orderdate") < cutoff), src)
+    refresh_mv(spark, src, mv, ORDER_TOTALS_SPEC)  # full (first build)
+    manifest.append_version(o.filter(F.col("o_orderdate") >= cutoff), src)
+    refresh_mv(spark, src, mv, ORDER_TOTALS_SPEC)  # incremental (append)
+    mode2 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    out = manifest.read_version(spark, mv)
+    return out.select(
+        "o_custkey",
+        "n_orders",
+        "sum_total_c",
+        (F.col("sum_total_c").cast("double") / F.lit(100.0)).alias("total_value"),
+        "first_order",
+        "last_order",
+        F.lit(mode2).alias("refresh2_mode"),
+    ).orderBy("o_custkey")
+
+
+@register(
+    "q122_vacuum_orphans",
+    category="scan-filter-project",
+    doc="vacuum_orphans under the driver contract — the crash-recovery "
+    "half of q119's retention story (pipeline/manifest.py, Delta's "
+    "VACUUM): the builder stages the exact crash states GC deliberately "
+    "leaves to vacuum — a crashed PUBLISHER's uuid-staged batch that no "
+    "manifest ever named, and a simulated mid-expire_versions crash "
+    "(v1/v2 manifests deleted, their exclusively-owned bytes left — "
+    "expire deletes manifests FIRST, bytes second) — backdates those "
+    "orphans past the age fence, plants a YOUNG unreferenced decoy "
+    "batch (an in-flight commit's staging, by construction newer than "
+    "the fence), and vacuums. The refcount walk must reclaim every "
+    "backdated orphan, remove their emptied staging dirs, and leave "
+    "BOTH the young decoy (the fence is the whole safety story: a "
+    "publisher stages before it commits) and every byte the live v3 "
+    "manifest references. The oracle restates the surviving table's "
+    "aggregate from source predicates plus bounds-audit literals "
+    "(orphans reclaimed, decoy survived), so a vacuum that diffed "
+    "directories instead of refcounting manifests — or ignored the "
+    "fence — hash-mismatches. With q119 this puts the whole lifecycle "
+    "(publish -> append -> compact -> expire -> crash -> vacuum) under "
+    "the driver hash; at 100 TB the walk is metadata-scale (KB "
+    "manifests + one recursive listing).",
+    oracle="""
+SELECT CAST('current' AS VARCHAR) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       TRUE AS deleted_some,
+       TRUE AS young_survived,
+       TRUE AS orphans_all_reclaimed
+FROM events
+WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00'
+""",
+)
+def q122_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("vacuum_events", sf_dir)
+    c1, c2 = "2024-01-15", "2024-01-25"
+    manifest.publish_version(ev.filter(F.col("ts") < c1), path)           # v1
+    manifest.append_version(
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), path
+    )                                                                      # v2
+    manifest.compact(spark, path, target_files=2)                          # v3
+    # Crash state A: a publisher staged its batch, then died before its
+    # manifest commit — a uuid-prefixed dir no manifest names.
+    ev.filter(F.col("ts") >= c2).coalesce(1).write.parquet(
+        f"{path}/data/v00000099-crashedpub"
+    )
+    # Crash state B: expire_versions died between its two phases —
+    # v1/v2 manifests already deleted, their exclusively-owned bytes
+    # (v3's compaction rewrote everything, so nothing is shared) left.
+    for v in (1, 2):
+        os.remove(f"{path}/manifest/{v:08d}.json")
+    # Backdate every unreferenced file past the fence (the crashes
+    # happened "long ago"); the decoy staged AFTER this stays young.
+    live = {
+        manifest._path_key(f)
+        for f in manifest._read_json(spark, f"{path}/manifest/{3:08d}.json")[
+            "files"
+        ]
+    }
+    stale_ts = _time.time() - 7200.0
+    for root, _dirs, files in os.walk(f"{path}/data"):
+        for fn in files:
+            p = os.path.join(root, fn)
+            if manifest._path_key(p) not in live:
+                os.utime(p, (stale_ts, stale_ts))
+    # The young decoy: an "in-flight commit's" staging, newer than the
+    # fence — vacuum must leave it alone.
+    young_dir = f"{path}/data/v00000098-young"
+    ev.filter(F.col("ts") >= c2).limit(50).coalesce(1).write.parquet(young_dir)
+    res = manifest.vacuum_orphans(spark, path, min_age_seconds=3600.0)
+    young_survived = any(
+        fn.endswith(".parquet") for fn in os.listdir(young_dir)
+    )
+    # Hidden/metadata names (.crc checksum sidecars, _SUCCESS markers)
+    # are invisible to Hadoop listings — the vacuum contract is about
+    # data files, so the leftover audit skips them like Spark does.
+    leftovers = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(f"{path}/data")
+        for fn in files
+        if not fn.startswith((".", "_"))
+        and manifest._path_key(os.path.join(root, fn)) not in live
+        and not root.startswith(young_dir)
+    ]
+    return (
+        manifest.read_version(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            F.lit("current").alias("dim"),
+            "n",
+            "total_value",
+            F.lit(res["files_deleted"] > 0).alias("deleted_some"),
+            F.lit(young_survived).alias("young_survived"),
+            F.lit(not leftovers).alias("orphans_all_reclaimed"),
+        )
+    )
+
+
+@register(
+    "q123_widen_column_rewrite",
+    category="scan-filter-project",
+    doc="The explicit type-widen rewrite schema evolution's conflict "
+    "error promises under the driver contract (pipeline/manifest.py "
+    "widen_column): v1 publishes events with user_id as INT (with a "
+    "zone map on it), widen_column rewrites it to BIGINT as v2 — one "
+    "full-size rewrite, compact's discipline: stats recomputed, meta "
+    "carried, column order preserved — and v3 then APPENDS rows whose "
+    "user_id is naturally BIGINT, the exact append _merge_schemas "
+    "would have refused before the widen. The current read serves the "
+    "union at the widened type while the time-traveled v1 keeps its "
+    "narrow INT (both type names ride as bounds-audit literals), and "
+    "the oracle restates the per-bucket aggregate over all events, so "
+    "a widen that lost rows, reordered columns, or mis-cast values "
+    "hash-mismatches. Lossless-only enforcement (narrowing, "
+    "long->double, cross-kind refuse loudly) and the Bloom-sidecar "
+    "rebuild on widen stay pytest-pinned (tests/test_manifest.py). At "
+    "100 TB this is the one sanctioned O(table) evolution op — "
+    "everything additive stays a KB manifest commit (q120).",
+    oracle="""
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST('int' AS VARCHAR) AS v1_type,
+       CAST('bigint' AS VARCHAR) AS current_type
+FROM events
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def q123_widen_column_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("widen_events", sf_dir)
+    cutoff = "2024-01-20"
+    manifest.publish_version(
+        ev.filter(F.col("ts") < cutoff).withColumn(
+            "user_id", F.col("user_id").cast("int")
+        ),
+        path,
+        stats_cols=("user_id",),
+    )                                                                      # v1
+    manifest.widen_column(spark, path, "user_id", "bigint")               # v2
+    manifest.append_version(ev.filter(F.col("ts") >= cutoff), path)       # v3
+    v1_type = (
+        manifest.read_version(spark, path, 1).schema["user_id"]
+        .dataType.simpleString()
+    )
+    cur = manifest.read_version(spark, path)
+    cur_type = cur.schema["user_id"].dataType.simpleString()
+    return (
+        cur.groupBy(F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .select(
+            "bucket", "n", "total_value",
+            F.lit(v1_type).alias("v1_type"),
+            F.lit(cur_type).alias("current_type"),
+        )
+        .orderBy("bucket")
+    )

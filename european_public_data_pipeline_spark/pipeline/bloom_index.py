@@ -287,7 +287,17 @@ def rebuild_index(
         if not m or m.group(2) != col:
             continue
         v = int(m.group(1))
-        mf = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        try:
+            mf = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        except Exception:
+            # A sidecar orphaned by a crash inside expire_versions
+            # (manifests are deleted before index dirs): its version no
+            # longer exists, so there is nothing to rebuild FOR — drop
+            # it (like the emptied-version case) and keep walking, so
+            # one orphan cannot abort the rebuild and leave every later
+            # version's sidecar stale.
+            fs.delete(st.getPath(), True)
+            continue
         if not mf["files"]:
             # The purge emptied this version entirely: nothing to index,
             # and build_bloom_index would (rightly) refuse. Drop the

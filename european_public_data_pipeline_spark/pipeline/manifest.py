@@ -249,6 +249,73 @@ def _file_stats(spark: SparkSession, data_dir: str, stats_cols: tuple) -> dict:
     }
 
 
+# How long a finished purge's plan stays readable as a ``completed-``
+# tombstone. The post-commit fence in ``_commit`` needs a purge that
+# finished INSIDE a commit's fence->write window to still be visible a
+# moment later; one hour dwarfs any commit's stage-to-manifest gap, and
+# the KB-sized plans are reclaimed by the next purge_rows run after it.
+COMPLETED_PLAN_TTL_S = 3600.0
+
+
+def _purge_plans(
+    spark: SparkSession, table_path: str, *, pending_only: bool = False
+) -> list[dict]:
+    """Remap-carrying purge plans currently visible under
+    ``{table}/purge``: pending tombstones (a purge in flight or crashed)
+    and — unless ``pending_only`` — recently-completed plans kept for
+    the post-commit writer fence. Plan-less legacy tombstones are
+    skipped (their replay never deletes a file any manifest references,
+    so carried files stay sound without a remap)."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if not fs.exists(pdir):
+        return []
+    prefixes = ("pending-",) if pending_only else ("pending-", "completed-")
+    plans = []
+    for st in fs.listStatus(pdir):
+        nm = st.getPath().getName()
+        if not (nm.startswith(prefixes) and nm.endswith(".json")):
+            continue
+        try:
+            plan = _read_json(spark, str(st.getPath().toString()))
+        except Exception:
+            continue  # racing delete of a completed plan past its TTL
+        if "remap" in plan:
+            plans.append(plan)
+    return plans
+
+
+def _remap_manifest_payload(m: dict, removed: dict, remap: dict) -> bool:
+    """Apply one purge plan's old->new file remap to a manifest payload
+    IN PLACE (path-key matched); returns whether anything changed.
+    Idempotent: an already-remapped manifest names no old files. Shared
+    by ``_apply_purge_plan`` (the purge side) and ``_commit``'s
+    post-commit fence (the writer side), so the two can never disagree
+    on remap semantics."""
+    removed_k = {_path_key(k): v for k, v in removed.items()}
+    remap_k = {_path_key(k): v for k, v in remap.items()}
+    touched = [f for f in m["files"] if _path_key(f) in removed_k]
+    if not touched:
+        return False
+    new_list = []
+    for f in m["files"]:
+        k = _path_key(f)
+        if k not in removed_k:
+            new_list.append(f)
+        elif remap_k.get(k):
+            new_list.append(remap_k[k])
+        # else: emptied file drops out
+    m["files"] = new_list
+    m["row_count"] = int(m["row_count"]) - sum(
+        removed_k[_path_key(f)] for f in touched
+    )
+    stats = m.get("file_stats")
+    if stats:
+        for f in touched:
+            stats.pop(_path_key(f), None)
+    return True
+
+
 def _commit(
     spark: SparkSession,
     table_path: str,
@@ -287,38 +354,30 @@ def _commit(
         # case ``carried_files`` names doomed old paths that the purge's
         # stable-version-set loop might never see (our manifest does not
         # exist yet, so its re-list cannot find us). Re-checking the
-        # pending-tombstone dir and applying the persisted remap plan
-        # OURSELVES covers the purge-in-flight case: the tombstone is
-        # written before any remap and cleared only after the deletes,
-        # so a purge whose work overlapped this commit's preparation is
-        # visible here. This NARROWS the race to the fence->write_json
-        # gap (a purge that starts, completes its stable check, and
-        # deletes inside that sub-second window can still orphan our
-        # references); fully closing it needs a commit lock, and purge
-        # windows are documented single-writer. One dir existence probe
-        # on the no-purge fast path.
+        # tombstone dir and applying the persisted remap plan OURSELVES
+        # covers the purge-in-flight case: the tombstone is written
+        # before any remap and survives completion as a ``completed-``
+        # plan for COMPLETED_PLAN_TTL_S, so a purge whose work
+        # overlapped this commit's preparation is visible here. The
+        # residual fence->write_json window is closed on the OTHER side:
+        # the post-commit re-check below remaps the just-committed
+        # manifest against the same plans. One dir existence probe on
+        # the no-purge fast path. Lookups are keyed by ``_path_key``
+        # (like every cross-source path comparison in this module) so a
+        # scheme/slash-rendering divergence between the manifest writer
+        # and the plan can never silently skip the remap.
         cf, cr, cs = carried_files, carried_rows, carried_stats
-        pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
-        if not fs.exists(pdir):
-            return cf, cr, cs
-        for st in fs.listStatus(pdir):
-            nm = st.getPath().getName()
-            if not (nm.startswith("pending-") and nm.endswith(".json")):
-                continue
-            plan = _read_json(spark, str(st.getPath().toString()))
-            if "remap" not in plan:
-                # Legacy plan-less tombstone: replay keeps any file a
-                # manifest references, so carrying them stays sound.
-                continue
-            removed, remap = plan["removed"], plan["remap"]
-            touched = [f for f in cf if f in removed]
+        for plan in _purge_plans(spark, table_path):
+            removed_k = {_path_key(k): v for k, v in plan["removed"].items()}
+            remap_k = {_path_key(k): v for k, v in plan["remap"].items()}
+            touched = [f for f in cf if _path_key(f) in removed_k]
             if not touched:
                 continue
             cf = tuple(
-                remap.get(f, f) for f in cf
-                if f not in removed or remap.get(f)
+                remap_k.get(_path_key(f), f) for f in cf
+                if _path_key(f) not in removed_k or remap_k.get(_path_key(f))
             )
-            cr -= sum(removed[f] for f in touched)
+            cr -= sum(removed_k[_path_key(f)] for f in touched)
             if cs:
                 cs = {
                     k: v for k, v in cs.items()
@@ -374,6 +433,32 @@ def _commit(
         fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
         raise
     _write_json(spark, f"{table_path}/LATEST.json", {"version": n}, overwrite=True)
+    if carried_files:
+        # Post-commit fence — closes the residual purge/append race the
+        # staged fence leaves open (ADVICE r8): a purge that ran its
+        # WHOLE cycle (tombstone -> remap -> stable check -> delete)
+        # inside our fence->write gap never saw this manifest, and this
+        # manifest may reference files that purge just deleted. The
+        # purge's plan is still visible — completion renames the
+        # tombstone to a ``completed-`` plan kept for
+        # COMPLETED_PLAN_TTL_S instead of deleting it — so re-checking
+        # here and self-remapping our own just-committed manifest
+        # (overwrite sanctioned, purge-repair class) finishes what the
+        # purge's re-list loop could not see. Idempotent against the
+        # purge remapping us concurrently: both sides write the same
+        # payload. Appends therefore no longer need a single-writer
+        # window against purges; purge-vs-purge stays single-writer.
+        changed = False
+        for plan in _purge_plans(spark, table_path):
+            if _remap_manifest_payload(payload, plan["removed"], plan["remap"]):
+                changed = True
+        if changed:
+            _write_json(
+                spark,
+                f"{table_path}/manifest/{n:08d}.json",
+                payload,
+                overwrite=True,
+            )
     return n
 
 
@@ -512,6 +597,114 @@ def compact(
         meta=prior.get("meta") or None,
         stats_cols=tuple(sorted(stat_cols)),
     )
+
+
+def _is_lossless_widen(old, new) -> bool:
+    """Whether every value of ``old`` is exactly representable in
+    ``new`` — the only casts ``widen_column`` sanctions. Integral types
+    widen up their chain, FLOAT widens to DOUBLE, integrals up to INT
+    widen to DOUBLE (|int32| < 2^53, so exact; BIGINT->DOUBLE is lossy
+    and refused), and DECIMAL widens when both the scale and the
+    integer-digit budget (precision - scale) are non-decreasing."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ints = (ByteType, ShortType, IntegerType, LongType)
+    if isinstance(old, ints) and isinstance(new, ints):
+        return ints.index(type(old)) < ints.index(type(new))
+    if isinstance(new, DoubleType):
+        return isinstance(old, (FloatType, ByteType, ShortType, IntegerType))
+    if isinstance(old, DecimalType) and isinstance(new, DecimalType):
+        return (
+            new.scale >= old.scale
+            and new.precision - new.scale >= old.precision - old.scale
+            and (new.precision, new.scale) != (old.precision, old.scale)
+        )
+    return False
+
+
+def widen_column(
+    spark: SparkSession, table_path: str, col: str, new_type
+) -> int:
+    """The explicit type-widen rewrite ``_merge_schemas``' conflict
+    error points at: rewrite the current version ONCE with ``col`` cast
+    to ``new_type`` (column order preserved), publish it as the table's
+    next version with zone maps recomputed for every column the prior
+    version tracked (compact's discipline) and the head ``meta`` carried
+    forward, then rebuild the Bloom sidecar for ``col`` on the new
+    version if the prior current version had one (the widened binary
+    representation hashes differently, so a carried sidecar would be a
+    false-negative machine; other columns' sidecars belong to their own
+    versions and stay valid there). After this, appends carrying the
+    widened type chain cleanly off the new version; older versions keep
+    their narrow type and stay time-travelable with it.
+
+    Only LOSSLESS widenings are allowed (``_is_lossless_widen``):
+    integral up-chain, FLOAT->DOUBLE, <=INT->DOUBLE, DECIMAL
+    precision/scale growth. Narrowing or cross-kind casts refuse loudly
+    — a lossy rewrite would silently corrupt history's one full-size
+    copy. Returns the new version. O(table) once, like compact — the
+    price the evolution error message quotes for a type change."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import DataType
+
+    if isinstance(new_type, str):
+        try:
+            new_dt = DataType.fromDDL(new_type)
+        except Exception as exc:
+            raise ValueError(
+                f"widen_column: unparseable target type {new_type!r}"
+            ) from exc
+    else:
+        new_dt = new_type
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    head = vs[-1]
+    prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+    df = _read_files(spark, prior)
+    if col not in df.columns:
+        raise ValueError(
+            f"widen_column: column {col!r} not in {table_path}'s current "
+            f"schema ({', '.join(df.columns)})"
+        )
+    old_dt = df.schema[col].dataType
+    if old_dt == new_dt:
+        return head  # already the target type — idempotent no-op
+    if not _is_lossless_widen(old_dt, new_dt):
+        raise ValueError(
+            f"widen_column: {old_dt.simpleString()} -> "
+            f"{new_dt.simpleString()} is not a lossless widening; only "
+            f"integral up-chain, float->double, <=int->double and "
+            f"decimal precision/scale growth are sanctioned"
+        )
+    stat_cols = {
+        c for per_file in prior.get("file_stats", {}).values() for c in per_file
+    }
+    n = publish_version(
+        df.withColumn(col, F.col(col).cast(new_dt)),
+        table_path,
+        meta=prior.get("meta") or None,
+        stats_cols=tuple(sorted(stat_cols)),
+    )
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    prior_idx = jvm.org.apache.hadoop.fs.Path(
+        f"{table_path}/index/v{head:08d}-bloom-{col}"
+    )
+    if fs.exists(prior_idx):
+        from european_public_data_pipeline_spark.pipeline.bloom_index import (
+            build_bloom_index,
+        )
+
+        build_bloom_index(spark, table_path, col, version=n)
+    return n
 
 
 def current_version(spark: SparkSession, table_path: str) -> int:
@@ -908,25 +1101,8 @@ def _apply_purge_plan(
         for v in vs:
             mpath = f"{table_path}/manifest/{v:08d}.json"
             m = _read_json(spark, mpath)
-            touched = [f for f in m["files"] if f in removed]
-            if not touched:
-                continue
-            new_list = []
-            for f in m["files"]:
-                if f not in removed:
-                    new_list.append(f)
-                elif remap.get(f):
-                    new_list.append(remap[f])
-                # else: emptied file drops out
-            m["files"] = new_list
-            m["row_count"] = int(m["row_count"]) - sum(
-                removed[f] for f in touched
-            )
-            stats = m.get("file_stats")
-            if stats:
-                for f in touched:
-                    stats.pop(_path_key(f), None)
-            _write_json(spark, mpath, m, overwrite=True)
+            if _remap_manifest_payload(m, removed, remap):
+                _write_json(spark, mpath, m, overwrite=True)
         if set(versions(spark, table_path)) == set(vs):
             break
     else:
@@ -940,6 +1116,23 @@ def _apply_purge_plan(
         p_old = jvm.org.apache.hadoop.fs.Path(f)
         if fs.exists(p_old):
             fs.delete(p_old, False)
+    # Retire the tombstone to a ``completed-`` plan instead of deleting
+    # it: _commit's post-commit fence needs a purge that finished inside
+    # an append's fence->write window to still be visible a moment later
+    # (the plan is what lets the appender self-remap references to files
+    # this loop just deleted). Completed order: write the completed copy
+    # FIRST, then drop the pending one — a crash between the two leaves
+    # both, and replaying the pending plan is an idempotent no-op that
+    # retires it again. Reclaimed after COMPLETED_PLAN_TTL_S by the next
+    # purge_rows run.
+    tomb_name = tombstone.rsplit("/", 1)[-1]
+    done = f"{table_path}/purge/completed-{tomb_name[len('pending-'):]}"
+    _write_json(
+        spark,
+        done,
+        {"remap": remap, "removed": removed, "completed_at": time.time()},
+        overwrite=True,
+    )
     fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone), False)
 
 
@@ -957,6 +1150,13 @@ def _replay_pending_purges(spark: SparkSession, table_path: str) -> None:
         return
     for st in fs.listStatus(pdir):
         name = st.getPath().getName()
+        if name.startswith("completed-") and name.endswith(".json"):
+            # Retired plans are kept only for _commit's post-commit
+            # fence; reclaim the KB once no in-flight commit can still
+            # need them (TTL dwarfs any stage-to-manifest gap).
+            if st.getModificationTime() < (time.time() - COMPLETED_PLAN_TTL_S) * 1000.0:
+                fs.delete(st.getPath(), False)
+            continue
         if not (name.startswith("pending-") and name.endswith(".json")):
             continue
         tomb = str(st.getPath().toString())
@@ -1096,55 +1296,78 @@ def purge_rows(
     rewritten: dict[str, str] = {}   # old path -> new path ('' = emptied)
     removed_per_file: dict[str, int] = {}
     if candidates:
-        # One job over every candidate file: per-file total and matched
-        # counts, keyed by input_file_name. Plan the read with a ONE-
-        # COLUMN schema for the purge column (parquet reads by name), so
-        # a candidate that lacks the column — a pre-evolution file, OR a
-        # newest version whose rewrite dropped it while older versions
-        # still carry it — reads NULL -> zero matches -> untouched,
-        # instead of failing inference or the newest-schema projection.
-        # The column's type comes from the newest manifest schema that
-        # HAS it, else a candidate file's own footer. (Files that DO
-        # match are rewritten below with their OWN natural schema — a
-        # purge must not widen a file it rewrites.)
+        # One counting job PER DISTINCT COLUMN TYPE over the candidate
+        # files (usually exactly one), keyed by input_file_name, each
+        # planned with a ONE-COLUMN schema for the purge column (parquet
+        # reads by name), so a candidate that lacks the column — a
+        # pre-evolution file, OR a version whose rewrite dropped it —
+        # reads NULL -> zero matches -> untouched. Each candidate's type
+        # resolves from the EARLIEST manifest referencing it (the commit
+        # that created the file: additive evolution pins a chain's type,
+        # and a full publish_version re-creates every file, so that
+        # manifest's type IS the file's footer type whenever the file
+        # has the column) — a single global newest-schema type would
+        # fail, or worse mis-coerce, older time-travelable files that
+        # legally carry the same-named column at a different type across
+        # a full-publish type change. Legacy schema-less manifests fall
+        # back to the file's own footer. (Files that DO match are
+        # rewritten below with their OWN natural schema — a purge must
+        # not widen a file it rewrites.)
         from pyspark.sql.types import StructType
 
-        purge_field = None
-        for v in reversed(vs):
-            sj = manifests[v].get("schema")
-            if not sj:
-                continue
-            for fld in StructType.fromJson(json.loads(sj)).fields:
-                if fld.name == col:
-                    purge_field = fld
-                    break
-            if purge_field is not None:
-                break
-        if purge_field is None:
-            for f in candidates:
+        first_ref: dict[str, int] = {}
+        for v in vs:  # ascending
+            for f in manifests[v]["files"]:
+                first_ref.setdefault(f, v)
+        schema_cache: dict[int, StructType | None] = {}
+
+        def _version_schema(v: int) -> StructType | None:
+            if v not in schema_cache:
+                sj = manifests[v].get("schema")
+                schema_cache[v] = (
+                    StructType.fromJson(json.loads(sj)) if sj else None
+                )
+            return schema_cache[v]
+
+        col_seen_anywhere = any(
+            _version_schema(v) is not None and col in _version_schema(v).names
+            for v in vs
+        )
+        groups: dict[str, tuple] = {}  # type-json -> (field, [files])
+        for f in candidates:
+            sch = _version_schema(first_ref[f])
+            if sch is None:  # legacy manifest: footer is the only source
                 sch = spark.read.parquet(f).schema
-                if col in sch.names:
-                    purge_field = sch[col]
-                    break
-        if purge_field is None:
+                col_seen_anywhere = col_seen_anywhere or col in sch.names
+            if col not in sch.names:
+                continue  # provably column-less: zero matches, untouched
+            fld = sch[col]
+            key = fld.dataType.json()
+            groups.setdefault(key, (fld, []))[1].append(f)
+        if not groups and not col_seen_anywhere:
             raise ValueError(
                 f"purge_rows: column {col!r} exists in no committed "
                 f"version of {table_path}"
             )
-        counts = (
-            spark.read.schema(StructType([purge_field])).parquet(*candidates)
-            .select(
-                F.input_file_name().alias("__f"),
-                F.col(col).isin(values).alias("__m"),
+        by_key: dict[str, tuple[int, int]] = {}
+        for fld, grp_files in groups.values():
+            counts = (
+                spark.read.schema(StructType([fld])).parquet(*grp_files)
+                .select(
+                    F.input_file_name().alias("__f"),
+                    F.col(col).isin(values).alias("__m"),
+                )
+                .groupBy("__f")
+                .agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.count(F.when(F.col("__m"), 1)).alias("matched"),
+                )
+                .collect()
             )
-            .groupBy("__f")
-            .agg(
-                F.count(F.lit(1)).alias("total"),
-                F.count(F.when(F.col("__m"), 1)).alias("matched"),
-            )
-            .collect()
-        )
-        by_key = {_path_key(r["__f"]): (int(r["total"]), int(r["matched"])) for r in counts}
+            by_key.update({
+                _path_key(r["__f"]): (int(r["total"]), int(r["matched"]))
+                for r in counts
+            })
         for f in candidates:
             total, matched = by_key.get(_path_key(f), (0, 0))
             if matched == 0:

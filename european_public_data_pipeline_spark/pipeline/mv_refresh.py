@@ -14,6 +14,17 @@ the prior MV version intact and readable), and a re-run reads the
 applied watermark from the committed meta, so refreshing twice is a
 no-op.
 
+The maintained view's SHAPE is a declarative ``MVSpec`` — group keys
+plus re-aggregable measures (count/sum/min/max), the algebra whose
+partial states merge exactly — so one refresh engine maintains any
+number of views; ``refresh_mv(spark, src, mv, spec)`` is the generic
+entry and ``refresh_event_summary`` is the original shape expressed as
+a spec (``EVENT_SUMMARY_SPEC``). Non-re-aggregable measures (avg,
+median, count-distinct) are refused at spec construction: derive avg
+from sum+count downstream, and keep distincts in mergeable sketches
+(q98's HLL rollup) — an MV that stored them directly could not merge
+deltas without re-scanning history.
+
 File-level incremental reads are only exact for APPEND commits; two
 distinct rewrite hazards are both detected, forcing a FULL recompute
 (still correct, just not incremental — the documented cost of rewriting
@@ -36,7 +47,9 @@ alternative):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.manifest import (
@@ -53,6 +66,104 @@ _META_KEY = "applied_src_version"
 _META_FILES_MD5 = "applied_src_files_md5"
 _META_MODE = "refresh_mode"
 
+# The re-aggregable kinds: each partial state merges with the SAME
+# associative fold, which is what lets ``_merge`` combine the stored MV
+# with a delta partial without ever re-scanning history. (count merges
+# by sum — a count of counts is meaningless.)
+_MERGE_FN = {"count": F.sum, "sum": F.sum, "min": F.min, "max": F.max}
+
+
+@dataclass(frozen=True)
+class Measure:
+    """One maintained column: ``name`` in the MV, computed as
+    ``kind(expr)`` over source rows. ``expr`` is a SQL expression string
+    (kept as text so specs can be declared at import time, before any
+    SparkSession exists); ``count`` ignores it."""
+
+    name: str
+    kind: str  # 'count' | 'sum' | 'min' | 'max'
+    expr: str | None = None
+
+    def __post_init__(self):
+        if self.kind not in _MERGE_FN:
+            raise ValueError(
+                f"measure {self.name!r}: kind {self.kind!r} is not "
+                f"re-aggregable — only {sorted(_MERGE_FN)} merge exactly "
+                f"from partial states (derive avg from sum+count; keep "
+                f"distincts in mergeable sketches, q98)"
+            )
+        if self.kind != "count" and not self.expr:
+            raise ValueError(f"measure {self.name!r}: kind {self.kind!r} needs an expr")
+
+
+@dataclass(frozen=True)
+class MVSpec:
+    """A maintained view's declarative shape: group keys + measures.
+    Everything the refresh engine needs; the watermark/hazard machinery
+    is shape-independent."""
+
+    group_keys: tuple[str, ...]
+    measures: tuple[Measure, ...] = field(default=())
+
+    def __post_init__(self):
+        if not self.group_keys or not self.measures:
+            raise ValueError("MVSpec needs at least one group key and one measure")
+        names = [m.name for m in self.measures]
+        clash = set(names) & set(self.group_keys)
+        if len(set(names)) != len(names) or clash:
+            raise ValueError(f"MVSpec column names collide: {sorted(clash) or names}")
+
+    def partial(self, src: DataFrame) -> DataFrame:
+        """Aggregate source rows to the algebraic per-key state — every
+        column mergeable (run over the full source on a rebuild, over
+        just the delta on an incremental refresh)."""
+        aggs: list[Column] = []
+        for m in self.measures:
+            if m.kind == "count":
+                aggs.append(F.count(F.lit(1)).alias(m.name))
+            else:
+                aggs.append(_MERGE_FN[m.kind](F.expr(m.expr)).alias(m.name))
+        return src.groupBy(*self.group_keys).agg(*aggs)
+
+    def merge(self, mv: DataFrame, partial: DataFrame) -> DataFrame:
+        """Fold a delta's partial state into the stored MV — two
+        aggregate-sized relations, one shuffle on the group keys.
+        (Counts merge by SUM — _MERGE_FN already encodes that.)"""
+        return (
+            mv.unionByName(partial)
+            .groupBy(*self.group_keys)
+            .agg(*[
+                _MERGE_FN[m.kind](m.name).alias(m.name) for m in self.measures
+            ])
+        )
+
+
+# The original hard-coded shape, now just a spec: per-event_type counts,
+# exact centi-unit money (q96's storable-MV recipe), first/last seen.
+EVENT_SUMMARY_SPEC = MVSpec(
+    group_keys=("event_type",),
+    measures=(
+        Measure("n_events", "count"),
+        Measure("sum_value_c", "sum", "CAST(ROUND(value * 100) AS BIGINT)"),
+        Measure("first_ts", "min", "ts"),
+        Measure("last_ts", "max", "ts"),
+    ),
+)
+
+# A second maintained shape (q121): per-customer order totals over a
+# manifest ``orders`` table — the 100 TB generalization of the
+# reference's gold stage (load_hicp_to_sql.py:54-101), which is exactly
+# a maintained downstream aggregate of silver.
+ORDER_TOTALS_SPEC = MVSpec(
+    group_keys=("o_custkey",),
+    measures=(
+        Measure("n_orders", "count"),
+        Measure("sum_total_c", "sum", "CAST(ROUND(o_totalprice * 100) AS BIGINT)"),
+        Measure("first_order", "min", "o_orderdate"),
+        Measure("last_order", "max", "o_orderdate"),
+    ),
+)
+
 
 def _files_md5(spark: SparkSession, table_path: str, version: int) -> str:
     import hashlib
@@ -63,36 +174,22 @@ def _files_md5(spark: SparkSession, table_path: str, version: int) -> str:
 
 
 def _partial(events: DataFrame) -> DataFrame:
-    """Algebraic per-event_type state: every column mergeable; money as
-    exact centi-unit longs (q96's storable-MV recipe)."""
-    return events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    )
+    """The event-summary partial (kept for tests and callers that treat
+    the original shape directly)."""
+    return EVENT_SUMMARY_SPEC.partial(events)
 
 
 def _merge(mv: DataFrame, partial: DataFrame) -> DataFrame:
-    return (
-        mv.unionByName(partial)
-        .groupBy("event_type")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_c").alias("sum_value_c"),
-            F.min("first_ts").alias("first_ts"),
-            F.max("last_ts").alias("last_ts"),
-        )
-    )
+    return EVENT_SUMMARY_SPEC.merge(mv, partial)
 
 
-def refresh_event_summary(
-    spark: SparkSession, src_path: str, mv_path: str
+def refresh_mv(
+    spark: SparkSession, src_path: str, mv_path: str, spec: MVSpec
 ) -> int:
-    """Bring the MV at ``mv_path`` up to date with the source table at
-    ``src_path``. Returns the source version now applied (unchanged on a
-    no-op). O(delta + |MV|) when the source appended; O(source) full
-    recompute when it was rewritten."""
+    """Bring the MV at ``mv_path`` (shape ``spec``) up to date with the
+    source table at ``src_path``. Returns the source version now applied
+    (unchanged on a no-op). O(delta + |MV|) when the source appended;
+    O(source) full recompute when it was rewritten."""
     src_v = current_version(spark, src_path)
     meta = version_meta(spark, mv_path) if versions(spark, mv_path) else {}
     applied = int(meta.get(_META_KEY, 0))
@@ -130,9 +227,9 @@ def refresh_event_summary(
 
     if incremental:
         delta = read_incremental(spark, src_path, applied, src_v)
-        merged = _merge(read_version(spark, mv_path), _partial(delta))
+        merged = spec.merge(read_version(spark, mv_path), spec.partial(delta))
     else:
-        merged = _partial(read_version(spark, src_path, src_v))
+        merged = spec.partial(read_version(spark, src_path, src_v))
     publish_version(
         merged,
         mv_path,
@@ -146,3 +243,11 @@ def refresh_event_summary(
         },
     )
     return src_v
+
+
+def refresh_event_summary(
+    spark: SparkSession, src_path: str, mv_path: str
+) -> int:
+    """The original event-summary view, maintained by the generic
+    engine (shape: ``EVENT_SUMMARY_SPEC``)."""
+    return refresh_mv(spark, src_path, mv_path, EVENT_SUMMARY_SPEC)

@@ -293,47 +293,73 @@ _DRIVER_GREEN_R8 = frozenset({
     "t18_zipf_slope", "t22_perplexity_buckets",
 })
 
-# Round 8 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r09.json (freshest verdicts — checked last).
+# 50/50 green: every round-9 registration (q116-q120) got a first
+# verdict, the round-9 modified set (the d25-d28 excision family, the
+# manifest-riding lakehouse set q106-q112, q110/q114, g02) re-earned
+# theirs, and r4/r5-era stale names (q22/q23/q31/q35/q43/q45-q47,
+# q55/q62/q66/q76-q83, q91/q92/q96/q98/q100-q102, sm08-sm10, t19/t20,
+# d10, g03) were refreshed.
+_DRIVER_GREEN_R9 = frozenset({
+    "d10_contamination_check", "d25_repeated_span_removal",
+    "d26_span_excision_apply", "d27_excision_fixpoint",
+    "d28_incremental_gram_index", "g02_triangle_count",
+    "g03_degree_powerlaw", "q100_changelog_apply",
+    "q101_correlation_exact", "q102_weighted_median",
+    "q106_zonemap_pruned_scan", "q107_incremental_version_scan",
+    "q108_bloom_point_lookup", "q109_zorder_dual_pruning",
+    "q110_incremental_mv_refresh", "q111_purge_then_read",
+    "q112_clustered_compact_scan", "q114_scd2_history",
+    "q116_mv_refresh_rewrite_hazard", "q117_bloom_stale_sidecar_purge",
+    "q118_scd2_partition_scoped", "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution", "q22_session_windows",
+    "q23_sliding_windows", "q31_asof_join", "q35_json_map_functions",
+    "q43_stream_enrichment", "q45_funnel_conversion",
+    "q46_retention_cohorts", "q47_salted_skew_agg", "q55_sliding_mau",
+    "q62_hourly_ohlc_bars", "q66_user_running_totals",
+    "q76_longest_daily_streak", "q77_event_transition_matrix",
+    "q78_value_concentration", "q79_cms_heavy_hitters",
+    "q80_bloom_membership_audit", "q81_bloom_pruned_join",
+    "q83_sketch_mergeability", "q91_date_functions", "q92_inflight_sweep",
+    "q96_incremental_agg_maintenance", "q98_hll_sketch_rollup",
+    "sm08_quality_budget_mixture", "sm09_weighted_upsampling",
+    "sm10_leakage_safe_split", "t19_heaps_law_fit",
+    "t20_source_kl_divergence",
+})
+
+# Round 9 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-9 changes to already-green queries land here as they happen):
+# (round-10 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    # d27's fixpoint loop now maintains the gram-count relation by d28's
-    # O(rewritten-docs) delta merge in rounds >= 2 instead of re-running
-    # full detection on the rebuilt corpus. Oracle unchanged (it states
-    # the fixpoint contract independently of how detection is computed),
-    # but a stale verdict is no verdict.
-    "d27_excision_fixpoint",
-    # The shared span-gram/island helpers were refactored into
-    # positioned_span_grams + span_islands_from_hits (d27's loop and
-    # repeated_span_islands now compose the same pieces) — results
-    # verified identical locally, but every rider changed.
-    "d25_repeated_span_removal",
-    "d26_span_excision_apply",
-    "d28_incremental_gram_index",
-    # refresh_event_summary (shared with q116) now commits which branch
-    # it took into the MV meta — q110's results are meta-independent,
-    # but its ridden helper changed.
-    "q110_incremental_mv_refresh",
-    # scd2_apply grew optional partition-scoped applies; q114 rides the
-    # default (unscoped) path, verified locally, but the helper changed.
-    "q114_scd2_history",
-    # manifest._commit grew the purge writer fence (every append/publish
-    # commit executes it) and bloom_index.read_point's probe handling
-    # changed (set normalization + cap) — the whole manifest-riding
-    # lakehouse set re-earns its verdict.
+    # manifest.py changed for every commit path this round: the purge
+    # writer fence is now path-key-matched, runs against completed
+    # tombstones too, and a POST-commit fence self-remaps a manifest
+    # that raced a whole purge cycle; purge_rows resolves its probe
+    # type per candidate file; _apply_purge_plan retires tombstones to
+    # completed- plans. Every query that publishes/appends/purges
+    # through manifests re-earns its verdict — including q115, whose
+    # publish_version_gated rides _commit (its round-8 verdict was
+    # already stale under this discipline, round-9 ADVICE).
     "q106_zonemap_pruned_scan",
     "q107_incremental_version_scan",
     "q108_bloom_point_lookup",
     "q109_zorder_dual_pruning",
     "q111_purge_then_read",
     "q112_clustered_compact_scan",
-    # g02's wedge/closing shuffles now pin width to 2x defaultParallelism
-    # with explicit co-partitioning (the 200-reducer default rode the
-    # bypass-merge writer's per-partition LZ4 buffers into a fresh
-    # plain-session OOM at sf0.1); same algebra, new plan shape.
-    "g02_triangle_count",
+    "q115_wap_gated_publish",
+    "q117_bloom_stale_sidecar_purge",
+    "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution",
+    # mv_refresh.py was refactored onto the declarative MVSpec engine
+    # (refresh_event_summary is now a spec-driven wrapper) — results
+    # verified identical locally, but both riders changed. They also
+    # ride the manifest commit changes above.
+    "q110_incremental_mv_refresh",
+    "q116_mv_refresh_rewrite_hazard",
+    # q113 (merge.py) and q114/q118 (scd.py) do not touch manifests and
+    # neither module changed this round — their r8/r9 verdicts stand.
 )
 
 
@@ -349,7 +375,7 @@ def _driver_order() -> list[str]:
     rounds = (
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
-        _DRIVER_GREEN_R7, _DRIVER_GREEN_R8,
+        _DRIVER_GREEN_R7, _DRIVER_GREEN_R8, _DRIVER_GREEN_R9,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

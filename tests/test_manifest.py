@@ -1180,3 +1180,237 @@ def test_expire_guard_ignores_crashed_tmp_tombstones(spark, tmp_path):
     open(f"{t}/purge/pending-abc.json.deadbeef.tmp", "w").write("{}")
     out = M.expire_versions(spark, t, keep_last=1)
     assert out["versions_expired"] == 1
+
+
+# ---------------------------------------------------------------------------
+# widen_column — the explicit rewrite the evolution conflict error promises
+
+
+def _users(spark, rows, id_type="int"):
+    return spark.createDataFrame(rows, f"uid {id_type}, v string")
+
+
+def test_widen_column_int_to_long_end_to_end(spark, tmp_path):
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        _users(spark, [(1, "a"), (2, "b"), (7, "c")]), t, stats_cols=("uid",)
+    )
+    # The exact append _merge_schemas refuses pre-widen:
+    with pytest.raises(ValueError, match="widen by explicit rewrite"):
+        M.append_version(_users(spark, [(9, "d")], "long"), t)
+    assert M.widen_column(spark, t, "uid", "bigint") == 2
+    cur = read_version(spark, t)
+    assert cur.schema["uid"].dataType.simpleString() == "bigint"
+    assert cur.columns == ["uid", "v"]  # column order preserved
+    assert sorted((r["uid"], r["v"]) for r in cur.collect()) == [
+        (1, "a"), (2, "b"), (7, "c")
+    ]
+    # Zone maps recomputed for previously-tracked columns (compact's
+    # discipline): the new manifest carries file_stats for uid.
+    m2 = M._read_json(spark, f"{t}/manifest/00000002.json")
+    assert all("uid" in s for s in m2["file_stats"].values())
+    # v1 stays time-travelable at its narrow type.
+    assert read_version(spark, t, 1).schema["uid"].dataType.simpleString() == "int"
+    # The widened chain now accepts the long append.
+    M.append_version(_users(spark, [(9, "d")], "long"), t)
+    assert sorted(r["uid"] for r in read_version(spark, t).collect()) == [1, 2, 7, 9]
+
+
+def test_widen_column_refuses_lossy_and_nonsense(spark, tmp_path):
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        spark.createDataFrame(
+            [(1, 1.5, "x")], "k long, f float, s string"
+        ),
+        t,
+    )
+    for col, target in [
+        ("k", "int"),       # narrowing
+        ("k", "double"),    # bigint->double is lossy past 2^53
+        ("s", "bigint"),    # cross-kind
+        ("f", "decimal(10,2)"),  # float->decimal not sanctioned
+    ]:
+        with pytest.raises(ValueError, match="lossless"):
+            M.widen_column(spark, t, col, target)
+    with pytest.raises(ValueError, match="not in"):
+        M.widen_column(spark, t, "missing", "bigint")
+    with pytest.raises(ValueError, match="unparseable"):
+        M.widen_column(spark, t, "k", "not a type!!")
+    # float->double IS sanctioned; already-target is an idempotent no-op.
+    assert M.widen_column(spark, t, "f", "double") == 2
+    assert M.widen_column(spark, t, "f", "double") == 2
+
+
+def test_widen_column_decimal_growth_rules(spark, tmp_path):
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        spark.sql("SELECT CAST(12.34 AS DECIMAL(10,2)) AS d"), t
+    )
+    with pytest.raises(ValueError, match="lossless"):
+        M.widen_column(spark, t, "d", "decimal(10,4)")  # int digits shrink
+    with pytest.raises(ValueError, match="lossless"):
+        M.widen_column(spark, t, "d", "decimal(9,2)")   # precision shrinks
+    assert M.widen_column(spark, t, "d", "decimal(14,4)") == 2
+    r = read_version(spark, t).collect()[0]
+    assert str(r["d"]) == "12.3400"
+
+
+def test_widen_column_rebuilds_bloom_sidecar(spark, tmp_path):
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        _users(spark, [(i, f"r{i}") for i in range(40)]).repartition(4), t
+    )
+    build_bloom_index(spark, t, "uid")
+    M.widen_column(spark, t, "uid", "bigint")
+    # The new version has its OWN sidecar, built over the widened binary
+    # representation — a probe through it is exact.
+    import os
+
+    assert os.path.isdir(f"{t}/index/v00000002-bloom-uid")
+    got = read_point(spark, t, "uid", 7).collect()
+    assert [(r["uid"], r["v"]) for r in got] == [(7, "r7")]
+    # And the OLD version still probes exactly through its own sidecar.
+    got1 = read_point(spark, t, "uid", 7, version=1).collect()
+    assert [(r["uid"], r["v"]) for r in got1] == [(7, "r7")]
+
+
+# ---------------------------------------------------------------------------
+# purge_rows across a full-publish type change (per-file probe types)
+
+
+def test_purge_resolves_probe_type_per_candidate_file(spark, tmp_path):
+    """A full publish_version may legally re-publish a same-named column
+    at a different type while older time-travelable versions' files keep
+    the old one; the purge must probe each candidate with ITS OWN type
+    instead of one global newest-schema type (round-9 ADVICE)."""
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(_users(spark, [(1, "a"), (7, "b"), (7, "c")], "int"), t)
+    publish_version(
+        _users(spark, [(1, "a"), (7, "b2"), (3, "d")], "long"), t
+    )  # full rewrite: uid is now BIGINT; v1's files keep INT
+    res = M.purge_rows(spark, t, "uid", [7])
+    assert res["rows_removed"] == 3  # two in v1's files, one in v2's
+    assert sorted(r["uid"] for r in read_version(spark, t).collect()) == [1, 3]
+    assert sorted(r["uid"] for r in read_version(spark, t, 1).collect()) == [1]
+
+
+# ---------------------------------------------------------------------------
+# the purge/append post-commit fence (completed tombstones)
+
+
+def test_purge_retires_tombstone_to_completed_plan(spark, tmp_path):
+    import os
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(_users(spark, [(1, "a"), (7, "b")]), t)
+    M.purge_rows(spark, t, "uid", [7])
+    names = os.listdir(f"{t}/purge")
+    assert not any(n.startswith("pending-") for n in names)
+    done = [n for n in names if n.startswith("completed-") and n.endswith(".json")]
+    assert len(done) == 1
+    plan = M._read_json(spark, f"{t}/purge/{done[0]}")
+    assert "remap" in plan and "removed" in plan and "completed_at" in plan
+    # Reclaimed after the TTL by the next purge cycle's replay sweep.
+    old = plan["completed_at"] - M.COMPLETED_PLAN_TTL_S - 10
+    os.utime(f"{t}/purge/{done[0]}", (old, old))
+    M._replay_pending_purges(spark, t)
+    assert not any(
+        n.startswith("completed-") for n in os.listdir(f"{t}/purge")
+    )
+
+
+def test_post_commit_fence_repairs_append_that_raced_a_whole_purge(
+    spark, tmp_path, monkeypatch
+):
+    """The residual window ADVICE r8 named: an appender reads its prior
+    manifest, then a purge runs its ENTIRE cycle (tombstone -> remap ->
+    stable check -> delete -> retire) before the appender's manifest
+    exists — the purge's re-list loop can never see it, and the staged
+    fence (simulated here as having run pre-tombstone) saw nothing.
+    The post-commit fence must self-remap the just-committed manifest
+    from the retired ``completed-`` plan."""
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        _users(spark, [(1, "a"), (7, "b"), (7, "c"), (2, "d")]), t
+    )
+    prior = M._read_json(spark, f"{t}/manifest/00000001.json")  # pre-remap read
+    M.purge_rows(spark, t, "uid", [7])  # full cycle completes
+
+    real = M._purge_plans
+    calls = {"n": 0}
+
+    def fence_misses_first(spark_, tp, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []  # the staged fence ran before the tombstone existed
+        return real(spark_, tp, **kw)
+
+    monkeypatch.setattr(M, "_purge_plans", fence_misses_first)
+    data_dir = M._stage_dir(t, 2)
+    _users(spark, [(9, "e")]).write.mode("overwrite").parquet(data_dir)
+    M._commit(
+        spark, t, 2, data_dir,
+        carried_files=tuple(prior["files"]),
+        carried_rows=int(prior["row_count"]),
+        carried_schema=prior.get("schema"),
+    )
+    assert calls["n"] >= 2  # the post-commit fence actually re-checked
+    m2 = M._read_json(spark, f"{t}/manifest/00000002.json")
+    import os
+
+    # Every referenced file exists (no doomed old paths survived) and
+    # the row count reflects the purge.
+    for f in m2["files"]:
+        assert os.path.exists(M._path_key(f)), f
+    assert m2["row_count"] == 3  # 4 - 2 purged + 1 appended
+    got = sorted((r["uid"], r["v"]) for r in read_version(spark, t).collect())
+    assert got == [(1, "a"), (2, "d"), (9, "e")]
+
+
+# ---------------------------------------------------------------------------
+# rebuild_index walks past sidecars orphaned by a mid-expire crash
+
+
+def test_rebuild_index_drops_orphaned_sidecar_and_continues(spark, tmp_path):
+    import os
+    import shutil
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        rebuild_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    publish_version(_users(spark, [(i, f"a{i}") for i in range(20)]), t)
+    publish_version(_users(spark, [(i, f"b{i}") for i in range(20)]), t)
+    build_bloom_index(spark, t, "uid", version=1)
+    build_bloom_index(spark, t, "uid", version=2)
+    # Simulate a crash inside expire_versions: v1's manifest deleted
+    # (phase 1 done), its sidecar not yet (phase 3 never ran).
+    os.remove(f"{t}/manifest/00000001.json")
+    rebuilt = rebuild_index(spark, t, "uid")
+    assert rebuilt == [f"{t}/index/v00000002-bloom-uid"]
+    assert not os.path.isdir(f"{t}/index/v00000001-bloom-uid")  # orphan dropped
+    got = read_point(spark, t, "uid", 7).collect()
+    assert [(r["uid"], r["v"]) for r in got] == [(7, "b7")]
+    shutil.rmtree(t, ignore_errors=True)

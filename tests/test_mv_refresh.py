@@ -96,3 +96,115 @@ def test_purge_between_refreshes_rebuilds_mv(spark, sf_small, tmp_path):
     after = _mv_rows(spark, mv)
     assert after == _direct(spark, src)
     assert after != before  # user 3's rows are gone from the aggregate
+
+
+# ---------------------------------------------------------------------------
+# the declarative MVSpec layer (round 10): one engine, any shape
+
+
+def test_mvspec_refuses_non_reaggregable_measures():
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+    )
+
+    with pytest.raises(ValueError, match="re-aggregable"):
+        Measure("avg_v", "avg", "value")
+    with pytest.raises(ValueError, match="re-aggregable"):
+        Measure("nd", "count_distinct", "user_id")
+    with pytest.raises(ValueError, match="needs an expr"):
+        Measure("s", "sum")
+    with pytest.raises(ValueError, match="at least one"):
+        MVSpec(group_keys=(), measures=(Measure("n", "count"),))
+    with pytest.raises(ValueError, match="at least one"):
+        MVSpec(group_keys=("k",), measures=())
+    with pytest.raises(ValueError, match="collide"):
+        MVSpec(
+            group_keys=("k",),
+            measures=(Measure("k", "count"),),  # clashes with a key
+        )
+    with pytest.raises(ValueError, match="collide"):
+        MVSpec(
+            group_keys=("k",),
+            measures=(Measure("n", "count"), Measure("n", "sum", "v")),
+        )
+
+
+def test_second_shape_incremental_equals_recompute(spark, sf_small, tmp_path):
+    """A spec the engine never saw hard-coded: per-user counts + exact
+    money + first/last seen, maintained incrementally over appends and
+    equal to a direct recompute at every step."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+        version_meta,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("user_id",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_c", "sum", "CAST(ROUND(value * 100) AS BIGINT)"),
+            Measure("first_ts", "min", "ts"),
+            Measure("last_ts", "max", "ts"),
+        ),
+    )
+    ev = load_table(spark, sf_small, "events").select("user_id", "value", "ts")
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    thirds = [ev.filter(F.col("user_id") % 3 == i) for i in (0, 1, 2)]
+
+    def mv_rows():
+        return {
+            r["user_id"]: (r["n"], r["sum_c"], r["first_ts"], r["last_ts"])
+            for r in read_version(spark, mv).collect()
+        }
+
+    def direct():
+        return {
+            r["user_id"]: (r["n"], r["sum_c"], r["first_ts"], r["last_ts"])
+            for r in spec.partial(read_version(spark, src)).collect()
+        }
+
+    append_version(thirds[0], src)
+    assert refresh_mv(spark, src, mv, spec) == 1
+    assert mv_rows() == direct()
+    append_version(thirds[1], src)
+    append_version(thirds[2], src)
+    assert refresh_mv(spark, src, mv, spec) == 3
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+    assert mv_rows() == direct()
+    # Rewrite hazard applies to ANY shape: compaction forces a rebuild.
+    compact(spark, src, target_files=2)
+    append_version(thirds[0].limit(0), src)  # bump version, empty delta
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["refresh_mode"] == "full"
+    assert mv_rows() == direct()
+
+
+def test_event_summary_is_the_spec_engine(spark, sf_small, tmp_path):
+    """refresh_event_summary must be the generic engine driving
+    EVENT_SUMMARY_SPEC — same results, same meta protocol."""
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        EVENT_SUMMARY_SPEC,
+        refresh_mv,
+    )
+
+    ev = load_table(spark, sf_small, "events").select("event_type", "value", "ts")
+    src = str(tmp_path / "src")
+    mv_a = str(tmp_path / "mv_a")
+    mv_b = str(tmp_path / "mv_b")
+    append_version(ev.filter(F.col("value") < 100), src)
+    append_version(ev.filter(F.col("value") >= 100), src)
+    refresh_event_summary(spark, src, mv_a)
+    refresh_mv(spark, src, mv_b, EVENT_SUMMARY_SPEC)
+    assert _mv_rows(spark, mv_a) == _mv_rows(spark, mv_b)
+    assert version_meta(spark, mv_a)["applied_src_version"] == version_meta(
+        spark, mv_b
+    )["applied_src_version"]
