@@ -1082,16 +1082,18 @@ def _apply_purge_plan(
        version set — a concurrent ``append_version`` that read a
        pre-remap manifest carries old paths by reference into its own
        new commit, and deleting those files would break that version;
-       the loop remaps late arrivals too. Purge windows are expected to
-       be single-writer; the loop is the safety net, and a never-stable
-       table aborts loudly with the tombstone intact for later replay.
-       An append this loop cannot see (manifest not yet committed when
-       the loop last listed) is guarded from the OTHER side: ``_commit``
-       fences carried files against pending tombstones immediately
-       before writing its manifest and applies this same plan itself.
-       The two sides together narrow the race to the sub-second
-       fence->write gap; purge windows remain documented single-writer.
-    3. Only then delete the old bytes and clear the tombstone.
+       the loop remaps late arrivals too (a never-stable table aborts
+       loudly with the tombstone intact for later replay). An append
+       this loop cannot see (manifest not yet committed when the loop
+       last listed) is guarded from the OTHER side: ``_commit`` fences
+       carried files against outstanding plans before writing its
+       manifest, AND re-checks after the write — the plan stays
+       readable as a ``completed-`` tombstone past the delete step, so
+       even an append that raced the ENTIRE purge cycle self-remaps.
+       Appends therefore need no writer window against purges;
+       purge-vs-purge and purge-vs-compact remain single-writer.
+    3. Only then delete the old bytes and retire the tombstone to its
+       ``completed-`` form.
 
     ``remap`` maps old file -> replacement path ('' when the purge
     emptied the file); ``removed`` maps old file -> purged-row count."""
@@ -1242,10 +1244,14 @@ def purge_rows(
     - Concurrency: the remap-then-delete apply loop re-lists versions
       until a full pass saw a stable set, so an ``append_version`` that
       raced the purge (carrying old paths by reference) gets its commit
-      remapped too rather than left pointing at deleted files. Purge
-      windows should still be effectively single-writer — a publisher
-      that commits purge-matching NEW rows during the purge is out of
-      scope by design (the purge erases matches as of its snapshot).
+      remapped too rather than left pointing at deleted files; an
+      append the loop could never see self-remaps from the retired
+      ``completed-`` plan via ``_commit``'s post-commit fence, so
+      appends need no writer window against purges at all. Two PURGES
+      (or a purge and a compaction) must still not overlap — and a
+      publisher that commits purge-matching NEW rows during the purge
+      is out of scope by design (the purge erases matches as of its
+      snapshot).
     - NULL rows in ``col`` are never purge targets: the keep filter is
       explicitly NULL-safe (``~isin(values)`` alone evaluates to NULL —
       i.e. dropped — for NULL rows, which would silently erase them and

@@ -125,16 +125,25 @@ class MVSpec:
                 aggs.append(_MERGE_FN[m.kind](F.expr(m.expr)).alias(m.name))
         return src.groupBy(*self.group_keys).agg(*aggs)
 
-    def merge(self, mv: DataFrame, partial: DataFrame) -> DataFrame:
+    def merge(
+        self,
+        mv: DataFrame,
+        partial: DataFrame,
+        extra: tuple[Column, ...] = (),
+    ) -> DataFrame:
         """Fold a delta's partial state into the stored MV — two
         aggregate-sized relations, one shuffle on the group keys.
-        (Counts merge by SUM — _MERGE_FN already encodes that.)"""
+        (Counts merge by SUM — _MERGE_FN already encodes that.)
+        ``extra``: additional aggregate columns carried by BOTH inputs
+        (bookkeeping like streaming's applied-batch watermark) that
+        merge alongside the measures."""
         return (
             mv.unionByName(partial)
             .groupBy(*self.group_keys)
-            .agg(*[
-                _MERGE_FN[m.kind](m.name).alias(m.name) for m in self.measures
-            ])
+            .agg(
+                *[_MERGE_FN[m.kind](m.name).alias(m.name) for m in self.measures],
+                *extra,
+            )
         )
 
 

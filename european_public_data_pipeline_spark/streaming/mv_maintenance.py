@@ -8,6 +8,14 @@ aggregate-sized relations and re-aggregating: the historical raw data is
 never re-scanned, which is the entire point of an MV at 100 TB — the
 refresh cost is O(batch + |MV|), not O(history).
 
+The view's SHAPE comes from the same declarative ``MVSpec`` the
+pull-based scheduler uses (``pipeline/mv_refresh.py``): ``maintain_mv``
+maintains ANY spec continuously, and ``refresh_mv`` maintains the same
+spec on a schedule — one algebra, two drivers, so a view can move
+between the two (or run both against different sources) without
+re-deriving its merge logic. ``*_event_summary`` are the original shape
+(``EVENT_SUMMARY_SPEC``) expressed through the generic path.
+
 Crash and replay safety — two layers:
 
 1. The MV is stored through ``pipeline/manifest``'s versioned commit
@@ -34,26 +42,30 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     read_version,
     versions,
 )
+from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+    EVENT_SUMMARY_SPEC,
+    MVSpec,
+)
 
 
-def _batch_partial(batch_df: DataFrame, batch_id: int) -> DataFrame:
-    """The algebraic MV state for one batch of events: all columns
-    mergeable (sum/sum/min/max/max); money as exact centi-unit longs."""
-    return batch_df.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-        F.lit(batch_id).cast("long").alias("applied_batch"),
+def _batch_partial(batch_df: DataFrame, batch_id: int, spec: MVSpec) -> DataFrame:
+    """The spec's algebraic state for one batch, stamped with the batch
+    id (merged by max — the replay watermark)."""
+    return spec.partial(batch_df).withColumn(
+        "applied_batch", F.lit(batch_id).cast("long")
     )
 
 
-def merge_event_summary(
-    spark: SparkSession, mv_path: str, batch_df: DataFrame, batch_id: int
+def merge_mv(
+    spark: SparkSession,
+    mv_path: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    spec: MVSpec,
 ) -> None:
     """Merge one micro-batch into the MV at ``mv_path`` (idempotent per
     batch_id, crash-safe via versioned commits; see module docstring)."""
-    partial = _batch_partial(batch_df, batch_id)
+    partial = _batch_partial(batch_df, batch_id, spec)
     if not versions(spark, mv_path):
         publish_version(partial, mv_path)
         return
@@ -68,22 +80,14 @@ def merge_event_summary(
     last = mv.agg(F.max("applied_batch")).collect()[0][0]
     if last is not None and last >= batch_id:
         return  # replayed batch: already absorbed
-    merged = (
-        mv.unionByName(partial)
-        .groupBy("event_type")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("sum_value_c").alias("sum_value_c"),
-            F.min("first_ts").alias("first_ts"),
-            F.max("last_ts").alias("last_ts"),
-            F.max("applied_batch").alias("applied_batch"),
-        )
+    merged = spec.merge(
+        mv, partial, extra=(F.max("applied_batch").alias("applied_batch"),)
     )
     publish_version(merged, mv_path)
 
 
-def maintain_event_summary(
-    stream_df: DataFrame, mv_path: str, checkpoint_path: str
+def maintain_mv(
+    stream_df: DataFrame, mv_path: str, checkpoint_path: str, spec: MVSpec
 ):
     """Run the maintenance over all available input (Trigger.AvailableNow).
     Re-invoking with the same checkpoint absorbs ONLY new input; the MV at
@@ -92,7 +96,7 @@ def maintain_event_summary(
     spark = stream_df.sparkSession
     q = (
         stream_df.writeStream.foreachBatch(
-            lambda df, bid: merge_event_summary(spark, mv_path, df, bid)
+            lambda df, bid: merge_mv(spark, mv_path, df, bid, spec)
         )
         .option("checkpointLocation", checkpoint_path)
         .outputMode("append")
@@ -103,17 +107,27 @@ def maintain_event_summary(
     return q
 
 
+def merge_event_summary(
+    spark: SparkSession, mv_path: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """The original event-summary shape through the generic path."""
+    merge_mv(spark, mv_path, batch_df, batch_id, EVENT_SUMMARY_SPEC)
+
+
+def maintain_event_summary(stream_df: DataFrame, mv_path: str, checkpoint_path: str):
+    return maintain_mv(stream_df, mv_path, checkpoint_path, EVENT_SUMMARY_SPEC)
+
+
 def read_event_summary(spark: SparkSession, mv_path: str) -> DataFrame:
     """The current MV (manifest-committed view)."""
     return read_version(spark, mv_path)
 
 
-def recompute_event_summary(events: DataFrame) -> DataFrame:
+def recompute_mv(src: DataFrame, spec: MVSpec) -> DataFrame:
     """The full-recompute twin (what the MV must always equal, minus the
     bookkeeping column)."""
-    return events.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
-        F.min("ts").alias("first_ts"),
-        F.max("ts").alias("last_ts"),
-    )
+    return spec.partial(src)
+
+
+def recompute_event_summary(events: DataFrame) -> DataFrame:
+    return recompute_mv(events, EVENT_SUMMARY_SPEC)

@@ -194,3 +194,55 @@ def test_empty_batch_on_existing_mv_publishes_no_version(spark, tmp_path):
     merge_event_summary(spark, mv, empty, 1)  # replay of the empty batch
     assert versions(spark, mv) == before
     assert _mv(spark, mv)["view"][0] == 3
+
+
+def test_streaming_maintains_any_spec_shape(spark, tmp_path):
+    """Round 10: the stream driver takes the same declarative MVSpec as
+    the pull-based scheduler — a per-user shape the module never
+    hard-coded, maintained across two AvailableNow passes and equal to a
+    full recompute at each step."""
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+    )
+    from european_public_data_pipeline_spark.streaming.mv_maintenance import (
+        maintain_mv,
+        recompute_mv,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import read_version
+
+    spec = MVSpec(
+        group_keys=("user_id", "event_type"),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_c", "sum", "CAST(ROUND(value * 100) AS BIGINT)"),
+            Measure("last_ts", "max", "ts"),
+        ),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+
+    def got():
+        return {
+            (r["user_id"], r["event_type"]): (r["n"], r["sum_c"], r["last_ts"])
+            for r in read_version(spark, mv).collect()
+        }
+
+    def want():
+        return {
+            (r["user_id"], r["event_type"]): (r["n"], r["sum_c"], r["last_ts"])
+            for r in recompute_mv(spark.read.parquet(src), spec).collect()
+        }
+
+    spark.createDataFrame(
+        _rows(0, 6, "view", 10.0) + _rows(6, 2, "purchase", 33.75), SCHEMA
+    ).write.parquet(src)
+    maintain_mv(read_events_stream(spark, src), mv, ckpt, spec)
+    assert got() == want()
+
+    spark.createDataFrame(
+        _rows(8, 3, "view", 2.25), SCHEMA
+    ).write.mode("append").parquet(src)
+    maintain_mv(read_events_stream(spark, src), mv, ckpt, spec)
+    assert got() == want()
