@@ -3101,3 +3101,171 @@ def q123_widen_column_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "q124_streaming_mv_maintenance",
+    category="streaming",
+    doc="The push-based streaming MV driver under the driver contract — "
+    "q110/q121 prove the pull-based scheduler; this proves foreachBatch "
+    "maintenance (streaming/mv_maintenance.py maintain_mv) of the SAME "
+    "declarative spec: the builder lands the pre-cutoff events in a "
+    "scratch source dir, runs one Trigger.AvailableNow pass (batch 0 "
+    "absorbed, MV committed through the versioned-manifest protocol), "
+    "lands the rest, and re-runs with the SAME checkpoint — the second "
+    "pass absorbs ONLY the new files as batch 1 and merges two "
+    "aggregate-sized relations (history never re-scanned; replayed "
+    "batch ids are no-ops, pytest-pinned in test_mv_maintenance.py). "
+    "The oracle recomputes the aggregate over ALL events directly and "
+    "pins the absorbed-batch watermark as a literal, so the green hash "
+    "proves stream-maintained == recompute THROUGH the driver and that "
+    "the second pass really was incremental. With q110 (scheduled) and "
+    "q121 (second shape) this puts every MV driver on the shared "
+    "MVSpec algebra under the hash. At 100 TB this is the shape that "
+    "keeps a continuously-ingested table's dashboard aggregate current "
+    "at O(batch + |MV|) per micro-batch.",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+       CAST(1 AS BIGINT) AS final_batch
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q124_streaming_mv_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.streaming.mv_maintenance import (
+        maintain_event_summary,
+    )
+    from european_public_data_pipeline_spark.streaming.windows import (
+        read_events_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    src = _scratch_table_path("smv_src", sf_dir)
+    mv = _scratch_table_path("smv_mv", sf_dir)
+    ckpt = _scratch_table_path("smv_ckpt", sf_dir)
+    cutoff = "2024-01-20"
+    ev.filter(F.col("ts") < cutoff).write.parquet(src)
+    maintain_event_summary(read_events_stream(spark, src), mv, ckpt)  # batch 0
+    ev.filter(F.col("ts") >= cutoff).write.mode("append").parquet(src)
+    maintain_event_summary(read_events_stream(spark, src), mv, ckpt)  # batch 1
+    out = manifest.read_version(spark, mv)
+    final_batch = out.agg(F.max("applied_batch")).collect()[0][0]
+    return out.select(
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        "first_ts",
+        "last_ts",
+        F.lit(final_batch).cast("long").alias("final_batch"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q125_changelog_applied_mv",
+    category="aggregate",
+    doc="Row-level changelog maintenance of an MV under the driver "
+    "contract (pipeline/mv_refresh.py apply_changelog_mv) — the Delta-"
+    "CDF-style path for sources that UPDATE and DELETE in place, where "
+    "refresh_mv's file-level delta is useless (every MERGE breaks file "
+    "containment and forces a full recompute): build the per-bucket MV "
+    "over the shared CDC snapshot A (q97's 'yesterday'), derive the "
+    "A->B changelog with the SAME diff q97 hashes, explode it to "
+    "weighted row images (delete -1, insert +1, update both), and fold "
+    "it in — O(changelog + |MV|), history never re-scanned. The oracle "
+    "recomputes the buckets directly over snapshot B, so the green "
+    "hash proves changelog-fold == recompute including deletes and "
+    "updates; the refresh mode rides from the MV's committed meta. "
+    "Invertible measures only (count refcount retires emptied groups; "
+    "min/max refuse loudly with refresh_mv's full recompute as the "
+    "documented path) — refusals and group-retirement are pytest-"
+    "pinned in tests/test_mv_refresh.py. At 100 TB this is the MV "
+    "answer for MERGE-heavy tables: the day's changelog is KB-GB while "
+    "the table is the 100 TB.",
+    oracle="""
+WITH b AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                   ELSE c_acctbal END AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT CAST(c_custkey % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST('changelog' AS VARCHAR) AS refresh_mode
+FROM b
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q125_changelog_applied_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    kb = F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb")
+    a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("c_custkey"),
+        F.col("old_bal").cast("double").alias("bal"),
+    )
+    mv = _scratch_table_path("cdcmv", sf_dir)
+    # Initial build: snapshot A as an all-inserts changelog (weight +1).
+    apply_changelog_mv(
+        spark, mv, a.select(kb, "bal", F.lit(1).alias("__w")), spec
+    )
+    # The A->B row-level changelog (q97's shared diff), exploded to
+    # weighted images: delete = old image -1, insert = new image +1,
+    # update = both. One pass, no per-change branching downstream.
+    log = _cdc_changelog(
+        _cdc_snapshot_a(spark, sf_dir), _cdc_snapshot_b(spark, sf_dir)
+    )
+    weighted = log.select(
+        F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb"),
+        F.explode(
+            F.when(
+                F.col("change_type") == "insert",
+                F.array(F.struct(F.col("new_bal").cast("double").alias("bal"),
+                                 F.lit(1).alias("__w"))),
+            )
+            .when(
+                F.col("change_type") == "delete",
+                F.array(F.struct(F.col("old_bal").cast("double").alias("bal"),
+                                 F.lit(-1).alias("__w"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(F.col("old_bal").cast("double").alias("bal"),
+                             F.lit(-1).alias("__w")),
+                    F.struct(F.col("new_bal").cast("double").alias("bal"),
+                             F.lit(1).alias("__w")),
+                )
+            )
+        ).alias("img"),
+    ).select("kb", F.col("img.bal").alias("bal"), F.col("img.__w").alias("__w"))
+    apply_changelog_mv(spark, mv, weighted, spec)
+    mode = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    return (
+        manifest.read_version(spark, mv)
+        .select(
+            "kb", "n", "sum_bal_c", F.lit(mode).alias("refresh_mode")
+        )
+        .orderBy("kb")
+    )

@@ -260,3 +260,82 @@ def refresh_event_summary(
     """The original event-summary view, maintained by the generic
     engine (shape: ``EVENT_SUMMARY_SPEC``)."""
     return refresh_mv(spark, src_path, mv_path, EVENT_SUMMARY_SPEC)
+
+
+def _invertible(spec: MVSpec) -> None:
+    """Changelog maintenance needs every measure INVERTIBLE (deletes
+    subtract): count and sum are; min/max are not (removing the current
+    minimum requires re-scanning the group — that is exactly the
+    rewrite-hazard full recompute ``refresh_mv`` already performs).
+    A count measure is additionally REQUIRED: it is the group's
+    refcount — the only way to know a group emptied and must leave the
+    view (a sum falling to 0 is not evidence of emptiness)."""
+    bad = [m.name for m in spec.measures if m.kind not in ("count", "sum")]
+    if bad:
+        raise ValueError(
+            f"changelog maintenance needs invertible measures; "
+            f"{', '.join(bad)} is min/max — rebuild via refresh_mv's "
+            f"full-recompute path instead"
+        )
+    if not any(m.kind == "count" for m in spec.measures):
+        raise ValueError(
+            "changelog maintenance needs a count measure (the group "
+            "refcount that retires emptied groups from the view)"
+        )
+
+
+def changelog_partial(
+    spec: MVSpec, changelog: DataFrame, weight_col: str = "__w"
+) -> DataFrame:
+    """Aggregate a WEIGHTED changelog (each row a source-row image with
+    weight +1 added / -1 removed; an update contributes both images) to
+    the spec's delta state: count deltas are weight sums, sum deltas are
+    weight-scaled expression sums. One shuffle on the group keys, sized
+    by the changelog — never the table."""
+    _invertible(spec)
+    aggs: list[Column] = []
+    for m in spec.measures:
+        if m.kind == "count":
+            aggs.append(F.sum(F.col(weight_col)).cast("long").alias(m.name))
+        else:  # sum
+            aggs.append(
+                F.sum(F.expr(m.expr) * F.col(weight_col)).alias(m.name)
+            )
+    return changelog.groupBy(*spec.group_keys).agg(*aggs)
+
+
+def apply_changelog_mv(
+    spark: SparkSession,
+    mv_path: str,
+    changelog: DataFrame,
+    spec: MVSpec,
+    weight_col: str = "__w",
+) -> int:
+    """Maintain the MV at ``mv_path`` from a ROW-LEVEL changelog — the
+    Delta-CDF-style alternative to ``refresh_mv``'s file-level deltas
+    for sources that UPDATE and DELETE in place (MERGE targets, SCD
+    tables): file containment breaks on every such commit, so the
+    file-level path would full-recompute each time, while a changelog
+    (derived by q97/q100's snapshot diff, or emitted by the writer)
+    folds in O(changelog + |MV|). Inserts add, deletes subtract, an
+    update is its two images; groups whose count-refcount falls to zero
+    leave the view (bit-parity with a direct recompute, which has no
+    such group). Invertible measures only — ``_invertible`` refuses
+    min/max loudly, full recompute being their documented path. The
+    commit is the same versioned-manifest protocol as every other MV
+    write (crash-safe, time-travelable); meta records the mode.
+    Returns the committed MV version."""
+    delta = changelog_partial(spec, changelog, weight_col)
+    have = versions(spark, mv_path)
+    if delta.limit(1).count() == 0:
+        # An empty changelog merges nothing — publishing would commit an
+        # identical MV version on every idle cycle (the streaming
+        # driver's empty-batch guard, same reasoning).
+        return have[-1] if have else 0
+    if have:
+        merged = spec.merge(read_version(spark, mv_path), delta)
+    else:
+        merged = delta  # first build: the changelog IS the state so far
+    refcount = next(m.name for m in spec.measures if m.kind == "count")
+    merged = merged.filter(F.col(refcount) > 0)
+    return publish_version(merged, mv_path, meta={_META_MODE: "changelog"})

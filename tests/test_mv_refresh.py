@@ -208,3 +208,93 @@ def test_event_summary_is_the_spec_engine(spark, sf_small, tmp_path):
     assert version_meta(spark, mv_a)["applied_src_version"] == version_meta(
         spark, mv_b
     )["applied_src_version"]
+
+
+# ---------------------------------------------------------------------------
+# changelog-applied MV maintenance (round 10): the row-level path
+
+
+def _clog_spec():
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+    )
+
+    return MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "v"),
+        ),
+    )
+
+
+def test_changelog_refuses_non_invertible_and_countless_specs(spark, tmp_path):
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    log = spark.createDataFrame([("a", 1, 1)], "g string, v long, __w int")
+    with_minmax = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("mx", "max", "v")),
+    )
+    with pytest.raises(ValueError, match="invertible"):
+        apply_changelog_mv(spark, str(tmp_path / "mv1"), log, with_minmax)
+    sum_only = MVSpec(
+        group_keys=("g",), measures=(Measure("s", "sum", "v"),)
+    )
+    with pytest.raises(ValueError, match="count measure"):
+        apply_changelog_mv(spark, str(tmp_path / "mv2"), log, sum_only)
+
+
+def test_changelog_fold_equals_recompute_with_deletes_and_updates(
+    spark, tmp_path
+):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+        version_meta,
+        versions,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        apply_changelog_mv,
+    )
+
+    spec = _clog_spec()
+    mv = str(tmp_path / "mv")
+    # State 1: {a: [1,2], b: [10]} via an all-inserts changelog.
+    apply_changelog_mv(
+        spark,
+        mv,
+        spark.createDataFrame(
+            [("a", 1, 1), ("a", 2, 1), ("b", 10, 1)], "g string, v long, __w int"
+        ),
+        spec,
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()}
+    assert got == {"a": (2, 3), "b": (1, 10)}
+
+    # Changelog 2: update a:2 -> a:5 (two images), delete b:10 entirely,
+    # insert c:7. Group b must RETIRE from the view (count refcount 0).
+    apply_changelog_mv(
+        spark,
+        mv,
+        spark.createDataFrame(
+            [("a", 2, -1), ("a", 5, 1), ("b", 10, -1), ("c", 7, 1)],
+            "g string, v long, __w int",
+        ),
+        spec,
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()}
+    assert got == {"a": (2, 6), "c": (1, 7)}
+    assert version_meta(spark, mv)["refresh_mode"] == "changelog"
+
+    # Empty changelog: no new MV version is committed.
+    v = versions(spark, mv)[-1]
+    empty = spark.createDataFrame([], "g string, v long, __w int")
+    assert apply_changelog_mv(spark, mv, empty, spec) == v
+    assert versions(spark, mv)[-1] == v
