@@ -3269,3 +3269,139 @@ def q125_changelog_applied_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q126_lifecycle_grand_tour",
+    category="scan-filter-project",
+    doc="The whole table lifecycle COMPOSED under one driver hash — "
+    "every piece is individually hashed (q120 evolution, q123 widen, "
+    "q111 purge, q112 compaction, q119 retention, q122 vacuum); this "
+    "row pins their INTERACTIONS, where lifecycle bugs actually live: "
+    "publish v1 without event_type and with an INT user_id -> additive "
+    "evolution appends v2 WITH event_type -> widen_column rewrites "
+    "user_id to BIGINT as v3 (materializing the NULL backfill the "
+    "evolved schema promised) -> v4 appends naturally-BIGINT rows -> "
+    "purge_rows erases user 7 across ALL four versions, probing v1/v2 "
+    "files at their INT footer type and v3/v4 at BIGINT in one pass "
+    "(the per-file type resolution, exercised in composition) -> "
+    "compact rewrites to v5 -> v6 appends post-purge arrivals "
+    "(including user 7's new rows — purge erases as of its snapshot, "
+    "not forever) -> expire_versions reclaims v1-v4 exactly (refcount, "
+    "never a directory diff) -> a backdated crashed-publisher orphan "
+    "is vacuumed while the live table is untouched. The oracle "
+    "restates the CURRENT and the retained time-traveled v5 aggregates "
+    "from source predicates (evolution bucket via the cutoff CASE, "
+    "erasure via the user filter) plus bounds-audit literals "
+    "(post-widen type, exactly four versions expired, purge hit, "
+    "orphan reclaimed) — one hash over the composed end state. At "
+    "100 TB this is the claim that matters: the maintenance ops are "
+    "not just individually correct but CLOSED under each other.",
+    oracle="""
+WITH cur AS (
+  SELECT * FROM events
+  WHERE NOT (user_id = 7 AND CAST(ts AS TIMESTAMP)
+             < TIMESTAMP '2024-01-25 00:00:00')
+),
+v5 AS (
+  SELECT * FROM cur
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25 00:00:00'
+)
+SELECT dim, bucket, n, total_value, cur_type, n_expired, purge_hit,
+       orphan_reclaimed FROM (
+  SELECT 'current' AS dim,
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+              THEN '(pre-evolution)' ELSE event_type END AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST('bigint' AS VARCHAR) AS cur_type,
+         CAST(4 AS BIGINT) AS n_expired,
+         TRUE AS purge_hit,
+         TRUE AS orphan_reclaimed
+  FROM cur GROUP BY 2
+  UNION ALL
+  SELECT 'v5_time_travel',
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-10 00:00:00'
+              THEN '(pre-evolution)' ELSE event_type END,
+         CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+         CAST('bigint' AS VARCHAR), CAST(4 AS BIGINT), TRUE, TRUE
+  FROM v5 GROUP BY 2
+)
+ORDER BY dim, bucket
+""",
+)
+def q126_lifecycle_grand_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = _scratch_table_path("lifecycle_events", sf_dir)
+    c1, c2, c3 = "2024-01-10", "2024-01-18", "2024-01-25"
+    uid_int = F.col("user_id").cast("int").alias("user_id")
+    manifest.publish_version(                                           # v1
+        ev.filter(F.col("ts") < c1).select("event_id", "ts", uid_int, "value"),
+        path, stats_cols=("user_id",),
+    )
+    manifest.append_version(                                            # v2
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)).select(
+            "event_id", "ts", uid_int, "value", "event_type"
+        ),
+        path,
+    )
+    manifest.widen_column(spark, path, "user_id", "bigint")            # v3
+    manifest.append_version(                                            # v4
+        ev.filter((F.col("ts") >= c2) & (F.col("ts") < c3)).select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        ),
+        path,
+    )
+    purge = manifest.purge_rows(spark, path, "user_id", [7])
+    manifest.compact(spark, path, target_files=2)                       # v5
+    manifest.append_version(                                            # v6
+        ev.filter(F.col("ts") >= c3).select(
+            "event_id", "ts", "user_id", "value", "event_type"
+        ),
+        path,
+    )
+    gc = manifest.expire_versions(spark, path, keep_last=2)
+    # A crashed publisher's staged batch, old enough to pass the fence.
+    orphan_dir = f"{path}/data/v00000099-crashedpub"
+    ev.limit(100).coalesce(1).write.parquet(orphan_dir)
+    old = _time.time() - 7200
+    for root, _dirs, files in os.walk(orphan_dir):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    vac = manifest.vacuum_orphans(spark, path, min_age_seconds=3600.0)
+    cur = manifest.read_version(spark, path)
+    cur_type = cur.schema["user_id"].dataType.simpleString()
+
+    def agg(df: DataFrame, dim: str) -> DataFrame:
+        return (
+            df.groupBy(
+                F.coalesce(F.col("event_type"), F.lit("(pre-evolution)"))
+                .alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum("value").alias("total_value"),
+            )
+            .select(
+                F.lit(dim).alias("dim"), "bucket", "n", "total_value",
+                F.lit(cur_type).alias("cur_type"),
+                F.lit(gc["versions_expired"]).cast("long").alias("n_expired"),
+                F.lit(purge["rows_removed"] > 0).alias("purge_hit"),
+                F.lit(vac["files_deleted"] > 0).alias("orphan_reclaimed"),
+            )
+        )
+
+    return (
+        agg(cur, "current")
+        .unionByName(agg(manifest.read_version(spark, path, 5), "v5_time_travel"))
+        .orderBy("dim", "bucket")
+    )
