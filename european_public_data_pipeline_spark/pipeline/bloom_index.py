@@ -287,17 +287,21 @@ def rebuild_index(
         if not m or m.group(2) != col:
             continue
         v = int(m.group(1))
-        try:
-            mf = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
-        except Exception:
+        mpath = jvm.org.apache.hadoop.fs.Path(
+            f"{table_path}/manifest/{v:08d}.json"
+        )
+        if not fs.exists(mpath):
             # A sidecar orphaned by a crash inside expire_versions
             # (manifests are deleted before index dirs): its version no
             # longer exists, so there is nothing to rebuild FOR — drop
             # it (like the emptied-version case) and keep walking, so
             # one orphan cannot abort the rebuild and leave every later
-            # version's sidecar stale.
+            # version's sidecar stale. Existence is checked explicitly
+            # — a transient READ error on a live manifest must
+            # propagate, not destroy a valid sidecar.
             fs.delete(st.getPath(), True)
             continue
+        mf = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
         if not mf["files"]:
             # The purge emptied this version entirely: nothing to index,
             # and build_bloom_index would (rightly) refuse. Drop the

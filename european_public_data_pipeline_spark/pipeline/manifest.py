@@ -257,31 +257,40 @@ def _file_stats(spark: SparkSession, data_dir: str, stats_cols: tuple) -> dict:
 COMPLETED_PLAN_TTL_S = 3600.0
 
 
-def _purge_plans(
-    spark: SparkSession, table_path: str, *, pending_only: bool = False
-) -> list[dict]:
+def _purge_plans(spark: SparkSession, table_path: str) -> list[dict]:
     """Remap-carrying purge plans currently visible under
     ``{table}/purge``: pending tombstones (a purge in flight or crashed)
-    and — unless ``pending_only`` — recently-completed plans kept for
-    the post-commit writer fence. Plan-less legacy tombstones are
-    skipped (their replay never deletes a file any manifest references,
-    so carried files stay sound without a remap)."""
+    and recently-completed plans kept for the writer fences, ordered
+    oldest-completed first (pending plans last — they are the newest
+    link of any chain). Plan-less legacy tombstones are skipped (their
+    replay never deletes a file any manifest references, so carried
+    files stay sound without a remap). A read error on a COMPLETED plan
+    is tolerated (a racing TTL reclaim deleted it — its remap is
+    already visible in every committed manifest); a read error on a
+    PENDING plan PROPAGATES: an in-flight purge the fence cannot see is
+    exactly the case the fence exists for, so failing the commit loudly
+    beats committing doomed references."""
     jvm, fs, _ = hadoop_fs(spark, table_path)
     pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
     if not fs.exists(pdir):
         return []
-    prefixes = ("pending-",) if pending_only else ("pending-", "completed-")
     plans = []
     for st in fs.listStatus(pdir):
         nm = st.getPath().getName()
-        if not (nm.startswith(prefixes) and nm.endswith(".json")):
+        if not (nm.startswith(("pending-", "completed-")) and nm.endswith(".json")):
             continue
         try:
             plan = _read_json(spark, str(st.getPath().toString()))
         except Exception:
-            continue  # racing delete of a completed plan past its TTL
+            if nm.startswith("completed-"):
+                continue  # racing delete of a plan past its TTL
+            raise
         if "remap" in plan:
             plans.append(plan)
+    # Chains must apply in completion order (a later purge's plan remaps
+    # the previous one's rewrite targets): completed plans sort by their
+    # recorded completion time, pending ones (no completed_at yet) last.
+    plans.sort(key=lambda p: p.get("completed_at", float("inf")))
     return plans
 
 
@@ -328,6 +337,7 @@ def _commit(
     stats_cols: tuple[str, ...] = (),
     carried_stats: dict | None = None,
     carried_schema: str | None = None,
+    carried_read_at: float | None = None,
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -409,6 +419,37 @@ def _commit(
         # seconds-long part of a commit; a purge starting during them is
         # still caught here, immediately before the manifest write.
         carried_files, carried_rows, carried_stats = _purge_fence()
+        # The completed-plan TTL only covers carried reads younger than
+        # the reclaim window. A pathologically long stage (a multi-hour
+        # batch write) could outlive the plan of a purge that ran and
+        # was reclaimed entirely inside it — the fences would then see
+        # nothing while the carried list names deleted files. Rare
+        # enough to pay a driver-side existence sweep: only when purges
+        # have EVER run on this table (the purge dir exists — it is
+        # never deleted) and more than half the TTL elapsed since the
+        # prior manifest was read. A missing carried file fails the
+        # commit LOUDLY before the manifest is written (staged data
+        # reclaimed; re-read the prior manifest and retry) instead of
+        # committing doomed references.
+        if (
+            carried_read_at is not None
+            and time.time() - carried_read_at > COMPLETED_PLAN_TTL_S / 2
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge"))
+        ):
+            missing = [
+                f for f in carried_files
+                if not fs.exists(jvm.org.apache.hadoop.fs.Path(f))
+            ]
+            if missing:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+                raise RuntimeError(
+                    f"append to {table_path} carried {len(missing)} file(s) "
+                    f"that no longer exist (a purge completed and its plan "
+                    f"was TTL-reclaimed during this commit's "
+                    f"{time.time() - carried_read_at:.0f}s staging window); "
+                    f"staged data reclaimed — re-read the current manifest "
+                    f"and retry the append"
+                )
     payload = {
         "version": n,
         "files": list(carried_files) + staged,
@@ -507,6 +548,7 @@ def append_version(
     vs = versions(spark, table_path)
     if not vs:
         return publish_version(df, table_path, meta=meta, stats_cols=stats_cols)
+    t_read = time.time()  # when the carried file list was read (fence TTL)
     prior = _read_json(spark, f"{table_path}/manifest/{vs[-1]:08d}.json")
     n = vs[-1] + 1
     data_dir = _stage_dir(table_path, n)
@@ -529,6 +571,7 @@ def append_version(
         stats_cols=stats_cols,
         carried_stats=prior.get("file_stats"),
         carried_schema=carried_schema,
+        carried_read_at=t_read,
     )
 
 
@@ -1340,10 +1383,17 @@ def purge_rows(
             for v in vs
         )
         groups: dict[str, tuple] = {}  # type-json -> (field, [files])
+        legacy_footer: list = []  # one cached footer serves every legacy file
         for f in candidates:
             sch = _version_schema(first_ref[f])
             if sch is None:  # legacy manifest: footer is the only source
-                sch = spark.read.parquet(f).schema
+                # Legacy (pre-schema-era) tables are homogeneous by
+                # construction (see _read_files) — ONE footer read
+                # serves all their files; per-file reads would be a
+                # driver-side round-trip per candidate.
+                if not legacy_footer:
+                    legacy_footer.append(spark.read.parquet(f).schema)
+                sch = legacy_footer[0]
                 col_seen_anywhere = col_seen_anywhere or col in sch.names
             if col not in sch.names:
                 continue  # provably column-less: zero matches, untouched

@@ -325,17 +325,23 @@ def apply_changelog_mv(
     commit is the same versioned-manifest protocol as every other MV
     write (crash-safe, time-travelable); meta records the mode.
     Returns the committed MV version."""
-    delta = changelog_partial(spec, changelog, weight_col)
-    have = versions(spark, mv_path)
-    if delta.limit(1).count() == 0:
-        # An empty changelog merges nothing — publishing would commit an
-        # identical MV version on every idle cycle (the streaming
-        # driver's empty-batch guard, same reasoning).
-        return have[-1] if have else 0
-    if have:
-        merged = spec.merge(read_version(spark, mv_path), delta)
-    else:
-        merged = delta  # first build: the changelog IS the state so far
-    refcount = next(m.name for m in spec.measures if m.kind == "count")
-    merged = merged.filter(F.col(refcount) > 0)
-    return publish_version(merged, mv_path, meta={_META_MODE: "changelog"})
+    # Persist the delta around its two uses: the changelog is typically
+    # an expensive derived plan (q97's snapshot diff), and the emptiness
+    # probe plus the merge/publish would otherwise evaluate it twice.
+    delta = changelog_partial(spec, changelog, weight_col).persist()
+    try:
+        have = versions(spark, mv_path)
+        if delta.limit(1).count() == 0:
+            # An empty changelog merges nothing — publishing would
+            # commit an identical MV version on every idle cycle (the
+            # streaming driver's empty-batch guard, same reasoning).
+            return have[-1] if have else 0
+        if have:
+            merged = spec.merge(read_version(spark, mv_path), delta)
+        else:
+            merged = delta  # first build: the changelog IS the state so far
+        refcount = next(m.name for m in spec.measures if m.kind == "count")
+        merged = merged.filter(F.col(refcount) > 0)
+        return publish_version(merged, mv_path, meta={_META_MODE: "changelog"})
+    finally:
+        delta.unpersist()

@@ -1414,3 +1414,87 @@ def test_rebuild_index_drops_orphaned_sidecar_and_continues(spark, tmp_path):
     got = read_point(spark, t, "uid", 7).collect()
     assert [(r["uid"], r["v"]) for r in got] == [(7, "b7")]
     shutil.rmtree(t, ignore_errors=True)
+
+
+def test_post_commit_fence_applies_chained_purge_plans_in_order(
+    spark, tmp_path, monkeypatch
+):
+    """Three purges complete during one append's staging window: each
+    rewrites the previous one's rewrite target (A->B->C->D), so the
+    fence must apply the retired plans in COMPLETION order — an
+    unordered pass could stop mid-chain and commit references to an
+    intermediate path a later purge already deleted."""
+    import os
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(
+        _users(spark, [(1, "a"), (7, "b"), (8, "c"), (9, "d")]).coalesce(1), t
+    )
+    prior = M._read_json(spark, f"{t}/manifest/00000001.json")
+    M.purge_rows(spark, t, "uid", [7])   # A -> B
+    M.purge_rows(spark, t, "uid", [8])   # B -> C
+    M.purge_rows(spark, t, "uid", [9])   # C -> D
+    assert len(
+        [n for n in os.listdir(f"{t}/purge") if n.startswith("completed-")]
+    ) == 3
+
+    real = M._purge_plans
+    calls = {"n": 0}
+
+    def fence_misses_first(spark_, tp):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return []  # the staged fence ran before any tombstone existed
+        return real(spark_, tp)
+
+    monkeypatch.setattr(M, "_purge_plans", fence_misses_first)
+    data_dir = M._stage_dir(t, 2)
+    _users(spark, [(5, "e")]).write.mode("overwrite").parquet(data_dir)
+    M._commit(
+        spark, t, 2, data_dir,
+        carried_files=tuple(prior["files"]),
+        carried_rows=int(prior["row_count"]),
+        carried_schema=prior.get("schema"),
+    )
+    m2 = M._read_json(spark, f"{t}/manifest/00000002.json")
+    for f in m2["files"]:
+        assert os.path.exists(M._path_key(f)), f
+    assert m2["row_count"] == 2  # 4 - 3 purged + 1 appended
+    got = sorted((r["uid"], r["v"]) for r in read_version(spark, t).collect())
+    assert got == [(1, "a"), (5, "e")]
+
+
+def test_long_stage_existence_sweep_fails_loudly_not_silently(
+    spark, tmp_path
+):
+    """A stage window longer than the completed-plan TTL can outlive a
+    purge's retired plan entirely; the pre-write fence must then verify
+    carried files exist and refuse the commit loudly (staged data
+    reclaimed) instead of committing references to deleted files."""
+    import os
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    publish_version(_users(spark, [(1, "a"), (7, "b")]).coalesce(1), t)
+    prior = M._read_json(spark, f"{t}/manifest/00000001.json")
+    M.purge_rows(spark, t, "uid", [7])
+    # Simulate the TTL reclaim having already happened.
+    for n in os.listdir(f"{t}/purge"):
+        if n.startswith("completed-"):
+            os.remove(f"{t}/purge/{n}")
+    data_dir = M._stage_dir(t, 2)
+    _users(spark, [(5, "e")]).write.mode("overwrite").parquet(data_dir)
+    with pytest.raises(RuntimeError, match="no longer exist"):
+        M._commit(
+            spark, t, 2, data_dir,
+            carried_files=tuple(prior["files"]),
+            carried_rows=int(prior["row_count"]),
+            carried_schema=prior.get("schema"),
+            carried_read_at=__import__("time").time()
+            - M.COMPLETED_PLAN_TTL_S,  # stale read, past the sweep gate
+        )
+    assert versions(spark, t) == [1]  # nothing committed
+    assert not os.path.exists(data_dir)  # staged data reclaimed
