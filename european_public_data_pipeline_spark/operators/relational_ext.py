@@ -2454,21 +2454,24 @@ def q115_wap_gated_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The MV-refresh REWRITE-HAZARD path under the driver contract — "
     "q110 proves the O(delta) append branch; this proves the detector "
     "that guards it (pipeline/mv_refresh.py): publish base -> refresh "
-    "(full), append -> refresh (incremental), COMPACT the source "
-    "(rewrites every file under new names, bumping the version), append "
-    "again -> refresh. The applied version's file set is no longer "
-    "contained in the current one, so the third refresh must fall back "
-    "to a FULL recompute — a detector that wrongly stayed incremental "
-    "would re-absorb the compacted files (the whole table) on top of "
-    "the already-merged state and double-count every pre-compaction "
-    "row, hash-mismatching the oracle's direct recompute. Each refresh "
-    "also commits WHICH branch it took into the MV's manifest meta, and "
-    "the builder emits those as result columns against oracle literals "
-    "(q25's bounds-audit pattern), so the green hash pins the branch "
-    "SEQUENCE (incremental then full), not just the end state. At "
-    "100 TB this is the guard that makes scheduled compaction safe to "
-    "run under a live MV: the next refresh pays one rebuild, and every "
-    "refresh after that is O(delta) again.",
+    "(full), append -> refresh (incremental), then OVERWRITE the source "
+    "with a full publish_version (an untagged rewrite — no row-"
+    "preservation guarantee; since round 11's commit-kind tags a "
+    "compaction is a tagged replace the chain may SKIP, pinned by "
+    "q127), append again -> refresh. The chain since the applied "
+    "version now contains an overwrite commit, so the third refresh "
+    "must fall back to a FULL recompute — a detector that wrongly "
+    "stayed incremental would re-absorb the republished files (the "
+    "whole table) on top of the already-merged state and double-count "
+    "every pre-rewrite row, hash-mismatching the oracle's direct "
+    "recompute. Each refresh also commits WHICH branch it took into "
+    "the MV's manifest meta, and the builder emits those as result "
+    "columns against oracle literals (q25's bounds-audit pattern), so "
+    "the green hash pins the branch SEQUENCE (incremental then full), "
+    "not just the end state. At 100 TB this is the guard that makes an "
+    "ad-hoc table rewrite safe to run under a live MV: the next "
+    "refresh pays one rebuild, and every refresh after that is "
+    "O(delta) again.",
     oracle="""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -2498,9 +2501,14 @@ def q116_mv_refresh_rewrite_hazard(spark: SparkSession, sf_dir: str) -> DataFram
     )
     refresh_event_summary(spark, src, mv)  # incremental (append chain)
     mode2 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
-    manifest.compact(spark, src, target_files=2)  # rewrite hazard
+    # Rewrite hazard: a full publish is an OVERWRITE commit — unlike
+    # compact's tagged row-preserving replace (q127), nothing certifies
+    # the rows survived, so the chain walk must refuse the delta.
+    manifest.publish_version(
+        manifest.read_version(spark, src), src
+    )
     manifest.append_version(ev.filter(F.col("ts") >= c2), src)
-    refresh_event_summary(spark, src, mv)  # full (containment broken)
+    refresh_event_summary(spark, src, mv)  # full (overwrite in chain)
     mode3 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
     out = manifest.read_version(spark, mv)
     return out.select(
@@ -3404,4 +3412,208 @@ def q126_lifecycle_grand_tour(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg(cur, "current")
         .unionByName(agg(manifest.read_version(spark, path, 5), "v5_time_travel"))
         .orderBy("dim", "bucket")
+    )
+
+
+@register(
+    "q127_mv_safe_compaction",
+    category="aggregate",
+    doc="Commit-kind tags making compaction MV-SAFE under the driver "
+    "contract — the round-11 answer to the one remaining O(source) "
+    "cost a routine maintenance op could inflict: every manifest "
+    "commit now records an operation kind (pipeline/manifest.py "
+    "_commit, Iceberg's snapshot `operation` — append / replace / "
+    "overwrite), and refresh_mv walks the commit chain since the "
+    "applied version, aggregating only the `append` deltas and "
+    "SKIPPING `replace` commits entirely (compact and widen_column "
+    "preserve every row value-for-value, so their rows are already "
+    "absorbed). The builder runs publish -> refresh (full, first "
+    "build) -> append -> refresh -> compact -> append -> refresh: "
+    "both post-build refreshes must take the INCREMENTAL branch — "
+    "before the tags, the post-compact refresh full-recomputed (the "
+    "old behavior q116 used to pin; at 100 TB a nightly compact "
+    "forced an O(table) MV rebuild, hours of waste). Branch modes "
+    "ride from the MVs' committed meta and the compact's recorded "
+    "kind from version_op, all against oracle literals; the oracle "
+    "recomputes the aggregate over ALL events directly, so a chain "
+    "walk that skipped too much (losing the post-compact append) or "
+    "too little (double-absorbing the compacted files) "
+    "hash-mismatches. Delta segments are read with their own "
+    "version's schema and conformed to the head's "
+    "(tests/test_mv_refresh.py pins widen + evolution in the chain).",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+       CAST('incremental' AS VARCHAR) AS refresh2_mode,
+       CAST('incremental' AS VARCHAR) AS refresh3_mode,
+       CAST('replace' AS VARCHAR) AS compact_op
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q127_mv_safe_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        refresh_event_summary,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    src = _scratch_table_path("mvsafe_events", sf_dir)
+    mv = _scratch_table_path("mvsafe_summary", sf_dir)
+    c1, c2 = "2024-01-15", "2024-01-25"
+    manifest.publish_version(ev.filter(F.col("ts") < c1), src)
+    refresh_event_summary(spark, src, mv)  # full (first build)
+    manifest.append_version(
+        ev.filter((F.col("ts") >= c1) & (F.col("ts") < c2)), src
+    )
+    refresh_event_summary(spark, src, mv)  # incremental (append)
+    mode2 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    manifest.compact(spark, src, target_files=2)  # tagged replace
+    compact_op = manifest.version_op(spark, src)
+    manifest.append_version(ev.filter(F.col("ts") >= c2), src)
+    refresh_event_summary(spark, src, mv)  # incremental ACROSS the compact
+    mode3 = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    out = manifest.read_version(spark, mv)
+    return out.select(
+        "event_type",
+        "n_events",
+        "sum_value_c",
+        F.lit(mode2).alias("refresh2_mode"),
+        F.lit(mode3).alias("refresh3_mode"),
+        F.lit(compact_op).alias("compact_op"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q128_changelog_minmax_targeted",
+    category="aggregate",
+    doc="Targeted per-group recompute for min/max under changelog MV "
+    "maintenance (pipeline/mv_refresh.py apply_changelog_mv with "
+    "source=) — the round-11 narrowing of the _invertible refusal: "
+    "count/sum fold purely from the weighted changelog, inserts can "
+    "only IMPROVE an extremum (folded exactly via spec.merge), and "
+    "only deletes that TIE a stored extremum dirty their group — "
+    "those groups, and only those, are re-aggregated from the "
+    "post-change source (semi join on group key + extremum tie; at "
+    "100 TB the dirty set is the handful of groups whose champion "
+    "left, never the table — the alternative was refresh_mv's "
+    "O(source) full rebuild on every MERGE). The builder folds the "
+    "shared CDC A->B changelog (q97's diff, q125's weighted images) "
+    "into a per-bucket MV carrying count/sum AND min/max balance, "
+    "with the replay guard exercised en route (the same changelog_id "
+    "re-applied must no-op). The oracle recomputes all four measures "
+    "directly over snapshot B, so a dirty-set that missed a tied "
+    "delete (stale extremum survives) or recomputed from the wrong "
+    "snapshot hash-mismatches; the dirty-group count and mode ride "
+    "from committed meta as bounds-audit literals.",
+    oracle="""
+WITH b AS (
+  SELECT c_custkey,
+         CAST(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 10
+                   ELSE c_acctbal END AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 11 <> 0
+)
+SELECT CAST(c_custkey % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(MAX(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c,
+       TRUE AS dirty_bounded,
+       CAST('changelog' AS VARCHAR) AS refresh_mode
+FROM b
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q128_changelog_minmax_targeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("min_bal_c", "min", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("max_bal_c", "max", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    kb = F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb")
+    a = _cdc_snapshot_a(spark, sf_dir).select(
+        F.col("a_key").alias("c_custkey"),
+        F.col("old_bal").cast("double").alias("bal"),
+    )
+    b = _cdc_snapshot_b(spark, sf_dir).select(
+        F.col("b_key").alias("c_custkey"),
+        F.col("new_bal").cast("double").alias("bal"),
+    )
+    mv = _scratch_table_path("cdcmm", sf_dir)
+    # Initial build from snapshot A as an all-inserts changelog; the
+    # first apply has no stored extrema to dirty (source = A).
+    apply_changelog_mv(
+        spark,
+        mv,
+        a.select(kb, "bal", F.lit(1).alias("__w")),
+        spec,
+        source=a.select(kb, "bal"),
+        changelog_id=1,
+    )
+    # The A->B weighted changelog (q125's exploded images). B deletes
+    # every %11 key — some of those are group extrema, which is the
+    # whole point: the fold must recompute exactly those groups from B.
+    log = _cdc_changelog(
+        _cdc_snapshot_a(spark, sf_dir), _cdc_snapshot_b(spark, sf_dir)
+    )
+    weighted = log.select(
+        F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb"),
+        F.explode(
+            F.when(
+                F.col("change_type") == "insert",
+                F.array(F.struct(F.col("new_bal").cast("double").alias("bal"),
+                                 F.lit(1).alias("__w"))),
+            )
+            .when(
+                F.col("change_type") == "delete",
+                F.array(F.struct(F.col("old_bal").cast("double").alias("bal"),
+                                 F.lit(-1).alias("__w"))),
+            )
+            .otherwise(
+                F.array(
+                    F.struct(F.col("old_bal").cast("double").alias("bal"),
+                             F.lit(-1).alias("__w")),
+                    F.struct(F.col("new_bal").cast("double").alias("bal"),
+                             F.lit(1).alias("__w")),
+                )
+            )
+        ).alias("img"),
+    ).select("kb", F.col("img.bal").alias("bal"), F.col("img.__w").alias("__w"))
+    post = b.select(kb, "bal")
+    apply_changelog_mv(spark, mv, weighted, spec, source=post, changelog_id=2)
+    v_after = manifest.versions(spark, mv)[-1]
+    # Replay guard: the same changelog id again must commit NOTHING.
+    apply_changelog_mv(spark, mv, weighted, spec, source=post, changelog_id=2)
+    replay_noop = manifest.versions(spark, mv)[-1] == v_after
+    meta = manifest.version_meta(spark, mv)
+    mode = meta.get(_META_MODE, "?")
+    n_dirty = int(meta.get("n_dirty_groups", -1))
+    return (
+        manifest.read_version(spark, mv)
+        .select(
+            "kb", "n", "sum_bal_c", "min_bal_c", "max_bal_c",
+            # Dirty set bounded by the group count (8 buckets) and the
+            # replay no-op held — both must be true for a green hash.
+            F.lit(bool(0 <= n_dirty <= 8) and replay_noop).alias(
+                "dirty_bounded"
+            ),
+            F.lit(mode).alias("refresh_mode"),
+        )
+        .orderBy("kb")
     )

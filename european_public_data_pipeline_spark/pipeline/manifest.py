@@ -264,21 +264,30 @@ def _purge_plans(spark: SparkSession, table_path: str) -> list[dict]:
     oldest-completed first (pending plans last — they are the newest
     link of any chain). Plan-less legacy tombstones are skipped (their
     replay never deletes a file any manifest references, so carried
-    files stay sound without a remap). A read error on a COMPLETED plan
-    is tolerated (a racing TTL reclaim deleted it — its remap is
-    already visible in every committed manifest); a read error on a
-    PENDING plan PROPAGATES: an in-flight purge the fence cannot see is
-    exactly the case the fence exists for, so failing the commit loudly
-    beats committing doomed references."""
+    files stay sound without a remap). Completed plans past their TTL
+    are skipped WITHOUT being read (mtime check only): the fences
+    provably cannot need them — any commit whose staging window spans
+    the TTL is caught by the existence sweep instead — so a table
+    purged once long ago pays one listing, not a JSON read per expired
+    plan on every later append (the reads are reclaimed for good by
+    ``vacuum_orphans``/``_replay_pending_purges``). A read error on a
+    COMPLETED plan is tolerated (a racing TTL reclaim deleted it — its
+    remap is already visible in every committed manifest); a read error
+    on a PENDING plan PROPAGATES: an in-flight purge the fence cannot
+    see is exactly the case the fence exists for, so failing the commit
+    loudly beats committing doomed references."""
     jvm, fs, _ = hadoop_fs(spark, table_path)
     pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
     if not fs.exists(pdir):
         return []
+    ttl_cutoff_ms = (time.time() - COMPLETED_PLAN_TTL_S) * 1000.0
     plans = []
     for st in fs.listStatus(pdir):
         nm = st.getPath().getName()
         if not (nm.startswith(("pending-", "completed-")) and nm.endswith(".json")):
             continue
+        if nm.startswith("completed-") and st.getModificationTime() < ttl_cutoff_ms:
+            continue  # past the TTL: provably unneeded by any fence
         try:
             plan = _read_json(spark, str(st.getPath().toString()))
         except Exception:
@@ -338,6 +347,7 @@ def _commit(
     carried_stats: dict | None = None,
     carried_schema: str | None = None,
     carried_read_at: float | None = None,
+    op: str = "overwrite",
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -350,7 +360,20 @@ def _commit(
     which is how streaming state keeps an applied-batch watermark
     without scanning data. ``stats_cols`` adds per-file min/max zone
     maps (one extra scan of the STAGED batch only); ``carried_stats``
-    (append commits) carries prior files' zone maps by reference."""
+    (append commits) carries prior files' zone maps by reference.
+
+    ``op`` is the commit's OPERATION KIND, recorded as a top-level
+    manifest field (Iceberg's snapshot ``operation``) so incremental
+    consumers can classify commits without diffing file lists:
+    ``append`` (prior rows untouched, staged rows new), ``replace``
+    (prior rows preserved value-for-value under new files — compact,
+    widen), ``overwrite`` (no row-preservation guarantee — full
+    publish, MERGE-style rewrites; also the conservative default and
+    what a pre-op-era manifest reads as). A scheduled compaction tagged
+    ``replace`` is what lets ``refresh_mv`` skip it instead of paying an
+    O(source) rebuild. Deliberately NOT in ``meta``: appends/compacts
+    carry meta forward for consumer watermarks, while the op kind is a
+    per-commit fact that must never be inherited."""
     jvm, fs, _ = hadoop_fs(spark, data_dir)
     staged = sorted(
         str(st.getPath().toString())
@@ -456,6 +479,7 @@ def _commit(
         "row_count": carried_rows + staged_rows,
         "published_at": time.time(),
         "schema": version_schema,
+        "op": op,
     }
     if meta:
         payload["meta"] = meta
@@ -487,18 +511,61 @@ def _commit(
         # (overwrite sanctioned, purge-repair class) finishes what the
         # purge's re-list loop could not see. Idempotent against the
         # purge remapping us concurrently: both sides write the same
-        # payload. Appends therefore no longer need a single-writer
-        # window against purges; purge-vs-purge stays single-writer.
-        changed = False
-        for plan in _purge_plans(spark, table_path):
-            if _remap_manifest_payload(payload, plan["removed"], plan["remap"]):
-                changed = True
-        if changed:
+        # payload.
+        #
+        # LOOPED until a pass applies nothing new (ADVICE r10): a
+        # SECOND sequential purge can write its tombstone and remap
+        # manifest ``n`` between one pass's plan listing and its
+        # overwrite — that overwrite, computed from the older listing,
+        # would revert the newer purge's remap while passing its
+        # stable-version-set check. Re-listing after every write and
+        # writing again until a pass finds nothing converges (plans
+        # only accumulate inside the TTL, each applies idempotently),
+        # and the terminal state is a manifest carrying EVERY visible
+        # plan's remap regardless of interleaving. The residual window
+        # — a reader planning manifest ``n`` between a reverting write
+        # and the fixing pass — is transient and fails loudly (missing
+        # file), never a silently-wrong result. Appends therefore need
+        # no writer window against purges; purge-vs-purge stays
+        # single-writer.
+        for _pass in range(10):
+            try:
+                plans = _purge_plans(spark, table_path)
+            except Exception as exc:
+                # The manifest and LATEST are already committed; a
+                # pending-plan read error here must not read as "the
+                # append failed" (a blind retry would duplicate the
+                # batch). One short retry for transient IO, then
+                # surface the landed commit explicitly.
+                time.sleep(0.2)
+                try:
+                    plans = _purge_plans(spark, table_path)
+                except Exception:
+                    raise RuntimeError(
+                        f"append to {table_path} COMMITTED as version {n}, "
+                        f"but the post-commit purge fence could not read a "
+                        f"pending purge plan — do NOT re-append; run "
+                        f"purge_rows to replay the pending purge (it will "
+                        f"remap version {n} if needed)"
+                    ) from exc
+            changed = False
+            for plan in plans:
+                if _remap_manifest_payload(payload, plan["removed"], plan["remap"]):
+                    changed = True
+            if not changed:
+                break
             _write_json(
                 spark,
                 f"{table_path}/manifest/{n:08d}.json",
                 payload,
                 overwrite=True,
+            )
+        else:
+            raise RuntimeError(
+                f"append to {table_path} COMMITTED as version {n}, but the "
+                f"post-commit purge fence saw new purge plans on 10 "
+                f"consecutive passes — do NOT re-append; re-run purge_rows "
+                f"once the purge storm settles to re-verify version {n}"
             )
     return n
 
@@ -509,15 +576,23 @@ def publish_version(
     *,
     meta: dict | None = None,
     stats_cols: tuple[str, ...] = (),
+    op: str = "overwrite",
 ) -> int:
     """Publish ``df`` as the table's next version; returns the version.
     ``stats_cols`` records per-file min/max zone maps in the manifest
-    (enables ``read_where`` file pruning)."""
+    (enables ``read_where`` file pruning). ``op`` tags the commit's
+    operation kind (see ``_commit``); callers that REWRITE the table
+    while provably preserving every row value-for-value (compact,
+    widen_column) pass ``"replace"`` so incremental MV consumers can
+    skip the commit — a caller that cannot prove preservation must
+    leave the conservative ``"overwrite"`` default."""
     spark = df.sparkSession
     n = (versions(spark, table_path) or [0])[-1] + 1
     data_dir = _stage_dir(table_path, n)
     df.write.mode("overwrite").parquet(data_dir)
-    return _commit(spark, table_path, n, data_dir, meta=meta, stats_cols=stats_cols)
+    return _commit(
+        spark, table_path, n, data_dir, meta=meta, stats_cols=stats_cols, op=op
+    )
 
 
 def append_version(
@@ -572,6 +647,7 @@ def append_version(
         carried_stats=prior.get("file_stats"),
         carried_schema=carried_schema,
         carried_read_at=t_read,
+        op="append",
     )
 
 
@@ -582,6 +658,64 @@ def version_meta(
     an O(1) manifest read, no data scan."""
     v = version if version is not None else current_version(spark, table_path)
     return _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get("meta", {})
+
+
+def version_op(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> str:
+    """The operation kind committed with ``version`` (default: current)
+    — ``append`` / ``replace`` / ``overwrite`` (see ``_commit``). A
+    manifest written before op tags existed reads as ``overwrite``: the
+    conservative kind (no row-preservation guarantee), so consumers
+    that special-case the stronger kinds degrade to exactly the
+    behavior they had before tags. O(1) manifest read, no data scan."""
+    v = version if version is not None else current_version(spark, table_path)
+    return _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get(
+        "op", "overwrite"
+    )
+
+
+def _indexed_columns(spark: SparkSession, table_path: str, version: int) -> list[str]:
+    """Columns that have a Bloom sidecar built for ``version`` — parsed
+    from the index directory names (``v<N>-bloom-<col>``), the same
+    layout ``bloom_index`` owns. Sorted for deterministic rebuild
+    order."""
+    import re
+
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    idx_root = jvm.org.apache.hadoop.fs.Path(f"{table_path}/index")
+    if not fs.exists(idx_root):
+        return []
+    cols = []
+    pat = re.compile(rf"^v{version:08d}-bloom-(.+)$")
+    for st in fs.listStatus(idx_root):
+        m = pat.match(st.getPath().getName())
+        if m:
+            cols.append(m.group(1))
+    return sorted(cols)
+
+
+def _rebuild_head_sidecars(
+    spark: SparkSession, table_path: str, prior_head: int, new_head: int
+) -> None:
+    """Sidecar continuity across version-bumping rewrites: rebuild, on
+    the NEW head, the Bloom sidecar of every column indexed on the
+    PRIOR head. Without this, point-lookup pruning silently evaporates
+    after every compact/widen — ``read_point`` on the new head sees no
+    sidecar and degrades to a full-version read (sound but a full scan)
+    until someone remembers to re-run ``build_bloom_index``. One
+    distributed build job per indexed column, same cost class as the
+    rewrite that triggered it; the prior head's sidecars stay valid for
+    time travel to it."""
+    cols = _indexed_columns(spark, table_path, prior_head)
+    if not cols:
+        return
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+    )
+
+    for c in cols:
+        build_bloom_index(spark, table_path, c, version=new_head)
 
 
 def compact(
@@ -634,12 +768,21 @@ def compact(
         # pruning on the clustering key — recording no zone map for it
         # (table never indexed) would silently waste the rewrite.
         stat_cols.add(cluster_by)
-    return publish_version(
+    # ``replace``: every prior row survives value-for-value under new
+    # files — the tag that lets an incremental MV consumer skip this
+    # commit instead of full-recomputing (refresh_mv).
+    n = publish_version(
         df,
         table_path,
         meta=prior.get("meta") or None,
         stats_cols=tuple(sorted(stat_cols)),
+        op="replace",
     )
+    # Bloom sidecars describe FILES, like zone maps — rebuild every
+    # column indexed on the prior head so read_point pruning survives
+    # the compaction (zone maps got the same treatment above).
+    _rebuild_head_sidecars(spark, table_path, head, n)
+    return n
 
 
 def _is_lossless_widen(old, new) -> bool:
@@ -731,22 +874,24 @@ def widen_column(
     stat_cols = {
         c for per_file in prior.get("file_stats", {}).values() for c in per_file
     }
+    # ``replace``: lossless cast — every row's VALUES are preserved (the
+    # widened column compares equal at the wider type), so sums/mins/
+    # maxes over it are unchanged and incremental MV consumers may skip
+    # this commit like a compaction.
     n = publish_version(
         df.withColumn(col, F.col(col).cast(new_dt)),
         table_path,
         meta=prior.get("meta") or None,
         stats_cols=tuple(sorted(stat_cols)),
+        op="replace",
     )
-    jvm, fs, _ = hadoop_fs(spark, table_path)
-    prior_idx = jvm.org.apache.hadoop.fs.Path(
-        f"{table_path}/index/v{head:08d}-bloom-{col}"
-    )
-    if fs.exists(prior_idx):
-        from european_public_data_pipeline_spark.pipeline.bloom_index import (
-            build_bloom_index,
-        )
-
-        build_bloom_index(spark, table_path, col, version=n)
+    # EVERY column indexed on the prior head gets its sidecar rebuilt on
+    # the new head (not just the widened one): the rewrite renamed every
+    # file, so all prior sidecars describe files the new version does
+    # not reference — read_point would degrade to a full scan. The
+    # widened column's rebuild additionally re-hashes at the new binary
+    # representation (an INT and its BIGINT widening hash differently).
+    _rebuild_head_sidecars(spark, table_path, head, n)
     return n
 
 
@@ -1104,7 +1249,29 @@ def vacuum_orphans(
         if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
             fs.delete(st.getPath(), True)
             n_dirs += 1
-    return {"files_deleted": n_files, "dirs_removed": n_dirs}
+    # Opportunistic reclaim of past-TTL ``completed-`` purge plans: on a
+    # table purged once and never again, only the next purge_rows run
+    # would reclaim them — vacuum is the natural other owner (the fences
+    # provably cannot need a plan past the TTL; _purge_plans already
+    # skips them unread).
+    n_plans = 0
+    pdir = jvm.org.apache.hadoop.fs.Path(f"{table_path}/purge")
+    if fs.exists(pdir):
+        ttl_cutoff_ms = (time.time() - COMPLETED_PLAN_TTL_S) * 1000.0
+        for st in fs.listStatus(pdir):
+            nm = st.getPath().getName()
+            if (
+                nm.startswith("completed-")
+                and nm.endswith(".json")
+                and st.getModificationTime() < ttl_cutoff_ms
+            ):
+                fs.delete(st.getPath(), False)
+                n_plans += 1
+    return {
+        "files_deleted": n_files,
+        "dirs_removed": n_dirs,
+        "plans_reclaimed": n_plans,
+    }
 
 
 def _apply_purge_plan(

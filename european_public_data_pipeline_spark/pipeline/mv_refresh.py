@@ -25,34 +25,43 @@ from sum+count downstream, and keep distincts in mergeable sketches
 (q98's HLL rollup) — an MV that stored them directly could not merge
 deltas without re-scanning history.
 
-File-level incremental reads are only exact for APPEND commits; two
-distinct rewrite hazards are both detected, forcing a FULL recompute
-(still correct, just not incremental — the documented cost of rewriting
-an MV-feeding table; q97/q100's changelogs are the row-level
-alternative):
+File-level incremental reads are exact for APPEND commits and — since
+commits carry an operation kind (``manifest._commit``'s ``op`` field,
+Iceberg's snapshot ``operation``) — for row-preserving REPLACE commits
+too: the refresh walks the commit chain since the applied version,
+aggregates only the ``append`` deltas, and SKIPS ``replace`` versions
+entirely (compact/widen preserve every row value-for-value, so their
+rows are already absorbed — without the tag, a routine nightly
+compaction would force an O(source) MV rebuild at 100 TB). Two rewrite
+hazards still force a FULL recompute (correct, just not incremental;
+q97/q100's changelogs are the row-level alternative):
 
-1. A rewrite that BUMPS the version (compaction, full publish): the
-   applied version's files are no longer a subset of the current list —
-   file-set containment catches it.
+1. An ``overwrite`` commit anywhere in the chain (full publish, MERGE-
+   class rewrite — no row-preservation guarantee), or a pre-op-era
+   chain that fails the legacy file-containment check.
 2. ``purge_rows``, which rewrites history IN PLACE without bumping any
-   version: containment still holds (every manifest was remapped
+   version: the chain walk can't see it (every manifest was remapped
    consistently), so the MV meta additionally stores an md5 of the
    applied version's file list at refresh time; if the stored hash no
    longer matches that manifest's current file list, history changed
    under the MV and the aggregate must be rebuilt — this check runs even
    when the source version is unchanged, otherwise a purge with no
    subsequent append would leave the MV serving legally-erased rows
-   forever.
+   forever. (A purge that touched only not-yet-applied delta files
+   leaves the anchor intact — and the delta is then read from the
+   already-remapped manifests, so the purged rows never enter the MV.)
 """
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.manifest import (
+    _read_files,
     _read_json,
     current_version,
     publish_version,
@@ -192,13 +201,100 @@ def _merge(mv: DataFrame, partial: DataFrame) -> DataFrame:
     return EVENT_SUMMARY_SPEC.merge(mv, partial)
 
 
+def _chain_delta(
+    spark: SparkSession, src_path: str, applied: int, src_v: int
+) -> list[tuple[int, list[str]]] | None:
+    """Walk the commit chain ``applied+1 .. src_v`` by operation kind
+    and return the file-level delta as ``(version, new_files)`` segments
+    — or ``None`` when the chain is not incremental-eligible and the
+    caller must full-recompute. ``append`` contributes its new files;
+    ``replace`` (compact/widen — rows preserved value-for-value)
+    contributes NOTHING and is skipped; ``overwrite`` or an unreadable
+    intermediate manifest (expired by retention GC) disqualifies the
+    chain. A chain containing any pre-op-era manifest falls back to the
+    legacy endpoint-containment rule (applied's files all carried into
+    the head ⇒ delta is the head's new files), which is exactly the
+    behavior before op tags existed. Driver-side KB-manifest reads only
+    — O(chain length), never a data scan."""
+    try:
+        prev = _read_json(spark, f"{src_path}/manifest/{applied:08d}.json")
+    except Exception:
+        return None
+    segments: list[tuple[int, list[str]]] = []
+    for v in range(applied + 1, src_v + 1):
+        try:
+            m = _read_json(spark, f"{src_path}/manifest/{v:08d}.json")
+        except Exception:
+            return None  # expired/unreadable intermediate: chain broken
+        op = m.get("op")
+        if op == "append":
+            prev_set = set(prev["files"])
+            segments.append((v, [f for f in m["files"] if f not in prev_set]))
+        elif op == "replace":
+            pass  # rows preserved under new files — already absorbed
+        elif op is None:
+            # Pre-op-era manifest in the chain: the legacy containment
+            # rule over the ENDPOINTS (sound: containment can only hold
+            # across a chain of effective appends).
+            old = set(
+                _read_json(
+                    spark, f"{src_path}/manifest/{applied:08d}.json"
+                )["files"]
+            )
+            head = _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")
+            if old <= set(head["files"]):
+                return [(src_v, [f for f in head["files"] if f not in old])]
+            return None
+        else:  # 'overwrite' / unknown kind: no row-preservation guarantee
+            return None
+        prev = m
+    return segments
+
+
+def _read_delta(
+    spark: SparkSession,
+    src_path: str,
+    segments: list[tuple[int, list[str]]],
+    head_schema,
+) -> DataFrame | None:
+    """Plan a read over the chain delta's file segments, each read with
+    ITS OWN version's manifest schema and conformed to the head schema
+    (explicit lossless casts + NULL backfill) — a post-widen head schema
+    says BIGINT while pre-widen delta files hold INT32, and additive
+    evolution means older segments lack newer columns. Returns ``None``
+    for an all-empty delta."""
+    from pyspark.sql.types import StructType
+
+    head = StructType.fromJson(head_schema)
+    out: DataFrame | None = None
+    for v, files in segments:
+        if not files:
+            continue
+        m = _read_json(spark, f"{src_path}/manifest/{v:08d}.json")
+        seg = _read_files(spark, m, files)
+        conformed = seg.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in seg.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in head.fields
+            ]
+        )
+        out = conformed if out is None else out.unionByName(conformed)
+    return out
+
+
 def refresh_mv(
     spark: SparkSession, src_path: str, mv_path: str, spec: MVSpec
 ) -> int:
     """Bring the MV at ``mv_path`` (shape ``spec``) up to date with the
     source table at ``src_path``. Returns the source version now applied
-    (unchanged on a no-op). O(delta + |MV|) when the source appended;
-    O(source) full recompute when it was rewritten."""
+    (unchanged on a no-op). O(delta + |MV|) when the chain since the
+    applied version is appends + row-preserving replaces (compact,
+    widen); O(source) full recompute when it was overwritten or purged
+    under the watermark."""
     src_v = current_version(spark, src_path)
     meta = version_meta(spark, mv_path) if versions(spark, mv_path) else {}
     applied = int(meta.get(_META_KEY, 0))
@@ -222,21 +318,25 @@ def refresh_mv(
     if applied >= src_v and history_intact:
         return applied  # nothing new — idempotent no-op
 
-    incremental = False
+    segments = None
     if applied > 0 and history_intact:
-        old_files = set(
-            _read_json(spark, f"{src_path}/manifest/{applied:08d}.json")["files"]
-        )
-        new_files = set(
-            _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")["files"]
-        )
-        # Append chains keep every applied file; anything else (compact,
-        # full publish) invalidates the file-level delta.
-        incremental = old_files <= new_files
+        segments = _chain_delta(spark, src_path, applied, src_v)
+    incremental = segments is not None
 
     if incremental:
-        delta = read_incremental(spark, src_path, applied, src_v)
-        merged = spec.merge(read_version(spark, mv_path), spec.partial(delta))
+        head = _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")
+        sj = head.get("schema")
+        delta = (
+            _read_delta(spark, src_path, segments, json.loads(sj))
+            if sj
+            else read_incremental(spark, src_path, applied, src_v)
+        )
+        mv_now = read_version(spark, mv_path)
+        merged = (
+            spec.merge(mv_now, spec.partial(delta))
+            if delta is not None
+            else mv_now  # replace-only chain: state unchanged, advance watermark
+        )
     else:
         merged = spec.partial(read_version(spark, src_path, src_v))
     publish_version(
@@ -262,20 +362,24 @@ def refresh_event_summary(
     return refresh_mv(spark, src_path, mv_path, EVENT_SUMMARY_SPEC)
 
 
-def _invertible(spec: MVSpec) -> None:
+def _invertible(spec: MVSpec, with_source: bool = False) -> None:
     """Changelog maintenance needs every measure INVERTIBLE (deletes
     subtract): count and sum are; min/max are not (removing the current
-    minimum requires re-scanning the group — that is exactly the
-    rewrite-hazard full recompute ``refresh_mv`` already performs).
-    A count measure is additionally REQUIRED: it is the group's
-    refcount — the only way to know a group emptied and must leave the
-    view (a sum falling to 0 is not evidence of emptiness)."""
+    minimum requires re-scanning the group). With ``with_source`` the
+    min/max refusal narrows: ``apply_changelog_mv`` can then recompute
+    ONLY the groups whose stored extremum a delete tied (targeted
+    per-group recompute) instead of falling back to ``refresh_mv``'s
+    O(source) rebuild. A count measure is REQUIRED either way: it is
+    the group's refcount — the only way to know a group emptied and
+    must leave the view (a sum falling to 0 is not evidence of
+    emptiness)."""
     bad = [m.name for m in spec.measures if m.kind not in ("count", "sum")]
-    if bad:
+    if bad and not with_source:
         raise ValueError(
             f"changelog maintenance needs invertible measures; "
-            f"{', '.join(bad)} is min/max — rebuild via refresh_mv's "
-            f"full-recompute path instead"
+            f"{', '.join(bad)} is min/max — pass source= for the "
+            f"targeted per-group recompute, or rebuild via refresh_mv's "
+            f"full-recompute path"
         )
     if not any(m.kind == "count" for m in spec.measures):
         raise ValueError(
@@ -285,23 +389,40 @@ def _invertible(spec: MVSpec) -> None:
 
 
 def changelog_partial(
-    spec: MVSpec, changelog: DataFrame, weight_col: str = "__w"
+    spec: MVSpec,
+    changelog: DataFrame,
+    weight_col: str = "__w",
+    allow_extrema: bool = False,
 ) -> DataFrame:
     """Aggregate a WEIGHTED changelog (each row a source-row image with
     weight +1 added / -1 removed; an update contributes both images) to
     the spec's delta state: count deltas are weight sums, sum deltas are
-    weight-scaled expression sums. One shuffle on the group keys, sized
+    weight-scaled expression sums. With ``allow_extrema`` (set by
+    ``apply_changelog_mv`` when it holds a source for the targeted
+    recompute), min/max measures aggregate over INSERTED images only —
+    an insert can only improve an extremum, so ``spec.merge`` folds it
+    exactly; deletes that tie the stored extremum are handled by the
+    caller's dirty-group recompute. One shuffle on the group keys, sized
     by the changelog — never the table."""
-    _invertible(spec)
+    _invertible(spec, with_source=allow_extrema)
     aggs: list[Column] = []
     for m in spec.measures:
         if m.kind == "count":
             aggs.append(F.sum(F.col(weight_col)).cast("long").alias(m.name))
-        else:  # sum
+        elif m.kind == "sum":
             aggs.append(
                 F.sum(F.expr(m.expr) * F.col(weight_col)).alias(m.name)
             )
+        else:  # min/max over inserted images only (allow_extrema path)
+            aggs.append(
+                _MERGE_FN[m.kind](
+                    F.when(F.col(weight_col) > 0, F.expr(m.expr))
+                ).alias(m.name)
+            )
     return changelog.groupBy(*spec.group_keys).agg(*aggs)
+
+
+_META_APPLIED_CL = "applied_changelog_id"
 
 
 def apply_changelog_mv(
@@ -310,6 +431,9 @@ def apply_changelog_mv(
     changelog: DataFrame,
     spec: MVSpec,
     weight_col: str = "__w",
+    source: DataFrame | None = None,
+    key_cols: tuple[str, ...] = (),
+    changelog_id: int | None = None,
 ) -> int:
     """Maintain the MV at ``mv_path`` from a ROW-LEVEL changelog — the
     Delta-CDF-style alternative to ``refresh_mv``'s file-level deltas
@@ -320,28 +444,128 @@ def apply_changelog_mv(
     folds in O(changelog + |MV|). Inserts add, deletes subtract, an
     update is its two images; groups whose count-refcount falls to zero
     leave the view (bit-parity with a direct recompute, which has no
-    such group). Invertible measures only — ``_invertible`` refuses
-    min/max loudly, full recompute being their documented path. The
-    commit is the same versioned-manifest protocol as every other MV
-    write (crash-safe, time-travelable); meta records the mode.
+    such group).
+
+    Count/sum measures fold purely from the changelog. Min/max measures
+    additionally need ``source`` (the POST-change table): an insert can
+    only improve an extremum (folded exactly from the insert images),
+    but deleting a row that TIES the stored extremum invalidates it —
+    those groups, and only those, are re-aggregated from ``source``
+    (semi join on group key + extremum tie; at 100 TB the dirty set is
+    the handful of groups whose champion left, never the table).
+    Without ``source``, min/max refuse loudly (``_invertible``) with
+    ``refresh_mv``'s full recompute as the documented path.
+
+    Replay protection: pass ``changelog_id`` (a monotonically
+    increasing batch/version id) and the MV stores it in commit meta —
+    a re-run with the same or an older id is a NO-OP, so a driver retry
+    after a crash between publish and progress recording (or a
+    scheduler double-fire) cannot double-apply weights. WITHOUT an id,
+    replay protection is the CALLER's responsibility — the manifest
+    commit is crash-safe (a torn write never corrupts the prior
+    version) but says nothing about applying the same changelog twice.
+
+    ``key_cols`` (the source's row-identity columns, when the changelog
+    carries them) turns on the weight invariant: per-key weight sums
+    must be in {-1, 0, 1} (delete / update / insert) — an update missing
+    one of its two images is the classic silent MV-skew bug, caught
+    here with the offending keys named. One extra O(changelog)
+    aggregate; skipped when ``key_cols`` is empty.
+
+    The commit is the same versioned-manifest protocol as every other
+    MV write (crash-safe, time-travelable); meta records the mode.
     Returns the committed MV version."""
+    have = versions(spark, mv_path)
+    if changelog_id is not None and have:
+        prior = version_meta(spark, mv_path).get(_META_APPLIED_CL)
+        if prior is not None and int(changelog_id) <= int(prior):
+            return have[-1]  # already applied — replay no-op
+    if key_cols:
+        bad = (
+            changelog.groupBy(*key_cols)
+            .agg(F.sum(F.col(weight_col)).alias("__ws"))
+            .filter(~F.col("__ws").isin(-1, 0, 1))
+            .limit(5)
+            .collect()
+        )
+        if bad:
+            raise ValueError(
+                "malformed changelog: per-key weight sums outside "
+                "{-1,0,1} (an update missing one image?) — offending "
+                f"keys (first {len(bad)}): "
+                + ", ".join(
+                    str(tuple(r[k] for k in key_cols)) for r in bad
+                )
+            )
+    extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
+    if extrema and source is None:
+        _invertible(spec)  # raises with the documented guidance
     # Persist the delta around its two uses: the changelog is typically
     # an expensive derived plan (q97's snapshot diff), and the emptiness
     # probe plus the merge/publish would otherwise evaluate it twice.
-    delta = changelog_partial(spec, changelog, weight_col).persist()
+    delta = changelog_partial(
+        spec, changelog, weight_col, allow_extrema=bool(extrema)
+    ).persist()
     try:
-        have = versions(spark, mv_path)
         if delta.limit(1).count() == 0:
             # An empty changelog merges nothing — publishing would
             # commit an identical MV version on every idle cycle (the
             # streaming driver's empty-batch guard, same reasoning).
             return have[-1] if have else 0
+        n_dirty = 0
         if have:
-            merged = spec.merge(read_version(spark, mv_path), delta)
+            stored = read_version(spark, mv_path)
+            merged = spec.merge(stored, delta)
+            if extrema:
+                # Dirty groups: some DELETED image ties a stored
+                # extremum — the only deletes that can move a min/max
+                # (a group's deleted values are within [min, max] by
+                # membership, so a non-tying delete leaves both bounds
+                # true). NULL images never tie (min/max ignore NULLs).
+                dels = changelog.filter(F.col(weight_col) < 0).select(
+                    *spec.group_keys,
+                    *[
+                        F.expr(m.expr).alias(f"__v_{m.name}")
+                        for m in extrema
+                    ],
+                )
+                tie = None
+                for m in extrema:
+                    c = F.col(f"__v_{m.name}") == F.col(m.name)
+                    tie = c if tie is None else (tie | c)
+                dirty = (
+                    dels.join(stored, on=list(spec.group_keys))
+                    .filter(tie)
+                    .select(*spec.group_keys)
+                    .distinct()
+                    .persist()
+                )
+                n_dirty = dirty.count()
+                if n_dirty:
+                    # Re-aggregate ONLY the dirty groups from the
+                    # post-change source — exact for every measure —
+                    # and replace their merged rows wholesale. The
+                    # dirty set is broadcast-small by construction.
+                    recomputed = spec.partial(
+                        source.join(
+                            F.broadcast(dirty),
+                            on=list(spec.group_keys),
+                            how="left_semi",
+                        )
+                    )
+                    merged = merged.join(
+                        F.broadcast(dirty),
+                        on=list(spec.group_keys),
+                        how="left_anti",
+                    ).unionByName(recomputed)
+                dirty.unpersist()
         else:
             merged = delta  # first build: the changelog IS the state so far
         refcount = next(m.name for m in spec.measures if m.kind == "count")
         merged = merged.filter(F.col(refcount) > 0)
-        return publish_version(merged, mv_path, meta={_META_MODE: "changelog"})
+        meta = {_META_MODE: "changelog", "n_dirty_groups": n_dirty}
+        if changelog_id is not None:
+            meta[_META_APPLIED_CL] = int(changelog_id)
+        return publish_version(merged, mv_path, meta=meta)
     finally:
         delta.unpersist()

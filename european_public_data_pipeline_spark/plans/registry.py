@@ -327,21 +327,52 @@ _DRIVER_GREEN_R9 = frozenset({
     "t20_source_kl_divergence",
 })
 
-# Round 9 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r10.json (freshest verdicts — checked last).
+# 50/50 green: every round-10 registration (q121-q126) got a first
+# verdict, the round-10 modified set (manifest/MV riders q106-q112,
+# q115-q117, q119-q120) re-earned theirs, and r5-era stale names
+# (d11/d12/d19-d21, m05/m06, q103, q60-q94 tail, s01-s06/s13, t21)
+# were refreshed.
+_DRIVER_GREEN_R10 = frozenset({
+    "d11_chunk_containment", "d12_semantic_dedup", "d19_span_contamination",
+    "d20_fuzzy_entity_matching", "d21_cdc_chunk_dedup",
+    "m05_payload_windows", "m06_payload_cdc_dedup",
+    "q103_event_path_mining", "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan", "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning", "q110_incremental_mv_refresh",
+    "q111_purge_then_read", "q112_clustered_compact_scan",
+    "q115_wap_gated_publish", "q116_mv_refresh_rewrite_hazard",
+    "q117_bloom_stale_sidecar_purge", "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution", "q121_declarative_mv_second_shape",
+    "q122_vacuum_orphans", "q123_widen_column_rewrite",
+    "q124_streaming_mv_maintenance", "q125_changelog_applied_mv",
+    "q126_lifecycle_grand_tour", "q60_sole_late_supplier",
+    "q61_acquisition_prospects", "q63_top_supplier_with_ties",
+    "q64_part_supplier_variety", "q65_market_share",
+    "q67_small_quantity_revenue", "q68_dominant_supplier_parts",
+    "q69_disjunctive_pushdown", "q70_returned_items", "q71_product_profit",
+    "q72_order_history_strings", "q84_recursive_reachability",
+    "q88_rolling_median", "q89_twap", "q93_conversion_latency",
+    "q94_cohort_ltv", "s01_cosine_topk", "s02_lsh_bucket_pairs",
+    "s03_knn_label_vote", "s04_ivf_topk", "s05_lang_centroids",
+    "s06_int8_quantization", "s13_mips_topk", "t21_bigram_surprisal",
+})
+
+# Round 10 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-10 changes to already-green queries land here as they happen):
+# (round-11 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    # manifest.py changed for every commit path this round: the purge
-    # writer fence is now path-key-matched, runs against completed
-    # tombstones too, and a POST-commit fence self-remaps a manifest
-    # that raced a whole purge cycle; purge_rows resolves its probe
-    # type per candidate file; _apply_purge_plan retires tombstones to
-    # completed- plans. Every query that publishes/appends/purges
-    # through manifests re-earns its verdict — including q115, whose
-    # publish_version_gated rides _commit (its round-8 verdict was
-    # already stale under this discipline, round-9 ADVICE).
+    # manifest.py changed for every commit path this round: commits now
+    # carry an operation-kind field (append/replace/overwrite), the
+    # post-commit purge fence loops until a pass applies nothing new
+    # (r10 ADVICE: a second sequential purge racing the fence's
+    # overwrite), _purge_plans skips expired completed- plans unread,
+    # compact/widen rebuild EVERY indexed column's Bloom sidecar on the
+    # new head, and vacuum_orphans reclaims expired plans. Every query
+    # that publishes/appends/compacts/purges through manifests re-earns
+    # its verdict.
     "q106_zonemap_pruned_scan",
     "q107_incremental_version_scan",
     "q108_bloom_point_lookup",
@@ -352,14 +383,21 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q117_bloom_stale_sidecar_purge",
     "q119_retention_expire_versions",
     "q120_manifest_schema_evolution",
-    # mv_refresh.py was refactored onto the declarative MVSpec engine
-    # (refresh_event_summary is now a spec-driven wrapper) — results
-    # verified identical locally, but both riders changed. They also
-    # ride the manifest commit changes above.
+    "q122_vacuum_orphans",
+    "q123_widen_column_rewrite",
+    "q126_lifecycle_grand_tour",
+    # mv_refresh.py: refresh_mv now walks the op-kind chain (skipping
+    # row-preserving replaces) and apply_changelog_mv gained the
+    # targeted min/max recompute + replay guard + weight invariant.
+    # q116's hazard moved from compact (now a skippable replace) to a
+    # true overwrite; q110/q121/q124/q125 ride the changed engine.
     "q110_incremental_mv_refresh",
     "q116_mv_refresh_rewrite_hazard",
-    # q113 (merge.py) and q114/q118 (scd.py) do not touch manifests and
-    # neither module changed this round — their r8/r9 verdicts stand.
+    "q121_declarative_mv_second_shape",
+    "q124_streaming_mv_maintenance",
+    "q125_changelog_applied_mv",
+    # q113 (merge.py) and q114/q118 (scd.py) do not touch manifests'
+    # changed paths — their r8/r9 verdicts stand.
 )
 
 
@@ -376,6 +414,7 @@ def _driver_order() -> list[str]:
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
         _DRIVER_GREEN_R7, _DRIVER_GREEN_R8, _DRIVER_GREEN_R9,
+        _DRIVER_GREEN_R10,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

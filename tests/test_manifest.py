@@ -1498,3 +1498,205 @@ def test_long_stage_existence_sweep_fails_loudly_not_silently(
         )
     assert versions(spark, t) == [1]  # nothing committed
     assert not os.path.exists(data_dir)  # staged data reclaimed
+
+
+# ---------------------------------------------------------------------------
+# round 11: commit-kind tags, sidecar continuity, completed-plan TTL reclaim
+
+
+def test_commit_op_kinds_recorded_per_writer(spark, tmp_path):
+    """Every commit path stamps its operation kind (Iceberg's snapshot
+    `operation`): publish=overwrite, append=append, compact/widen=
+    replace — and a pre-op-era manifest reads as the conservative
+    overwrite. The kind is a per-commit fact, never inherited the way
+    meta watermarks are."""
+    import json
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(_ranged(spark, 0, 9), t)
+    assert M.version_op(spark, t, 1) == "overwrite"
+    M.append_version(_ranged(spark, 10, 19), t, meta={"wm": 1})
+    assert M.version_op(spark, t, 2) == "append"
+    M.compact(spark, t, target_files=1)
+    assert M.version_op(spark, t, 3) == "replace"
+    assert M.version_meta(spark, t, 3) == {"wm": 1}  # meta still carried
+    # Legacy manifest: strip the op field in place — must read overwrite.
+    import os
+
+    mp = f"{t}/manifest/00000002.json"
+    m = json.load(open(mp))
+    del m["op"]
+    json.dump(m, open(mp, "w"))
+    os.remove(f"{t}/manifest/.00000002.json.crc")  # raw edit broke the crc
+    assert M.version_op(spark, t, 2) == "overwrite"
+
+
+def test_point_lookup_pruning_survives_compact(spark, tmp_path):
+    """Sidecar continuity: compact rebuilds every column's Bloom sidecar
+    on the new head, so read_point keeps pruning (n files planned <
+    n files in the version) instead of silently degrading to a full
+    read until someone re-runs build_bloom_index."""
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    for lo in range(0, 800, 100):
+        M.append_version(_ranged(spark, lo, lo + 99), t)
+    build_bloom_index(spark, t, "k")
+    M.compact(spark, t, target_files=8, cluster_by="k")
+    head = M.current_version(spark, t)
+    assert M._indexed_columns(spark, t, head) == ["k"]
+    m = M._read_json(spark, f"{t}/manifest/{head:08d}.json")
+    df = read_point(spark, t, "k", 450)
+    planned = df.select(F.input_file_name()).distinct().count()
+    assert planned < len(m["files"])  # pruned, not a full-version read
+    assert [r["k"] for r in df.collect()] == [450]
+
+
+def test_widen_rebuilds_sidecars_for_every_indexed_column(spark, tmp_path):
+    """widen_column's rebuild is no longer only the widened column: a
+    sidecar on ANY column describes files the rewrite renamed, so all
+    indexed columns get fresh sidecars on the new head."""
+    import os
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i * 10, f"r{i}") for i in range(60)],
+        "uid int, other long, v string",
+    ).repartition(4)
+    M.publish_version(df, t)
+    build_bloom_index(spark, t, "uid")
+    build_bloom_index(spark, t, "other")
+    M.widen_column(spark, t, "uid", "bigint")
+    assert os.path.isdir(f"{t}/index/v00000002-bloom-uid")
+    assert os.path.isdir(f"{t}/index/v00000002-bloom-other")
+    assert [r["v"] for r in read_point(spark, t, "other", 70).collect()] == ["r7"]
+    assert [r["v"] for r in read_point(spark, t, "uid", 7).collect()] == ["r7"]
+
+
+def test_completed_plans_reclaimed_by_vacuum_and_skipped_by_fences(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r10: on a table purged once and never again, expired
+    completed- plans must not cost every append a JSON read forever —
+    the fences skip them by mtime without reading, and vacuum_orphans
+    reclaims them for good."""
+    import os
+    import time as _t
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 9), t, stats_cols=("k",))
+    M.purge_rows(spark, t, "k", [3])
+    plans = [
+        fn for fn in os.listdir(f"{t}/purge") if fn.startswith("completed-")
+    ]
+    assert len(plans) == 1
+    # Fresh plan: visible to the fences.
+    assert len(M._purge_plans(spark, t)) == 1
+    # Age it past the TTL: the fences skip it unread...
+    old = _t.time() - M.COMPLETED_PLAN_TTL_S - 60
+    os.utime(f"{t}/purge/{plans[0]}", (old, old))
+    assert M._purge_plans(spark, t) == []
+    # ...and vacuum reclaims the file itself.
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["plans_reclaimed"] == 1
+    assert not any(
+        fn.startswith("completed-") for fn in os.listdir(f"{t}/purge")
+    )
+
+
+def test_post_commit_fence_loops_until_stable(spark, tmp_path, monkeypatch):
+    """ADVICE r10 (medium): a SECOND sequential purge completing between
+    one fence pass's plan listing and its overwrite must not be
+    reverted — the fence re-lists after every write and only stops on a
+    pass that applies nothing new. Simulated by injecting the second
+    purge's completed plan the moment the first fence write lands."""
+    import json
+    import os
+    import time as _t
+    import uuid as _u
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 9), t)
+    prior = M._read_json(spark, f"{t}/manifest/00000001.json")
+    old_file = prior["files"][0]
+
+    # Purge plan 1: remaps the carried file to replacement A.
+    repl_a = f"{t}/data/repl-a.parquet"
+    _ranged(spark, 0, 8).write.mode("overwrite").parquet(f"{t}/data/tmp-a")
+    src_a = next(
+        f"{t}/data/tmp-a/{fn}"
+        for fn in os.listdir(f"{t}/data/tmp-a")
+        if fn.endswith(".parquet")
+    )
+    os.rename(src_a, repl_a)
+    # Purge plan 2: remaps replacement A to replacement B (a chained
+    # second purge over the rewritten file).
+    repl_b = f"{t}/data/repl-b.parquet"
+    _ranged(spark, 0, 7).write.mode("overwrite").parquet(f"{t}/data/tmp-b")
+    src_b = next(
+        f"{t}/data/tmp-b/{fn}"
+        for fn in os.listdir(f"{t}/data/tmp-b")
+        if fn.endswith(".parquet")
+    )
+    os.rename(src_b, repl_b)
+
+    os.makedirs(f"{t}/purge", exist_ok=True)
+    plan1 = {
+        "remap": {old_file: repl_a},
+        "removed": {old_file: 1},
+        "completed_at": _t.time() - 1,
+    }
+    plan2 = {
+        "remap": {repl_a: repl_b},
+        "removed": {repl_a: 1},
+        "completed_at": _t.time(),
+    }
+    # Plan 1 lands AFTER the pre-write fence ran (simulated: injected the
+    # moment the manifest create lands — the fence->write gap), and plan
+    # 2 lands between the loop's first corrective overwrite and its next
+    # listing — the exact interleaving a single-pass fence reverts.
+    real_write = M._write_json
+    state = {"created": False, "fixed": False}
+
+    def tricky_write(spark_, path_str, payload, *, overwrite):
+        real_write(spark_, path_str, payload, overwrite=overwrite)
+        if not ("/manifest/" in path_str and path_str.endswith("00000002.json")):
+            return
+        if not overwrite and not state["created"]:
+            state["created"] = True
+            json.dump(
+                plan1,
+                open(f"{t}/purge/completed-{_u.uuid4().hex[:12]}.json", "w"),
+            )
+        elif overwrite and not state["fixed"]:
+            state["fixed"] = True
+            json.dump(
+                plan2,
+                open(f"{t}/purge/completed-{_u.uuid4().hex[:12]}.json", "w"),
+            )
+
+    monkeypatch.setattr(M, "_write_json", tricky_write)
+    M.append_version(_ranged(spark, 10, 19), t)
+    monkeypatch.undo()
+
+    m2 = M._read_json(spark, f"{t}/manifest/00000002.json")
+    keys = {M._path_key(f) for f in m2["files"]}
+    assert M._path_key(old_file) not in keys
+    assert M._path_key(repl_a) not in keys  # plan 2 applied, not reverted
+    assert M._path_key(repl_b) in keys

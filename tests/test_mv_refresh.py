@@ -58,17 +58,113 @@ def test_incremental_refresh_equals_full_recompute(spark, sf_small, tmp_path):
 
 
 def test_source_rewrite_falls_back_to_full_recompute(spark, sf_small, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+    )
+
     ev = load_table(spark, sf_small, "events").select("event_type", "value", "ts")
     src = str(tmp_path / "src")
     mv = str(tmp_path / "mv")
     append_version(ev.filter(F.col("value") < 100), src)
     refresh_event_summary(spark, src, mv)
-    append_version(ev.filter(F.col("value") >= 100), src)
-    # Rewrite the source in place: compaction replaces every file.
-    compact(spark, src, target_files=2)
+    # Rewrite the source with an OVERWRITE commit (no row-preservation
+    # guarantee — unlike compact's tagged replace, which the chain walk
+    # may skip): the refresh must take the full-recompute branch.
+    publish_version(ev, src)
     v = refresh_event_summary(spark, src, mv)
     assert v == current_version(spark, src)
     assert _mv_rows(spark, mv) == _direct(spark, src)
+    assert version_meta(spark, mv)["refresh_mode"] == "full"
+
+
+def test_compact_in_chain_stays_incremental(spark, sf_small, tmp_path):
+    """The commit-kind tag at work: append -> refresh -> append ->
+    compact -> append -> refresh must take the incremental branch both
+    times — a routine compaction preserves every row, so treating it as
+    a hazard would force the O(source) rebuild the tag exists to avoid.
+    A replace-ONLY chain advances the watermark without touching MV
+    state, and the result always equals the direct recompute."""
+    ev = load_table(spark, sf_small, "events").select("event_type", "value", "ts")
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    thirds = [ev.filter(F.col("value") % 3 == i) for i in (0, 1, 2)]
+
+    append_version(thirds[0], src)
+    refresh_event_summary(spark, src, mv)
+    append_version(thirds[1], src)
+    refresh_event_summary(spark, src, mv)
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+
+    compact(spark, src, target_files=2)
+    append_version(thirds[2], src)
+    refresh_event_summary(spark, src, mv)
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+    assert _mv_rows(spark, mv) == _direct(spark, src)
+
+    # Replace-only chain: nothing to aggregate — watermark advance only.
+    compact(spark, src, target_files=1)
+    v = refresh_event_summary(spark, src, mv)
+    assert v == current_version(spark, src)
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+    assert version_meta(spark, mv)["applied_src_version"] == v
+    assert _mv_rows(spark, mv) == _direct(spark, src)
+
+
+def test_chain_delta_survives_widen_and_evolution(spark, tmp_path):
+    """Delta segments are read with their OWN version's schema and
+    conformed to the head schema: a post-widen head says BIGINT while
+    pre-widen delta files hold INT32, and pre-evolution segments lack
+    later columns entirely (NULL backfill). The fold must equal the
+    direct recompute across both."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        widen_column,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    rows = spark.range(90).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").cast("int").alias("v"),
+        (F.col("id") % 3).alias("seg"),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    append_version(rows.filter("seg = 0").select("g", "v"), src)
+    refresh_mv(spark, src, mv, spec)
+    # Append at INT, then widen v -> BIGINT, then append naturally-wide
+    # rows WITH a new column: the un-applied delta now spans an INT
+    # segment, a replace, and a post-evolution BIGINT segment.
+    append_version(rows.filter("seg = 1").select("g", "v"), src)
+    widen_column(spark, src, "v", "bigint")
+    append_version(
+        rows.filter("seg = 2").select(
+            "g", F.col("v").cast("bigint").alias("v"), F.lit("x").alias("tag")
+        ),
+        src,
+    )
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+    )
+
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in rows.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
 
 
 def test_purge_between_refreshes_rebuilds_mv(spark, sf_small, tmp_path):
@@ -180,9 +276,20 @@ def test_second_shape_incremental_equals_recompute(spark, sf_small, tmp_path):
     assert refresh_mv(spark, src, mv, spec) == 3
     assert version_meta(spark, mv)["refresh_mode"] == "incremental"
     assert mv_rows() == direct()
-    # Rewrite hazard applies to ANY shape: compaction forces a rebuild.
+    # Commit-kind tags apply to ANY shape: a compaction is a tagged
+    # row-preserving replace, so the chain stays incremental (round 11;
+    # before op tags this forced a full rebuild) — while a true
+    # overwrite still rebuilds.
     compact(spark, src, target_files=2)
     append_version(thirds[0].limit(0), src)  # bump version, empty delta
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["refresh_mode"] == "incremental"
+    assert mv_rows() == direct()
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+    )
+
+    publish_version(read_version(spark, src), src)
     refresh_mv(spark, src, mv, spec)
     assert version_meta(spark, mv)["refresh_mode"] == "full"
     assert mv_rows() == direct()
@@ -298,3 +405,160 @@ def test_changelog_fold_equals_recompute_with_deletes_and_updates(
     empty = spark.createDataFrame([], "g string, v long, __w int")
     assert apply_changelog_mv(spark, mv, empty, spec) == v
     assert versions(spark, mv)[-1] == v
+
+
+# ---------------------------------------------------------------------------
+# round 11: targeted min/max changelog recompute, replay guard, invariant
+
+
+def _minmax_spec():
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+    )
+
+    return MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "v"),
+            Measure("mn", "min", "v"),
+            Measure("mx", "max", "v"),
+        ),
+    )
+
+
+def test_changelog_minmax_targeted_recompute_equals_full(spark, tmp_path):
+    """Extremum deletes recompute ONLY the tied groups from the source;
+    the end state must be bit-parity with a direct recompute — including
+    a group whose min AND max both left, a group untouched, a group
+    that only gained rows, and a group retired entirely."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+        version_meta,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        apply_changelog_mv,
+    )
+
+    spec = _minmax_spec()
+    mv = str(tmp_path / "mv")
+    base = spark.createDataFrame(
+        [("a", 1), ("a", 5), ("a", 9), ("b", 10), ("b", 20), ("c", 7),
+         ("d", 3), ("d", 4)],
+        "g string, v long",
+    )
+    apply_changelog_mv(
+        spark, mv, base.withColumn("__w", F.lit(1)), spec, source=base
+    )
+    # a: delete both extrema (1 and 9) -> recompute from source;
+    # b: insert 25 (max moves via merge, no recompute needed);
+    # c: untouched; d: delete everything -> retire.
+    post = spark.createDataFrame(
+        [("a", 5), ("b", 10), ("b", 20), ("b", 25), ("c", 7)],
+        "g string, v long",
+    )
+    log = spark.createDataFrame(
+        [("a", 1, -1), ("a", 9, -1), ("b", 25, 1), ("d", 3, -1), ("d", 4, -1)],
+        "g string, v long, __w int",
+    )
+    apply_changelog_mv(spark, mv, log, spec, source=post)
+    got = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in post.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    meta = version_meta(spark, mv)
+    # a's two extremum deletes and d's (3=min, 4=max both tie) dirty
+    # exactly two groups; b's insert and the non-tying deletes do not.
+    assert meta["n_dirty_groups"] == 2
+    assert meta["refresh_mode"] == "changelog"
+
+
+def test_changelog_minmax_without_source_still_refuses(spark, tmp_path):
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        apply_changelog_mv,
+    )
+
+    log = spark.createDataFrame([("a", 1, 1)], "g string, v long, __w int")
+    with pytest.raises(ValueError, match="invertible"):
+        apply_changelog_mv(spark, str(tmp_path / "mv"), log, _minmax_spec())
+
+
+def test_changelog_replay_guard_noop_on_same_or_older_id(spark, tmp_path):
+    """A driver retry (crash between publish and progress recording) or
+    scheduler double-fire re-applies the same changelog — with an id the
+    second apply is a no-op instead of silently double-counting."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+        versions,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    mv = str(tmp_path / "mv")
+    log = spark.createDataFrame([("a", 1, 1)], "g string, v long, __w int")
+    v1 = apply_changelog_mv(spark, mv, log, spec, changelog_id=7)
+    assert apply_changelog_mv(spark, mv, log, spec, changelog_id=7) == v1
+    assert apply_changelog_mv(spark, mv, log, spec, changelog_id=3) == v1
+    assert versions(spark, mv)[-1] == v1  # replays committed nothing
+    got = {r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()}
+    assert got == {"a": (1, 1)}
+    v2 = apply_changelog_mv(spark, mv, log, spec, changelog_id=8)
+    assert v2 > v1
+    got = {r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()}
+    assert got == {"a": (2, 2)}
+
+
+def test_changelog_weight_invariant_names_offending_keys(spark, tmp_path):
+    """An update missing one of its two images is the classic silent
+    MV-skew bug: with key_cols the per-key weight-sum check catches it
+    loudly, naming the keys."""
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    # Key 42 appears twice with +1 (a double-fired insert / update
+    # missing its delete image): weight sum 2 is outside {-1,0,1}.
+    bad = spark.createDataFrame(
+        [(42, "a", 1, 1), (42, "a", 1, 1), (43, "a", 2, 1)],
+        "k long, g string, v long, __w int",
+    )
+    with pytest.raises(ValueError, match="weight sums.*42"):
+        apply_changelog_mv(
+            spark, str(tmp_path / "mv"), bad, spec, key_cols=("k",)
+        )
+    # A well-formed changelog passes the same check.
+    ok = spark.createDataFrame(
+        [(42, "a", 1, -1), (42, "a", 3, 1), (43, "a", 2, 1)],
+        "k long, g string, v long, __w int",
+    )
+    apply_changelog_mv(spark, str(tmp_path / "mv2"), ok, spec, key_cols=("k",))
