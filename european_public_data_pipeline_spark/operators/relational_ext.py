@@ -3617,3 +3617,73 @@ def q128_changelog_minmax_targeted(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q129_read_appended_through_compact",
+    category="scan-filter-project",
+    doc="Incremental reads that look THROUGH row-preserving rewrites — "
+    "read_appended (pipeline/manifest.py), the op-kind upgrade of "
+    "q107's read_incremental and the public API behind q127's MV "
+    "engine (Iceberg's incremental scan, which skips `replace` "
+    "snapshots): publish a base of orders, append a slice, COMPACT "
+    "(renames every file — the endpoint file-diff read_incremental "
+    "uses would return the WHOLE table as 'new'), append another "
+    "slice, then read the rows appended since the base version. The "
+    "chain walk collects only the two append commits' files, skipping "
+    "the compact; the oracle states exactly the two appended slices "
+    "by predicate plus bounds-audit literals (the compact's recorded "
+    "kind; the overwrite refusal fired — after a full re-publish the "
+    "chain is NOT append-exact and read_appended must raise rather "
+    "than serve the table as a delta). At 100 TB this is the consumer "
+    "API that keeps downstream jobs O(delta) across nightly "
+    "compactions: two KB manifests per chain link decide everything "
+    "driver-side, no data is touched outside the appended files.",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_appended,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+       CAST('replace' AS VARCHAR) AS compact_op,
+       TRUE AS overwrite_refused
+FROM orders
+WHERE o_orderkey % 4 IN (1, 2)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q129_read_appended_through_compact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from european_public_data_pipeline_spark.functions.exact import dsum
+    from european_public_data_pipeline_spark.pipeline import manifest
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch_table_path("appended_orders", sf_dir)
+    manifest.publish_version(o.filter(F.col("o_orderkey") % 4 == 0), path)  # v1
+    manifest.append_version(o.filter(F.col("o_orderkey") % 4 == 1), path)   # v2
+    manifest.compact(spark, path, target_files=2)                           # v3
+    compact_op = manifest.version_op(spark, path)
+    manifest.append_version(o.filter(F.col("o_orderkey") % 4 == 2), path)   # v4
+    appended = manifest.read_appended(spark, path, 1)
+    # The refusal half: after an overwrite the chain is not append-exact.
+    manifest.publish_version(o, path)                                       # v5
+    try:
+        manifest.read_appended(spark, path, 1)
+        refused = False
+    except ValueError:
+        refused = True
+    return (
+        appended.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_appended"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            "o_orderpriority", "n_appended", "sum_total",
+            F.lit(compact_op).alias("compact_op"),
+            F.lit(refused).alias("overwrite_refused"),
+        )
+        .orderBy("o_orderpriority")
+    )

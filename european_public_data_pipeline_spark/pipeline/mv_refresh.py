@@ -4,8 +4,8 @@ manifest log — the scheduled-job twin of ``streaming/mv_maintenance``
 
 A warehouse MV is usually refreshed by a scheduler, not a resident
 stream: at each run, diff the source's manifest log since the last
-APPLIED version (``read_incremental`` — O(delta) files planned from two
-KB manifests), aggregate only the delta to the algebraic partial state,
+APPLIED version (``read_appended`` — O(delta) files planned from KB
+manifests), aggregate only the delta to the algebraic partial state,
 merge it with the stored MV (two aggregate-sized relations — history is
 never re-scanned), and commit the new MV version with the applied source
 version in manifest ``meta``. Crash-safe and idempotent for free: the
@@ -54,18 +54,17 @@ q97/q100's changelogs are the row-level alternative):
 
 from __future__ import annotations
 
-import json
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from european_public_data_pipeline_spark.pipeline.manifest import (
-    _read_files,
     _read_json,
+    append_chain_segments,
     current_version,
     publish_version,
-    read_incremental,
+    read_appended,
     read_version,
     version_meta,
     versions,
@@ -201,91 +200,6 @@ def _merge(mv: DataFrame, partial: DataFrame) -> DataFrame:
     return EVENT_SUMMARY_SPEC.merge(mv, partial)
 
 
-def _chain_delta(
-    spark: SparkSession, src_path: str, applied: int, src_v: int
-) -> list[tuple[int, list[str]]] | None:
-    """Walk the commit chain ``applied+1 .. src_v`` by operation kind
-    and return the file-level delta as ``(version, new_files)`` segments
-    — or ``None`` when the chain is not incremental-eligible and the
-    caller must full-recompute. ``append`` contributes its new files;
-    ``replace`` (compact/widen — rows preserved value-for-value)
-    contributes NOTHING and is skipped; ``overwrite`` or an unreadable
-    intermediate manifest (expired by retention GC) disqualifies the
-    chain. A chain containing any pre-op-era manifest falls back to the
-    legacy endpoint-containment rule (applied's files all carried into
-    the head ⇒ delta is the head's new files), which is exactly the
-    behavior before op tags existed. Driver-side KB-manifest reads only
-    — O(chain length), never a data scan."""
-    try:
-        prev = _read_json(spark, f"{src_path}/manifest/{applied:08d}.json")
-    except Exception:
-        return None
-    segments: list[tuple[int, list[str]]] = []
-    for v in range(applied + 1, src_v + 1):
-        try:
-            m = _read_json(spark, f"{src_path}/manifest/{v:08d}.json")
-        except Exception:
-            return None  # expired/unreadable intermediate: chain broken
-        op = m.get("op")
-        if op == "append":
-            prev_set = set(prev["files"])
-            segments.append((v, [f for f in m["files"] if f not in prev_set]))
-        elif op == "replace":
-            pass  # rows preserved under new files — already absorbed
-        elif op is None:
-            # Pre-op-era manifest in the chain: the legacy containment
-            # rule over the ENDPOINTS (sound: containment can only hold
-            # across a chain of effective appends).
-            old = set(
-                _read_json(
-                    spark, f"{src_path}/manifest/{applied:08d}.json"
-                )["files"]
-            )
-            head = _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")
-            if old <= set(head["files"]):
-                return [(src_v, [f for f in head["files"] if f not in old])]
-            return None
-        else:  # 'overwrite' / unknown kind: no row-preservation guarantee
-            return None
-        prev = m
-    return segments
-
-
-def _read_delta(
-    spark: SparkSession,
-    src_path: str,
-    segments: list[tuple[int, list[str]]],
-    head_schema,
-) -> DataFrame | None:
-    """Plan a read over the chain delta's file segments, each read with
-    ITS OWN version's manifest schema and conformed to the head schema
-    (explicit lossless casts + NULL backfill) — a post-widen head schema
-    says BIGINT while pre-widen delta files hold INT32, and additive
-    evolution means older segments lack newer columns. Returns ``None``
-    for an all-empty delta."""
-    from pyspark.sql.types import StructType
-
-    head = StructType.fromJson(head_schema)
-    out: DataFrame | None = None
-    for v, files in segments:
-        if not files:
-            continue
-        m = _read_json(spark, f"{src_path}/manifest/{v:08d}.json")
-        seg = _read_files(spark, m, files)
-        conformed = seg.select(
-            *[
-                (
-                    F.col(f.name).cast(f.dataType)
-                    if f.name in seg.columns
-                    else F.lit(None).cast(f.dataType)
-                ).alias(f.name)
-                for f in head.fields
-            ]
-        )
-        out = conformed if out is None else out.unionByName(conformed)
-    return out
-
-
 def refresh_mv(
     spark: SparkSession, src_path: str, mv_path: str, spec: MVSpec
 ) -> int:
@@ -320,23 +234,16 @@ def refresh_mv(
 
     segments = None
     if applied > 0 and history_intact:
-        segments = _chain_delta(spark, src_path, applied, src_v)
+        segments = append_chain_segments(spark, src_path, applied, src_v)
     incremental = segments is not None
 
     if incremental:
-        head = _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")
-        sj = head.get("schema")
-        delta = (
-            _read_delta(spark, src_path, segments, json.loads(sj))
-            if sj
-            else read_incremental(spark, src_path, applied, src_v)
-        )
         mv_now = read_version(spark, mv_path)
-        merged = (
-            spec.merge(mv_now, spec.partial(delta))
-            if delta is not None
-            else mv_now  # replace-only chain: state unchanged, advance watermark
-        )
+        if any(files for _v, files in segments):
+            delta = read_appended(spark, src_path, applied, src_v)
+            merged = spec.merge(mv_now, spec.partial(delta))
+        else:
+            merged = mv_now  # replace-only chain: state unchanged, advance watermark
     else:
         merged = spec.partial(read_version(spark, src_path, src_v))
     publish_version(

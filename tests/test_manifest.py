@@ -1700,3 +1700,46 @@ def test_post_commit_fence_loops_until_stable(spark, tmp_path, monkeypatch):
     assert M._path_key(old_file) not in keys
     assert M._path_key(repl_a) not in keys  # plan 2 applied, not reverted
     assert M._path_key(repl_b) in keys
+
+
+def test_read_appended_skips_replace_and_refuses_overwrite(spark, tmp_path):
+    """read_appended collects only append commits' rows across a
+    compact (which renames every file), conforms pre-widen segments to
+    the head type, returns an empty head-schema result for a
+    replace-only chain, and refuses an overwrite chain loudly."""
+    import pytest
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    def _ri(lo, hi):  # one-file INT batch (widen-able to bigint)
+        return spark.createDataFrame(
+            [(i, f"v{i}") for i in range(lo, hi + 1)], "k int, v string"
+        ).coalesce(1)
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(_ri(0, 9), t)                 # v1
+    M.append_version(_ri(10, 19), t)                # v2
+    M.compact(spark, t, target_files=1)             # v3 (replace)
+    M.append_version(_ri(20, 29), t)                # v4
+    got = sorted(r["k"] for r in M.read_appended(spark, t, 1).collect())
+    assert got == list(range(10, 30))  # both appends, compact skipped
+    # Replace-only chain: empty result at the head schema.
+    empty = M.read_appended(spark, t, 2, 3)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+    # Widen inside the chain: the INT32 segment conforms to BIGINT.
+    M.widen_column(spark, t, "k", "bigint")         # v5 (replace)
+    M.append_version(
+        spark.createDataFrame(
+            [(99, "v99")], "k bigint, v string"
+        ).coalesce(1),
+        t,
+    )                                                # v6
+    got2 = sorted(int(r["k"]) for r in M.read_appended(spark, t, 3).collect())
+    assert got2 == list(range(20, 30)) + [99]
+    assert M.read_appended(spark, t, 3).schema["k"].dataType.simpleString() == (
+        "bigint"
+    )
+    # Overwrite breaks append-exactness: refuse, never serve the table.
+    M.publish_version(_ri(0, 5), t)                  # v7
+    with pytest.raises(ValueError, match="append-exact"):
+        M.read_appended(spark, t, 1)
