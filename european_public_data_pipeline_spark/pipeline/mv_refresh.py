@@ -407,6 +407,12 @@ def apply_changelog_mv(
     extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
     if extrema and source is None:
         _invertible(spec)  # raises with the documented guidance
+    if extrema:
+        # The extrema path reads the changelog TWICE (the weighted fold
+        # AND the tying-delete probe); a changelog that is itself an
+        # expensive derived plan (q97's snapshot diff) would otherwise
+        # recompute — persist it around both uses.
+        changelog = changelog.persist()
     # Persist the delta around its two uses: the changelog is typically
     # an expensive derived plan (q97's snapshot diff), and the emptiness
     # probe plus the merge/publish would otherwise evaluate it twice.
@@ -476,3 +482,5 @@ def apply_changelog_mv(
         return publish_version(merged, mv_path, meta=meta)
     finally:
         delta.unpersist()
+        if extrema:
+            changelog.unpersist()
