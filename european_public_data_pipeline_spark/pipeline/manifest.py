@@ -1379,6 +1379,25 @@ def vacuum_orphans(
         if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
             fs.delete(st.getPath(), True)
             n_dirs += 1
+    # Index sidecars whose VERSION no longer exists: expire_versions
+    # deletes manifests (1), then files (2), then index dirs (3) — a
+    # crash between 2 and 3 orphans the expired versions' sidecars
+    # forever (rebuild_index only visits them when rebuilding that
+    # column). The manifest-existence check is the same rule
+    # rebuild_index applies; live versions' sidecars are never touched
+    # and the age fence is irrelevant (a sidecar is only built for an
+    # already-committed manifest).
+    import re
+
+    n_idx = 0
+    idx_root = jvm.org.apache.hadoop.fs.Path(f"{table_path}/index")
+    if fs.exists(idx_root):
+        live_versions = set(versions(spark, table_path))
+        for st in fs.listStatus(idx_root):
+            mt = re.match(r"^v(\d{8})-", st.getPath().getName())
+            if mt and int(mt.group(1)) not in live_versions:
+                fs.delete(st.getPath(), True)
+                n_idx += 1
     # Opportunistic reclaim of past-TTL ``completed-`` purge plans: on a
     # table purged once and never again, only the next purge_rows run
     # would reclaim them — vacuum is the natural other owner (the fences
@@ -1400,6 +1419,7 @@ def vacuum_orphans(
     return {
         "files_deleted": n_files,
         "dirs_removed": n_dirs,
+        "indexes_dropped": n_idx,
         "plans_reclaimed": n_plans,
     }
 

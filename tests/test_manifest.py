@@ -1743,3 +1743,51 @@ def test_read_appended_skips_replace_and_refuses_overwrite(spark, tmp_path):
     M.publish_version(_ri(0, 5), t)                  # v7
     with pytest.raises(ValueError, match="append-exact"):
         M.read_appended(spark, t, 1)
+
+
+def test_read_appended_refuses_expired_intermediate(spark, tmp_path):
+    """Retention GC dropping an intermediate manifest breaks the op
+    chain: the appended rows are no longer derivable from metadata, so
+    read_appended must refuse (not guess), while a chain wholly inside
+    the retained window still works."""
+    import pytest
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(_ranged(spark, 0, 9), t)      # v1
+    M.append_version(_ranged(spark, 10, 19), t)     # v2
+    M.append_version(_ranged(spark, 20, 29), t)     # v3
+    M.append_version(_ranged(spark, 30, 39), t)     # v4
+    M.expire_versions(spark, t, keep_last=2)        # v1, v2 gone
+    got = sorted(r["k"] for r in M.read_appended(spark, t, 3).collect())
+    assert got == list(range(30, 40))               # retained chain works
+    with pytest.raises(ValueError, match="append-exact"):
+        M.read_appended(spark, t, 1)                # v2's manifest expired
+
+
+def test_vacuum_reclaims_sidecars_of_expired_versions(spark, tmp_path):
+    """A crash between expire_versions' file-delete and index-drop
+    phases orphans expired versions' sidecar dirs; vacuum reclaims them
+    (manifest-existence rule, same as rebuild_index) while live
+    versions' sidecars are untouched."""
+    import os
+
+    import european_public_data_pipeline_spark.pipeline.manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(_ranged(spark, 0, 9), t)      # v1
+    build_bloom_index(spark, t, "k", version=1)
+    M.append_version(_ranged(spark, 10, 19), t)     # v2
+    build_bloom_index(spark, t, "k", version=2)
+    # Simulate the crash state: v1's manifest deleted, its sidecar left.
+    os.remove(f"{t}/manifest/00000001.json")
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["indexes_dropped"] == 1
+    assert not os.path.isdir(f"{t}/index/v00000001-bloom-k")
+    assert os.path.isdir(f"{t}/index/v00000002-bloom-k")  # live: untouched
+    assert [r["k"] for r in read_point(spark, t, "k", 15).collect()] == [15]
