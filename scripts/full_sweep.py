@@ -77,6 +77,22 @@ def main() -> None:
         .config("spark.ui.retainedStages", "200")
         .config("spark.ui.retainedTasks", "5000")
         .config("spark.sql.ui.retainedExecutions", "50")
+        # GCLocker allocation-retry hygiene (same class as the bounds
+        # above, still not query tuning): a broadcast-build thread
+        # allocating a large array while other threads sit in JNI
+        # critical regions (py4j, native parquet IO) retries
+        # GCLockerRetryAllocationCount times (default 2) and then
+        # reports spurious allocation failure — observed once in a
+        # round-11 sweep as "Not enough memory to build and broadcast"
+        # on a heap that was ~80% free ([gc,alloc] "Retried waiting for
+        # GCLocker too often"), with the same query green standalone
+        # and on re-run. Raising the retry count removes the race; the
+        # gc logging keeps the diagnosis one grep away next time.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions "
+            "-XX:GCLockerRetryAllocationCount=8 -Xlog:gc+alloc=warning",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
