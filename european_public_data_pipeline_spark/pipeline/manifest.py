@@ -1024,6 +1024,7 @@ def read_appended(
     table_path: str,
     from_version: int,
     to_version: int | None = None,
+    segments: list[tuple[int, list[str]]] | None = None,
 ) -> DataFrame:
     """Read exactly the rows APPENDED between two committed versions,
     looking THROUGH row-preserving rewrites — the op-kind upgrade of
@@ -1040,12 +1041,17 @@ def read_appended(
     intermediate manifest — appended rows are then not derivable from
     file metadata; derive a row-level changelog (q97/q100) or re-read
     the table. At 100 TB the plan is O(appended files): two KB
-    manifests per chain link decide everything driver-side."""
+    manifests per chain link decide everything driver-side. A caller
+    that already walked the chain (``refresh_mv`` decides
+    incrementality with ``append_chain_segments`` first) passes
+    ``segments`` to skip the second walk — on an object store each
+    chain link is a per-request metadata round-trip."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import StructType
 
     to_v = to_version if to_version is not None else current_version(spark, table_path)
-    segments = append_chain_segments(spark, table_path, from_version, to_v)
+    if segments is None:
+        segments = append_chain_segments(spark, table_path, from_version, to_v)
     if segments is None:
         raise ValueError(
             f"read_appended: versions {from_version}..{to_v} of "

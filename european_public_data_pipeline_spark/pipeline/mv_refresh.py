@@ -240,7 +240,9 @@ def refresh_mv(
     if incremental:
         mv_now = read_version(spark, mv_path)
         if any(files for _v, files in segments):
-            delta = read_appended(spark, src_path, applied, src_v)
+            delta = read_appended(
+                spark, src_path, applied, src_v, segments=segments
+            )
             merged = spec.merge(mv_now, spec.partial(delta))
         else:
             merged = mv_now  # replace-only chain: state unchanged, advance watermark
@@ -356,12 +358,16 @@ def apply_changelog_mv(
     Count/sum measures fold purely from the changelog. Min/max measures
     additionally need ``source`` (the POST-change table): an insert can
     only improve an extremum (folded exactly from the insert images),
-    but deleting a row that TIES the stored extremum invalidates it —
-    those groups, and only those, are re-aggregated from ``source``
-    (semi join on group key + extremum tie; at 100 TB the dirty set is
-    the handful of groups whose champion left, never the table).
-    Without ``source``, min/max refuse loudly (``_invertible``) with
-    ``refresh_mv``'s full recompute as the documented path.
+    but deleting a row that TIES an extremum invalidates it — those
+    groups, and only those, are re-aggregated from ``source`` (semi
+    join on group key + extremum tie; at 100 TB the dirty set is the
+    handful of groups whose champion left, never the table). The tie is
+    probed against the MERGED bounds (stored ⊕ this batch's inserts),
+    not the stored bounds alone: a row inserted and deleted within ONE
+    batch ties only the delta's bound, and a stored-only probe would
+    leave the MV carrying an extremum for a value absent from the
+    source. Without ``source``, min/max refuse loudly (``_invertible``)
+    with ``refresh_mv``'s full recompute as the documented path.
 
     Replay protection: pass ``changelog_id`` (a monotonically
     increasing batch/version id) and the MV stores it in commit meta —
@@ -383,42 +389,56 @@ def apply_changelog_mv(
     MV write (crash-safe, time-travelable); meta records the mode.
     Returns the committed MV version."""
     have = versions(spark, mv_path)
-    if changelog_id is not None and have:
-        prior = version_meta(spark, mv_path).get(_META_APPLIED_CL)
-        if prior is not None and int(changelog_id) <= int(prior):
-            return have[-1]  # already applied — replay no-op
+    prior_cl = (
+        version_meta(spark, mv_path).get(_META_APPLIED_CL) if have else None
+    )
+    if (
+        changelog_id is not None
+        and prior_cl is not None
+        and int(changelog_id) <= int(prior_cl)
+    ):
+        return have[-1]  # already applied — replay no-op
+    extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
+    if extrema and source is None:
+        _invertible(spec)  # raises with the documented guidance
+    persisted = extrema or bool(key_cols)
+    if persisted:
+        # These paths read the changelog more than once (the invariant
+        # aggregate, the weighted fold, the tying-delete probe); a
+        # changelog that is itself an expensive derived plan (q97's
+        # snapshot diff) would otherwise recompute per use — persist it
+        # BEFORE the first evaluation.
+        changelog = changelog.persist()
     if key_cols:
+        # NULL weight sums are just as malformed as out-of-range ones
+        # (a NULL __w row silently contributes to nothing) — isin()
+        # alone evaluates NULL for them and would pass the check.
         bad = (
             changelog.groupBy(*key_cols)
             .agg(F.sum(F.col(weight_col)).alias("__ws"))
-            .filter(~F.col("__ws").isin(-1, 0, 1))
+            .filter(
+                ~F.col("__ws").isin(-1, 0, 1) | F.col("__ws").isNull()
+            )
             .limit(5)
             .collect()
         )
         if bad:
+            if persisted:
+                changelog.unpersist()
             raise ValueError(
                 "malformed changelog: per-key weight sums outside "
-                "{-1,0,1} (an update missing one image?) — offending "
-                f"keys (first {len(bad)}): "
+                "{-1,0,1} (an update missing one image, or NULL "
+                f"weights?) — offending keys (first {len(bad)}): "
                 + ", ".join(
                     str(tuple(r[k] for k in key_cols)) for r in bad
                 )
             )
-    extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
-    if extrema and source is None:
-        _invertible(spec)  # raises with the documented guidance
-    if extrema:
-        # The extrema path reads the changelog TWICE (the weighted fold
-        # AND the tying-delete probe); a changelog that is itself an
-        # expensive derived plan (q97's snapshot diff) would otherwise
-        # recompute — persist it around both uses.
-        changelog = changelog.persist()
-    # Persist the delta around its two uses: the changelog is typically
-    # an expensive derived plan (q97's snapshot diff), and the emptiness
-    # probe plus the merge/publish would otherwise evaluate it twice.
+    # Persist the delta around its two uses: the emptiness probe plus
+    # the merge/publish would otherwise evaluate it twice.
     delta = changelog_partial(
         spec, changelog, weight_col, allow_extrema=bool(extrema)
     ).persist()
+    dirty = None
     try:
         if delta.limit(1).count() == 0:
             # An empty changelog merges nothing — publishing would
@@ -429,58 +449,74 @@ def apply_changelog_mv(
         if have:
             stored = read_version(spark, mv_path)
             merged = spec.merge(stored, delta)
-            if extrema:
-                # Dirty groups: some DELETED image ties a stored
-                # extremum — the only deletes that can move a min/max
-                # (a group's deleted values are within [min, max] by
-                # membership, so a non-tying delete leaves both bounds
-                # true). NULL images never tie (min/max ignore NULLs).
-                dels = changelog.filter(F.col(weight_col) < 0).select(
-                    *spec.group_keys,
-                    *[
-                        F.expr(m.expr).alias(f"__v_{m.name}")
-                        for m in extrema
-                    ],
-                )
-                tie = None
-                for m in extrema:
-                    c = F.col(f"__v_{m.name}") == F.col(m.name)
-                    tie = c if tie is None else (tie | c)
-                dirty = (
-                    dels.join(stored, on=list(spec.group_keys))
-                    .filter(tie)
-                    .select(*spec.group_keys)
-                    .distinct()
-                    .persist()
-                )
-                n_dirty = dirty.count()
-                if n_dirty:
-                    # Re-aggregate ONLY the dirty groups from the
-                    # post-change source — exact for every measure —
-                    # and replace their merged rows wholesale. The
-                    # dirty set is broadcast-small by construction.
-                    recomputed = spec.partial(
-                        source.join(
-                            F.broadcast(dirty),
-                            on=list(spec.group_keys),
-                            how="left_semi",
-                        )
-                    )
-                    merged = merged.join(
-                        F.broadcast(dirty),
-                        on=list(spec.group_keys),
-                        how="left_anti",
-                    ).unionByName(recomputed)
-                dirty.unpersist()
         else:
             merged = delta  # first build: the changelog IS the state so far
+        if extrema:
+            # Dirty groups: some DELETED image ties a MERGED extremum —
+            # the only deletes that can move a min/max. Why merged
+            # bounds are exactly right: a group's deleted values are
+            # within [min, max] by membership — a stored row's value
+            # lies within the stored bounds and an in-batch inserted
+            # row's value within the delta's insert bounds, both folded
+            # into merged — so a non-tying delete leaves both bounds
+            # true, while a tie on EITHER origin (including a row
+            # inserted and deleted within one batch) is caught. NULL
+            # images never tie (min/max ignore NULLs). This also covers
+            # the first build: merged IS the delta there.
+            dels = changelog.filter(F.col(weight_col) < 0).select(
+                *spec.group_keys,
+                *[F.expr(m.expr).alias(f"__v_{m.name}") for m in extrema],
+            )
+            bounds = merged.select(
+                *spec.group_keys, *[m.name for m in extrema]
+            )
+            tie = None
+            for m in extrema:
+                c = F.col(f"__v_{m.name}") == F.col(m.name)
+                tie = c if tie is None else (tie | c)
+            dirty = (
+                dels.join(bounds, on=list(spec.group_keys))
+                .filter(tie)
+                .select(*spec.group_keys)
+                .distinct()
+                .persist()
+            )
+            n_dirty = dirty.count()
+            if n_dirty:
+                # Re-aggregate ONLY the dirty groups from the
+                # post-change source — exact for every measure — and
+                # replace their merged rows wholesale. The dirty set is
+                # broadcast-small by construction.
+                recomputed = spec.partial(
+                    source.join(
+                        F.broadcast(dirty),
+                        on=list(spec.group_keys),
+                        how="left_semi",
+                    )
+                )
+                merged = merged.join(
+                    F.broadcast(dirty),
+                    on=list(spec.group_keys),
+                    how="left_anti",
+                ).unionByName(recomputed)
         refcount = next(m.name for m in spec.measures if m.kind == "count")
         merged = merged.filter(F.col(refcount) > 0)
         meta = {_META_MODE: "changelog", "n_dirty_groups": n_dirty}
         if changelog_id is not None:
             meta[_META_APPLIED_CL] = int(changelog_id)
+        elif prior_cl is not None:
+            # An id-less apply must not ERASE the replay watermark — a
+            # later retry of an already-applied id would then sail
+            # through the guard and double-apply (meta is per-commit,
+            # so carrying forward is this writer's job).
+            meta[_META_APPLIED_CL] = int(prior_cl)
         return publish_version(merged, mv_path, meta=meta)
     finally:
+        # Unpersist AFTER publish_version's write executed the plans
+        # that reference these (an earlier unpersist would recompute
+        # the dirty subtree inside the write it was cached for).
         delta.unpersist()
-        if extrema:
+        if dirty is not None:
+            dirty.unpersist()
+        if persisted:
             changelog.unpersist()

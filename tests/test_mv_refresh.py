@@ -562,3 +562,97 @@ def test_changelog_weight_invariant_names_offending_keys(spark, tmp_path):
         "k long, g string, v long, __w int",
     )
     apply_changelog_mv(spark, str(tmp_path / "mv2"), ok, spec, key_cols=("k",))
+
+
+def test_changelog_same_batch_insert_delete_extremum(spark, tmp_path):
+    """A row inserted AND deleted within one batch ties only the
+    DELTA's bound, not the stored one — the tie probe runs against the
+    merged bounds, so the MV never carries an extremum for a value
+    absent from the source (code-review round 11). Covers the stored
+    case and the first-build case."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        apply_changelog_mv,
+    )
+
+    spec = _minmax_spec()
+    # Stored case: g={5,10}; batch inserts 3, deletes 3, inserts 4.
+    mv = str(tmp_path / "mv")
+    base = spark.createDataFrame([("g", 5), ("g", 10)], "g string, v long")
+    apply_changelog_mv(
+        spark, mv, base.withColumn("__w", F.lit(1)), spec, source=base
+    )
+    post = spark.createDataFrame(
+        [("g", 5), ("g", 10), ("g", 4)], "g string, v long"
+    )
+    log = spark.createDataFrame(
+        [("g", 3, 1), ("g", 3, -1), ("g", 4, 1)], "g string, v long, __w int"
+    )
+    apply_changelog_mv(spark, mv, log, spec, source=post)
+    row = read_version(spark, mv).collect()[0]
+    assert (row["n"], row["s"], row["mn"], row["mx"]) == (3, 19, 4, 10)
+    # First-build case: one batch, insert 3 then delete it, insert 4.
+    mv2 = str(tmp_path / "mv2")
+    post2 = spark.createDataFrame([("h", 4)], "g string, v long")
+    log2 = spark.createDataFrame(
+        [("h", 3, 1), ("h", 3, -1), ("h", 4, 1)], "g string, v long, __w int"
+    )
+    apply_changelog_mv(spark, mv2, log2, spec, source=post2)
+    row2 = read_version(spark, mv2).collect()[0]
+    assert (row2["n"], row2["s"], row2["mn"], row2["mx"]) == (1, 4, 4, 4)
+
+
+def test_changelog_weight_invariant_catches_null_weights(spark, tmp_path):
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    bad = spark.createDataFrame(
+        [(1, "a", 1, None), (2, "a", 2, 1)],
+        "k long, g string, v long, __w int",
+    )
+    with pytest.raises(ValueError, match="weight sums"):
+        apply_changelog_mv(
+            spark, str(tmp_path / "mv"), bad, spec, key_cols=("k",)
+        )
+
+
+def test_changelog_replay_watermark_survives_idless_apply(spark, tmp_path):
+    """An apply WITHOUT an id must carry the applied-changelog
+    watermark forward — otherwise a later retry of an already-applied
+    id would sail through the guard and double-apply."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        read_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    mv = str(tmp_path / "mv")
+    log = spark.createDataFrame([("a", 1, 1)], "g string, v long, __w int")
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=7)
+    apply_changelog_mv(spark, mv, log, spec)  # ad-hoc, no id
+    v = apply_changelog_mv(spark, mv, log, spec, changelog_id=7)  # retry
+    got = {r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()}
+    assert got == {"a": (2, 2)}  # the id=7 retry no-opped
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        versions,
+    )
+
+    assert versions(spark, mv)[-1] == v
