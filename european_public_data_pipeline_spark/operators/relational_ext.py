@@ -3687,3 +3687,215 @@ def q129_read_appended_through_compact(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q130_cow_merge_manifest",
+    category="join",
+    doc="Copy-on-write MERGE INTO a versioned-manifest table "
+    "(pipeline/cow_merge.py merge_into_manifest) — Iceberg's COW MERGE "
+    "on the repo's manifest format, the third write-path next to q113's "
+    "partition-scoped merge and the manifest append/compact family: "
+    "the builder publishes customers range-clustered on the key with "
+    "zone maps, then merges a batch that updates a BOUNDED key range "
+    "(the bottom quarter's %7 keys get a balance bump) plus inserts "
+    "far above the table's max key. Only files whose zone interval "
+    "contains an update key are rewritten — the sorted-key bisect "
+    "probe, not a [lo,hi] envelope, which the high inserts would "
+    "stretch over every file — everything else is carried by "
+    "reference, and the pre-merge version stays time-travelable. The "
+    "oracle restates the merged end state row-for-row (FULL OUTER "
+    "COALESCE of base, bounded updates, and offset inserts) plus "
+    "bounds-audit literals: some files pruned without being read, "
+    "carried outnumbering rewritten, matches found, v1 intact, and "
+    "the commit tagged overwrite (file-level MV consumers must NOT "
+    "treat a merge as an append — q131 is their row-level path). At "
+    "100 TB this is the upsert shape: O(touched files + batch), never "
+    "O(table).",
+    oracle="""
+WITH k4 AS (SELECT CAST(MAX(c_custkey) / 4 AS BIGINT) AS kmax FROM customer),
+base AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+),
+upd AS (
+  SELECT c_custkey AS k, CAST(c_acctbal + 10 AS DOUBLE) AS bal
+  FROM customer, k4 WHERE c_custkey % 7 = 0 AND c_custkey <= k4.kmax
+),
+ins AS (
+  SELECT c_custkey + 10000000 AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 = 0
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+SELECT COALESCE(b.k, t.k) AS k,
+       COALESCE(b.bal, t.bal) AS bal,
+       TRUE AS pruned_some,
+       TRUE AS carried_gt_rewritten,
+       TRUE AS matched_some,
+       TRUE AS v1_intact,
+       CAST('overwrite' AS VARCHAR) AS merge_op
+FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+ORDER BY k
+""",
+)
+def q130_cow_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("cow_customer", sf_dir)
+    manifest.publish_version(
+        c.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )
+    n_base = manifest.read_version(spark, path).count()
+    kmax = c.agg((F.max("k") / 4).cast("long")).collect()[0][0]
+    updates = (
+        c.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax))
+        .withColumn("bal", F.col("bal") + 10)
+        .unionByName(
+            c.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "bal"
+            )
+        )
+    )
+    out = merge_into_manifest(spark, path, updates, keys=["k"])
+    v1_intact = manifest.read_version(spark, path, 1).count() == n_base
+    return manifest.read_version(spark, path).select(
+        "k",
+        "bal",
+        F.lit(out["files_pruned"] > 0).alias("pruned_some"),
+        F.lit(out["files_carried"] > out["files_rewritten"]).alias(
+            "carried_gt_rewritten"
+        ),
+        F.lit(out["rows_matched"] > 0).alias("matched_some"),
+        F.lit(v1_intact).alias("v1_intact"),
+        F.lit(manifest.version_op(spark, path)).alias("merge_op"),
+    ).orderBy("k")
+
+
+@register(
+    "q131_merge_emitted_changelog_mv",
+    category="aggregate",
+    doc="The writer-emitted changelog closing the Delta-CDF loop "
+    "(cow_merge emit_changelog -> apply_changelog_mv): q97/q100 derive "
+    "changelogs by snapshot diff AFTER the fact; here the MERGE itself "
+    "hands back its row-level delta (old images -1 read lazily from "
+    "the prior version's affected files, update rows +1), and the MV — "
+    "count, exact centi-sum, AND min/max — folds it at O(changelog + "
+    "|MV|) with the targeted extremum recompute handling the balances "
+    "the merge moved off a group bound. The oracle recomputes all four "
+    "measures directly over the merged end state (q130's FULL OUTER "
+    "COALESCE), so a changelog missing an image, double-counting an "
+    "insert, or leaving a stale extremum hash-mismatches; the refresh "
+    "mode rides from committed meta. At 100 TB this is the MV answer "
+    "for MERGE-heavy manifest tables: the writer already knows the "
+    "delta — no O(table) snapshot diff, no full recompute.",
+    oracle="""
+WITH k4 AS (SELECT CAST(MAX(c_custkey) / 4 AS BIGINT) AS kmax FROM customer),
+base AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+),
+upd AS (
+  SELECT c_custkey AS k, CAST(c_acctbal + 10 AS DOUBLE) AS bal
+  FROM customer, k4 WHERE c_custkey % 7 = 0 AND c_custkey <= k4.kmax
+),
+ins AS (
+  SELECT c_custkey + 10000000 AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 = 0
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.bal, t.bal) AS bal
+  FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(MAX(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c,
+       CAST('changelog' AS VARCHAR) AS refresh_mode
+FROM merged
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q131_merge_emitted_changelog_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("min_bal_c", "min", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("max_bal_c", "max", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("cowcl_customer", sf_dir)
+    mv = _scratch_table_path("cowcl_mv", sf_dir)
+    manifest.publish_version(
+        c.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )
+
+    def grouped(df: DataFrame, *extra: str) -> DataFrame:
+        return df.select(
+            F.pmod(F.col("k"), F.lit(8)).alias("kb"), "bal", *extra
+        )
+
+    base = grouped(manifest.read_version(spark, path))
+    apply_changelog_mv(
+        spark, mv, base.withColumn("__w", F.lit(1)), spec,
+        source=base, changelog_id=1,
+    )
+    kmax = c.agg((F.max("k") / 4).cast("long")).collect()[0][0]
+    updates = (
+        c.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax))
+        .withColumn("bal", F.col("bal") + 10)
+        .unionByName(
+            c.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 10000000).alias("k"), "bal"
+            )
+        )
+    )
+    out = merge_into_manifest(
+        spark, path, updates, keys=["k"], emit_changelog=True
+    )
+    merged_src = grouped(manifest.read_version(spark, path))
+    apply_changelog_mv(
+        spark,
+        mv,
+        grouped(out["changelog"], "__w"),
+        spec,
+        source=merged_src,
+        changelog_id=2,
+    )
+    mode = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    return (
+        manifest.read_version(spark, mv)
+        .select(
+            "kb", "n", "sum_bal_c", "min_bal_c", "max_bal_c",
+            F.lit(mode).alias("refresh_mode"),
+        )
+        .orderBy("kb")
+    )

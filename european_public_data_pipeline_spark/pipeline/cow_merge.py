@@ -1,0 +1,253 @@
+"""Copy-on-write MERGE INTO a versioned-manifest table (SURVEY.md §2.7
+scaled onto §2.1 S11) — Iceberg's COW ``MERGE INTO`` on this repo's
+manifest format, completing the write-side triangle:
+
+- ``pipeline/merge.py merge_by_key``: row-level MERGE on plain
+  partitioned parquet (partition-scoped rewrites, q113).
+- ``pipeline/manifest.py``: versioned manifests with snapshot isolation,
+  appends that carry files by reference, and commit-kind tags.
+- THIS module: MERGE against a manifest table that rewrites ONLY the
+  files containing matched keys — every untouched file is carried by
+  reference into the new version — and can hand back the row-level
+  changelog the merge implies, which ``apply_changelog_mv`` folds into
+  downstream MVs at O(changelog + |MV|).
+
+Why this is the 100 TB shape: a day's upsert batch touches a bounded
+key range; with the table range-clustered on the merge key (compact
+``cluster_by``), zone maps prove most files CANNOT contain a matched
+key and the rewrite is O(touched files + batch), never O(table). The
+commit is the standard immutable-manifest protocol — readers mid-merge
+see the prior version, a crash leaves it current, and time travel to
+pre-merge versions keeps working. The commit is tagged ``overwrite``
+(rows changed — file-level incremental consumers MUST NOT treat it as
+an append); the emitted changelog is exactly the row-level delta those
+consumers need instead (Delta CDF's Change Data Feed, emitted by the
+writer rather than re-derived by q97's snapshot diff).
+
+Algorithm (one metadata read + two bounded scans + one batch write):
+
+1. Zone-map candidate pruning: files whose recorded [min, max] on the
+   first merge key cannot intersect the update batch's key range are
+   carried without being read (``prune_files`` — conservative: files
+   without stats stay candidates).
+2. ONE scan of the candidate files, grouped by ``input_file_name``
+   (never a per-file job storm), counts each file's total rows and
+   matched rows against the broadcast update-key set. Files with zero
+   matches join the carried set.
+3. Affected files' surviving rows (anti join on the keys) UNION the
+   full update batch are written as the staged batch; the new manifest
+   is carried files + staged files (``_commit`` — concurrent-publisher
+   safe, purge-fenced, schema-merged additively).
+
+Changelog emission (``emit_changelog=True``): old images of matched
+rows at weight -1 (read lazily from the PRIOR version's affected files,
+which the prior manifest still references — consume before expiring
+it), update rows at weight +1. Per-key weight sums are 0 (update) or
++1 (insert) by construction, satisfying ``apply_changelog_mv``'s
+invariant. Duplicate keys in one update batch are refused loudly (the
+same guard ``merge_by_key`` applies): two images for one key would
+corrupt both the merge result and the changelog's refcounts.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.pipeline.manifest import (
+    _commit,
+    _path_key,
+    _read_files,
+    _read_json,
+    _stage_dir,
+    current_version,
+    prune_files,
+    versions,
+)
+
+
+def _refuse_duplicate_keys(updates: DataFrame, keys: list[str]) -> None:
+    dup = (
+        updates.groupBy(*keys)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(3)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "merge_into_manifest: update batch carries duplicate merge "
+            "keys (first offenders: "
+            + ", ".join(str(tuple(r[k] for k in keys)) for r in dup)
+            + ") — resolve to one row per key upstream (latest-wins "
+            "window), or the merge result and changelog are ambiguous"
+        )
+
+
+def merge_into_manifest(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    emit_changelog: bool = False,
+) -> dict:
+    """MERGE ``updates`` into the manifest table's current version:
+    key-matched rows are replaced by their update row, new keys are
+    inserted, unmatched target rows survive untouched — and only the
+    FILES containing matched keys are rewritten; everything else is
+    carried by reference. Commits one new version (op ``overwrite``)
+    and returns ``{"version", "files_rewritten", "files_carried",
+    "files_pruned", "rows_matched", "changelog"}`` — ``changelog`` (only
+    with ``emit_changelog``) is a lazy DataFrame of weighted row images
+    (+1 insert/new image, -1 old image) for ``apply_changelog_mv``;
+    consume it before the PRIOR version is expired (its old files back
+    the -1 images)."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    _refuse_duplicate_keys(updates, keys)
+    t_read = time.time()  # carried-list read time (purge-fence TTL)
+    head = current_version(spark, table_path)
+    m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+
+    # 1. Zone-map pruning on the first merge key. A single [lo, hi]
+    # envelope of the batch is useless for the common mixed batch
+    # (updates in one range + inserts far above the table's max stretch
+    # it over every file), so probe each file's [min, max] against the
+    # SORTED distinct key set (bisect — any key inside the interval
+    # keeps the file). The key list is collected only up to a cap;
+    # past it, fall back to the envelope (a batch that large touches
+    # most files anyway). Conservative throughout: files without stats
+    # stay candidates, all-NULL zones can hold no key.
+    key0 = keys[0]
+    has_stats = any(
+        key0 in per_file for per_file in m.get("file_stats", {}).values()
+    )
+    if has_stats and m["files"]:
+        cap = 65536
+        key_rows = (
+            updates.select(key0).distinct().limit(cap + 1).collect()
+        )
+        if len(key_rows) <= cap:
+            import bisect
+
+            ks = sorted(r[key0] for r in key_rows if r[key0] is not None)
+            stats = m.get("file_stats", {})
+            candidates = []
+            for f in m["files"]:
+                rng = stats.get(_path_key(f), {}).get(key0)
+                if rng is None:
+                    candidates.append(f)  # no stats: conservative keep
+                    continue
+                mn, mx = rng
+                if mn is None and mx is None:
+                    continue  # all-NULL zone: holds no key
+                try:
+                    i = bisect.bisect_left(ks, mn)
+                    if i < len(ks) and ks[i] <= mx:
+                        candidates.append(f)
+                except TypeError:
+                    candidates.append(f)  # incomparable: keep
+        else:
+            lo_hi = updates.agg(
+                F.min(key0).alias("lo"), F.max(key0).alias("hi")
+            ).collect()[0]
+            candidates, _total = prune_files(
+                m, key0, lo_hi["lo"], lo_hi["hi"]
+            )
+    else:
+        candidates = list(m["files"])
+    pruned = [f for f in m["files"] if f not in set(candidates)]
+
+    # 2. One counting scan over the candidates: per-file totals +
+    # matched counts against the broadcast key set.
+    key_set = F.broadcast(updates.select(*keys).distinct())
+    affected: list[str] = []
+    by_key: dict[str, tuple[int, int]] = {}
+    rows_matched = 0
+    if candidates:
+        # input_file_name is resolved BEFORE the join: it is only
+        # defined on scan-side rows, and a plan that shuffled the probe
+        # side (hint not honored) would silently blank it after.
+        tgt = _read_files(spark, m, candidates).select(
+            F.input_file_name().alias("__f"), *keys
+        )
+        counts = (
+            tgt.join(key_set.withColumn("__m", F.lit(1)), on=keys, how="left")
+            .groupBy("__f")
+            .agg(
+                F.count(F.lit(1)).alias("total"),
+                F.count("__m").alias("matched"),
+            )
+            .collect()
+        )
+        by_key = {
+            _path_key(r["__f"]): (int(r["total"]), int(r["matched"]))
+            for r in counts
+        }
+        for f in candidates:
+            if by_key.get(_path_key(f), (0, 0))[1] > 0:
+                affected.append(f)
+                rows_matched += by_key[_path_key(f)][1]
+    carried = [f for f in m["files"] if f not in set(affected)]
+
+    # 3. Staged batch: affected files' survivors + the whole update
+    # batch, one write job. Updates may carry NEW columns (additive
+    # evolution — _commit merges schemas); survivors NULL-backfill.
+    if affected:
+        survivors = _read_files(spark, m, affected).join(
+            key_set, on=keys, how="left_anti"
+        )
+        staged_df = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        staged_df = updates
+    n = head + 1
+    data_dir = _stage_dir(table_path, n)
+    staged_df.write.mode("overwrite").parquet(data_dir)
+
+    carried_rows = int(m["row_count"]) - sum(
+        by_key.get(_path_key(f), (0, 0))[0] for f in affected
+    )
+    carried_stats = None
+    if m.get("file_stats"):
+        carried_set = {_path_key(f) for f in carried}
+        carried_stats = {
+            k: v for k, v in m["file_stats"].items() if k in carried_set
+        }
+    version = _commit(
+        spark,
+        table_path,
+        n,
+        data_dir,
+        carried_files=tuple(carried),
+        carried_rows=carried_rows,
+        meta=m.get("meta"),
+        carried_stats=carried_stats,
+        carried_schema=m.get("schema"),
+        carried_read_at=t_read,
+        op="overwrite",
+    )
+    out = {
+        "version": version,
+        "files_rewritten": len(affected),
+        "files_carried": len(carried),
+        "files_pruned": len(pruned),
+        "rows_matched": rows_matched,
+    }
+    if emit_changelog:
+        w = F.lit(1).alias("__w")
+        new_images = updates.select("*", w)
+        if affected:
+            old_images = (
+                _read_files(spark, m, affected)
+                .join(key_set, on=keys, how="left_semi")
+                .select("*", F.lit(-1).alias("__w"))
+            )
+            out["changelog"] = old_images.unionByName(
+                new_images, allowMissingColumns=True
+            )
+        else:
+            out["changelog"] = new_images
+    return out

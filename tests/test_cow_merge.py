@@ -1,0 +1,143 @@
+"""Copy-on-write MERGE into a manifest table: matched rows replaced,
+new keys inserted, unmatched rows untouched, ONLY matched-containing
+files rewritten (zone-map pruned), prior versions time-travelable, and
+the emitted changelog folds into an MV at bit-parity with a direct
+recompute."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import european_public_data_pipeline_spark.pipeline.manifest as M
+from european_public_data_pipeline_spark.pipeline.cow_merge import (
+    merge_into_manifest,
+)
+
+
+def _seed(spark, t, n=400, files=8):
+    """Range-clustered seed: key k in [0, n), one value column, zone
+    maps recorded on k — the layout that makes a bounded update batch
+    prune most files."""
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+    M.publish_version(df, t, stats_cols=("k",))
+
+
+def test_cow_merge_end_state_and_file_pruning(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    # Bounded batch: update keys 10..19, insert keys 1000..1004.
+    updates = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(10, 20)]
+        + [(k, k) for k in range(1000, 1005)],
+        "k long, v long",
+    )
+    out = merge_into_manifest(spark, t, updates, keys=["k"])
+    assert out["rows_matched"] == 10
+    assert out["files_rewritten"] >= 1
+    # The bounded batch + range clustering must carry most files.
+    assert out["files_carried"] > out["files_rewritten"]
+    assert out["files_pruned"] >= 1
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert len(got) == 405
+    assert got[10] == 101 and got[15] == 151  # updated
+    assert got[9] == 90 and got[20] == 200    # untouched
+    assert got[1000] == 1000                  # inserted
+    # Time travel: the pre-merge version is intact.
+    v1 = {r["k"]: r["v"] for r in M.read_version(spark, t, 1).collect()}
+    assert len(v1) == 400 and v1[10] == 100
+    assert M.version_op(spark, t) == "overwrite"
+
+
+def test_cow_merge_refuses_duplicate_update_keys(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=20, files=2)
+    dup = spark.createDataFrame([(1, 5), (1, 6)], "k long, v long")
+    with pytest.raises(ValueError, match="duplicate merge keys"):
+        merge_into_manifest(spark, t, dup, keys=["k"])
+
+
+def test_cow_merge_changelog_folds_into_mv(spark, tmp_path):
+    """The writer-emitted changelog path end-to-end: MV built from the
+    pre-merge table, merge emits weighted images, apply_changelog_mv
+    folds them — bit-parity with recomputing over the merged table,
+    including min/max via the targeted recompute."""
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    t = str(tmp_path / "tbl")
+    mv = str(tmp_path / "mv")
+    _seed(spark, t)
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "v"),
+            Measure("mn", "min", "v"),
+            Measure("mx", "max", "v"),
+        ),
+    )
+    grouped = lambda df: df.select(F.pmod(F.col("k"), F.lit(7)).alias("g"), "v")  # noqa: E731
+    base = grouped(M.read_version(spark, t))
+    apply_changelog_mv(
+        spark, mv, base.withColumn("__w", F.lit(1)), spec, source=base
+    )
+    # Updates move values (some were group extrema: k=0 holds v=0, the
+    # global and group-0 minimum) and insert new keys.
+    updates = spark.createDataFrame(
+        [(k, k * 10 + 5) for k in range(0, 30)]
+        + [(k, k) for k in range(1000, 1010)],
+        "k long, v long",
+    )
+    out = merge_into_manifest(spark, t, updates, keys=["k"], emit_changelog=True)
+    merged_src = grouped(M.read_version(spark, t))
+    apply_changelog_mv(
+        spark,
+        mv,
+        out["changelog"].select(
+            F.pmod(F.col("k"), F.lit(7)).alias("g"), "v", "__w"
+        ),
+        spec,
+        source=merged_src,
+    )
+    got = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in merged_src.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_cow_merge_additive_evolution_in_updates(spark, tmp_path):
+    """Update batch carrying a NEW column: survivors and carried files
+    NULL-backfill, the committed schema gains the column additively."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=40, files=4)
+    updates = spark.createDataFrame(
+        [(5, 555, "tagged")], "k long, v long, tag string"
+    )
+    merge_into_manifest(spark, t, updates, keys=["k"])
+    cur = M.read_version(spark, t)
+    assert "tag" in cur.columns
+    rows = {r["k"]: (r["v"], r["tag"]) for r in cur.collect()}
+    assert rows[5] == (555, "tagged")
+    assert rows[6] == (60, None)  # survivor NULL-backfilled
