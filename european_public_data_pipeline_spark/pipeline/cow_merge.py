@@ -126,7 +126,11 @@ def merge_into_manifest(
         key0 in per_file for per_file in m.get("file_stats", {}).values()
     )
     if has_stats and m["files"]:
-        cap = 65536
+        # 256k longs ≈ 2 MB driver-side — cheap next to the scan a
+        # failed prune costs (measured: a 170k-key batch over the old
+        # 64k cap fell back to the envelope, pruned nothing, and paid a
+        # full-table counting scan).
+        cap = 262144
         key_rows = (
             updates.select(key0).distinct().limit(cap + 1).collect()
         )
