@@ -3703,15 +3703,17 @@ def q129_read_appended_through_compact(
     "contains an update key are rewritten — the sorted-key bisect "
     "probe, not a [lo,hi] envelope, which the high inserts would "
     "stretch over every file — everything else is carried by "
-    "reference, and the pre-merge version stays time-travelable. The "
-    "oracle restates the merged end state row-for-row (FULL OUTER "
-    "COALESCE of base, bounded updates, and offset inserts) plus "
+    "reference, and the pre-merge version stays time-travelable. A "
+    "WHEN-MATCHED-DELETE clause (the bottom quarter's %11-not-%7 keys) "
+    "removes target rows in the same single pass. The oracle restates "
+    "the merged end state row-for-row (FULL OUTER COALESCE of base, "
+    "bounded updates, and offset inserts, minus the deleted keys) plus "
     "bounds-audit literals: some files pruned without being read, "
-    "carried outnumbering rewritten, matches found, v1 intact, and "
-    "the commit tagged overwrite (file-level MV consumers must NOT "
-    "treat a merge as an append — q131 is their row-level path). At "
-    "100 TB this is the upsert shape: O(touched files + batch), never "
-    "O(table).",
+    "carried outnumbering rewritten, matches and deletes found, v1 "
+    "intact, and the commit tagged overwrite (file-level MV consumers "
+    "must NOT treat a merge as an append — q131 is their row-level "
+    "path). At 100 TB this is the upsert shape: O(touched files + "
+    "batch), never O(table).",
     oracle="""
 WITH k4 AS (SELECT CAST(MAX(c_custkey) / 4 AS BIGINT) AS kmax FROM customer),
 base AS (
@@ -3726,14 +3728,18 @@ ins AS (
   FROM customer WHERE c_custkey % 13 = 0
 ),
 batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
-SELECT COALESCE(b.k, t.k) AS k,
-       COALESCE(b.bal, t.bal) AS bal,
+SELECT k, bal,
        TRUE AS pruned_some,
        TRUE AS carried_gt_rewritten,
        TRUE AS matched_some,
+       TRUE AS deleted_some,
        TRUE AS v1_intact,
        CAST('overwrite' AS VARCHAR) AS merge_op
-FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+FROM (
+  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.bal, t.bal) AS bal
+  FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+), k4
+WHERE NOT (k % 11 = 0 AND k % 7 <> 0 AND k <= k4.kmax)
 ORDER BY k
 """,
 )
@@ -3764,7 +3770,12 @@ def q130_cow_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    out = merge_into_manifest(spark, path, updates, keys=["k"])
+    deletes = c.filter(
+        (F.col("k") % 11 == 0) & (F.col("k") % 7 != 0) & (F.col("k") <= kmax)
+    ).select("k")
+    out = merge_into_manifest(
+        spark, path, updates, keys=["k"], deletes=deletes
+    )
     v1_intact = manifest.read_version(spark, path, 1).count() == n_base
     return manifest.read_version(spark, path).select(
         "k",
@@ -3774,6 +3785,7 @@ def q130_cow_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "carried_gt_rewritten"
         ),
         F.lit(out["rows_matched"] > 0).alias("matched_some"),
+        F.lit(out["rows_deleted"] > 0).alias("deleted_some"),
         F.lit(v1_intact).alias("v1_intact"),
         F.lit(manifest.version_op(spark, path)).alias("merge_op"),
     ).orderBy("k")

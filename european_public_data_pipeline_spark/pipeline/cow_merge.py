@@ -92,22 +92,43 @@ def merge_into_manifest(
     updates: DataFrame,
     keys: list[str],
     emit_changelog: bool = False,
+    deletes: DataFrame | None = None,
 ) -> dict:
     """MERGE ``updates`` into the manifest table's current version:
     key-matched rows are replaced by their update row, new keys are
     inserted, unmatched target rows survive untouched — and only the
     FILES containing matched keys are rewritten; everything else is
-    carried by reference. Commits one new version (op ``overwrite``)
-    and returns ``{"version", "files_rewritten", "files_carried",
-    "files_pruned", "rows_matched", "changelog"}`` — ``changelog`` (only
-    with ``emit_changelog``) is a lazy DataFrame of weighted row images
-    (+1 insert/new image, -1 old image) for ``apply_changelog_mv``;
-    consume it before the PRIOR version is expired (its old files back
-    the -1 images)."""
+    carried by reference. ``deletes`` (key columns; extra columns
+    ignored) adds the WHEN-MATCHED-DELETE clause: target rows with
+    those keys are removed (a key absent from the target is a no-op; a
+    key in BOTH updates and deletes is refused — ambiguous). Commits
+    one new version (op ``overwrite``) and returns ``{"version",
+    "files_rewritten", "files_carried", "files_pruned", "rows_matched",
+    "rows_deleted", "changelog"}`` — ``changelog`` (only with
+    ``emit_changelog``) is a lazy DataFrame of weighted row images
+    (+1 insert/new image, -1 old/deleted image) for
+    ``apply_changelog_mv``; consume it before the PRIOR version is
+    expired (its old files back the -1 images)."""
     vs = versions(spark, table_path)
     if not vs:
         raise FileNotFoundError(f"no committed manifests at {table_path}")
     _refuse_duplicate_keys(updates, keys)
+    if deletes is not None:
+        deletes = deletes.select(*keys).distinct()
+        overlap = (
+            deletes.join(
+                F.broadcast(updates.select(*keys)), on=keys, how="left_semi"
+            )
+            .limit(3)
+            .collect()
+        )
+        if overlap:
+            raise ValueError(
+                "merge_into_manifest: keys present in BOTH updates and "
+                "deletes (first offenders: "
+                + ", ".join(str(tuple(r[k] for k in keys)) for r in overlap)
+                + ") — one clause per key; resolve the intent upstream"
+            )
     t_read = time.time()  # carried-list read time (purge-fence TTL)
     head = current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
@@ -125,6 +146,9 @@ def merge_into_manifest(
     has_stats = any(
         key0 in per_file for per_file in m.get("file_stats", {}).values()
     )
+    all_keys = updates.select(*keys)
+    if deletes is not None:
+        all_keys = all_keys.unionByName(deletes)
     if has_stats and m["files"]:
         # 256k longs ≈ 2 MB driver-side — cheap next to the scan a
         # failed prune costs (measured: a 170k-key batch over the old
@@ -132,7 +156,7 @@ def merge_into_manifest(
         # full-table counting scan).
         cap = 262144
         key_rows = (
-            updates.select(key0).distinct().limit(cap + 1).collect()
+            all_keys.select(key0).distinct().limit(cap + 1).collect()
         )
         if len(key_rows) <= cap:
             import bisect
@@ -155,7 +179,7 @@ def merge_into_manifest(
                 except TypeError:
                     candidates.append(f)  # incomparable: keep
         else:
-            lo_hi = updates.agg(
+            lo_hi = all_keys.agg(
                 F.min(key0).alias("lo"), F.max(key0).alias("hi")
             ).collect()[0]
             candidates, _total = prune_files(
@@ -166,11 +190,27 @@ def merge_into_manifest(
     pruned = [f for f in m["files"] if f not in set(candidates)]
 
     # 2. One counting scan over the candidates: per-file totals +
-    # matched counts against the broadcast key set.
-    key_set = F.broadcast(updates.select(*keys).distinct())
+    # matched update/delete counts against the broadcast key set (one
+    # flagged relation — overlap was refused, so each key carries
+    # exactly one flag).
+    upd_probe = updates.select(*keys).distinct().select(
+        "*", F.lit(1).alias("__mu"), F.lit(None).cast("int").alias("__md")
+    )
+    if deletes is not None:
+        probe = upd_probe.unionByName(
+            deletes.select(
+                "*",
+                F.lit(None).cast("int").alias("__mu"),
+                F.lit(1).alias("__md"),
+            )
+        )
+    else:
+        probe = upd_probe
+    key_set = F.broadcast(probe)
     affected: list[str] = []
-    by_key: dict[str, tuple[int, int]] = {}
+    by_key: dict[str, tuple[int, int, int]] = {}
     rows_matched = 0
+    rows_deleted = 0
     if candidates:
         # input_file_name is resolved BEFORE the join: it is only
         # defined on scan-side rows, and a plan that shuffled the probe
@@ -179,30 +219,36 @@ def merge_into_manifest(
             F.input_file_name().alias("__f"), *keys
         )
         counts = (
-            tgt.join(key_set.withColumn("__m", F.lit(1)), on=keys, how="left")
+            tgt.join(key_set, on=keys, how="left")
             .groupBy("__f")
             .agg(
                 F.count(F.lit(1)).alias("total"),
-                F.count("__m").alias("matched"),
+                F.count("__mu").alias("matched"),
+                F.count("__md").alias("deleted"),
             )
             .collect()
         )
         by_key = {
-            _path_key(r["__f"]): (int(r["total"]), int(r["matched"]))
+            _path_key(r["__f"]): (
+                int(r["total"]), int(r["matched"]), int(r["deleted"])
+            )
             for r in counts
         }
         for f in candidates:
-            if by_key.get(_path_key(f), (0, 0))[1] > 0:
+            _t, mu, md = by_key.get(_path_key(f), (0, 0, 0))
+            if mu + md > 0:
                 affected.append(f)
-                rows_matched += by_key[_path_key(f)][1]
+                rows_matched += mu
+                rows_deleted += md
     carried = [f for f in m["files"] if f not in set(affected)]
 
-    # 3. Staged batch: affected files' survivors + the whole update
-    # batch, one write job. Updates may carry NEW columns (additive
-    # evolution — _commit merges schemas); survivors NULL-backfill.
+    # 3. Staged batch: affected files' survivors (neither updated nor
+    # deleted) + the whole update batch, one write job. Updates may
+    # carry NEW columns (additive evolution — _commit merges schemas);
+    # survivors NULL-backfill.
     if affected:
         survivors = _read_files(spark, m, affected).join(
-            key_set, on=keys, how="left_anti"
+            F.broadcast(probe.select(*keys)), on=keys, how="left_anti"
         )
         staged_df = survivors.unionByName(updates, allowMissingColumns=True)
     else:
@@ -212,7 +258,7 @@ def merge_into_manifest(
     staged_df.write.mode("overwrite").parquet(data_dir)
 
     carried_rows = int(m["row_count"]) - sum(
-        by_key.get(_path_key(f), (0, 0))[0] for f in affected
+        by_key.get(_path_key(f), (0, 0, 0))[0] for f in affected
     )
     carried_stats = None
     if m.get("file_stats"):
@@ -239,14 +285,22 @@ def merge_into_manifest(
         "files_carried": len(carried),
         "files_pruned": len(pruned),
         "rows_matched": rows_matched,
+        "rows_deleted": rows_deleted,
     }
     if emit_changelog:
         w = F.lit(1).alias("__w")
         new_images = updates.select("*", w)
         if affected:
+            # Old images at -1 for BOTH clauses: an updated row's old
+            # image pairs with its +1 update row; a deleted row's old
+            # image stands alone (per-key weight sum -1).
             old_images = (
                 _read_files(spark, m, affected)
-                .join(key_set, on=keys, how="left_semi")
+                .join(
+                    F.broadcast(probe.select(*keys)),
+                    on=keys,
+                    how="left_semi",
+                )
                 .select("*", F.lit(-1).alias("__w"))
             )
             out["changelog"] = old_images.unionByName(

@@ -141,3 +141,73 @@ def test_cow_merge_additive_evolution_in_updates(spark, tmp_path):
     rows = {r["k"]: (r["v"], r["tag"]) for r in cur.collect()}
     assert rows[5] == (555, "tagged")
     assert rows[6] == (60, None)  # survivor NULL-backfilled
+
+
+def test_cow_merge_delete_clause_and_changelog(spark, tmp_path):
+    """WHEN MATCHED DELETE: deleted keys vanish, absent delete keys
+    no-op, update+delete key overlap refuses, and the emitted changelog
+    carries -1-only images for deletes (per-key weight sum -1) that
+    fold into an MV at parity with recompute."""
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=100, files=4)
+    updates = spark.createDataFrame([(5, 555)], "k long, v long")
+    deletes = spark.createDataFrame(
+        [(7,), (8,), (99999,)], "k long"  # 99999 absent: no-op
+    )
+    with pytest.raises(ValueError, match="BOTH updates and deletes"):
+        merge_into_manifest(
+            spark, t, updates,
+            keys=["k"],
+            deletes=spark.createDataFrame([(5,)], "k long"),
+        )
+    out = merge_into_manifest(
+        spark, t, updates, keys=["k"], deletes=deletes, emit_changelog=True
+    )
+    assert out["rows_matched"] == 1 and out["rows_deleted"] == 2
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert len(got) == 98  # 100 - 2 deleted (insert-less batch)
+    assert got[5] == 555 and 7 not in got and 8 not in got
+    # Per-key weight sums: update 0, delete -1.
+    sums = {
+        r["k"]: r["ws"]
+        for r in out["changelog"]
+        .groupBy("k")
+        .agg(F.sum("__w").alias("ws"))
+        .collect()
+    }
+    assert sums[5] == 0 and sums[7] == -1 and sums[8] == -1
+    # Fold into an MV: parity with direct recompute over the end state.
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    mv = str(tmp_path / "mv")
+    g = lambda df: df.select(F.pmod(F.col("k"), F.lit(3)).alias("g"), "v")  # noqa: E731
+    base = g(M.read_version(spark, t, 1))
+    apply_changelog_mv(spark, mv, base.withColumn("__w", F.lit(1)), spec)
+    apply_changelog_mv(
+        spark, mv,
+        out["changelog"].select(
+            F.pmod(F.col("k"), F.lit(3)).alias("g"), "v", "__w"
+        ),
+        spec,
+    )
+    got_mv = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in g(M.read_version(spark, t))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got_mv == want
