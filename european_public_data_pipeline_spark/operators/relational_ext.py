@@ -3715,7 +3715,8 @@ def q129_read_appended_through_compact(
     "path). At 100 TB this is the upsert shape: O(touched files + "
     "batch), never O(table).",
     oracle="""
-WITH k4 AS (SELECT CAST(MAX(c_custkey) / 4 AS BIGINT) AS kmax FROM customer),
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+k4 AS (SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS kmax FROM customer),
 base AS (
   SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
 ),
@@ -3724,8 +3725,8 @@ upd AS (
   FROM customer, k4 WHERE c_custkey % 7 = 0 AND c_custkey <= k4.kmax
 ),
 ins AS (
-  SELECT c_custkey + 10000000 AS k, CAST(c_acctbal AS DOUBLE) AS bal
-  FROM customer WHERE c_custkey % 13 = 0
+  SELECT c_custkey + 2 * mx.mk AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer, mx WHERE c_custkey % 13 = 0
 ),
 batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
 SELECT k, bal,
@@ -3760,13 +3761,14 @@ def q130_cow_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats_cols=("k",),
     )
     n_base = manifest.read_version(spark, path).count()
-    kmax = c.agg((F.max("k") / 4).cast("long")).collect()[0][0]
+    mx = c.agg(F.max("k")).collect()[0][0]
+    kmax = mx // 4
     updates = (
         c.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax))
         .withColumn("bal", F.col("bal") + 10)
         .unionByName(
             c.filter(F.col("k") % 13 == 0).select(
-                (F.col("k") + 10000000).alias("k"), "bal"
+                (F.col("k") + 2 * mx).alias("k"), "bal"
             )
         )
     )
@@ -3809,7 +3811,8 @@ def q130_cow_merge_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for MERGE-heavy manifest tables: the writer already knows the "
     "delta — no O(table) snapshot diff, no full recompute.",
     oracle="""
-WITH k4 AS (SELECT CAST(MAX(c_custkey) / 4 AS BIGINT) AS kmax FROM customer),
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+k4 AS (SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS kmax FROM customer),
 base AS (
   SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
 ),
@@ -3818,8 +3821,8 @@ upd AS (
   FROM customer, k4 WHERE c_custkey % 7 = 0 AND c_custkey <= k4.kmax
 ),
 ins AS (
-  SELECT c_custkey + 10000000 AS k, CAST(c_acctbal AS DOUBLE) AS bal
-  FROM customer WHERE c_custkey % 13 = 0
+  SELECT c_custkey + 2 * mx.mk AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer, mx WHERE c_custkey % 13 = 0
 ),
 batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
 merged AS (
@@ -3880,13 +3883,14 @@ def q131_merge_emitted_changelog_mv(spark: SparkSession, sf_dir: str) -> DataFra
         spark, mv, base.withColumn("__w", F.lit(1)), spec,
         source=base, changelog_id=1,
     )
-    kmax = c.agg((F.max("k") / 4).cast("long")).collect()[0][0]
+    mx = c.agg(F.max("k")).collect()[0][0]
+    kmax = mx // 4
     updates = (
         c.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax))
         .withColumn("bal", F.col("bal") + 10)
         .unionByName(
             c.filter(F.col("k") % 13 == 0).select(
-                (F.col("k") + 10000000).alias("k"), "bal"
+                (F.col("k") + 2 * mx).alias("k"), "bal"
             )
         )
     )

@@ -108,13 +108,26 @@ def merge_into_manifest(
     ``emit_changelog``) is a lazy DataFrame of weighted row images
     (+1 insert/new image, -1 old/deleted image) for
     ``apply_changelog_mv``; consume it before the PRIOR version is
-    expired (its old files back the -1 images)."""
+    expired (its old files back the -1 images).
+
+    Like ``append_version``, the merge chains off the HIGHEST committed
+    version, not the LATEST pointer — after a ``rollback`` the next
+    manifest number is already taken, and a pointer-based merge would
+    collide with it forever; compact first if resurrecting the
+    rolled-back-from rows is not intended."""
     vs = versions(spark, table_path)
     if not vs:
         raise FileNotFoundError(f"no committed manifests at {table_path}")
+    # ONE stable snapshot of the batch for its many uses (dup check,
+    # prune collect, counting scan, staged write, post-commit changelog
+    # images): a non-deterministic or expensive updates plan would
+    # otherwise re-evaluate per use — the staged write could commit
+    # different rows than the changelog reports (the hazard merge.py
+    # handles the same way). Eager, batch-sized.
+    updates = updates.localCheckpoint()
     _refuse_duplicate_keys(updates, keys)
     if deletes is not None:
-        deletes = deletes.select(*keys).distinct()
+        deletes = deletes.select(*keys).distinct().localCheckpoint()
         overlap = (
             deletes.join(
                 F.broadcast(updates.select(*keys)), on=keys, how="left_semi"
@@ -130,7 +143,7 @@ def merge_into_manifest(
                 + ") — one clause per key; resolve the intent upstream"
             )
     t_read = time.time()  # carried-list read time (purge-fence TTL)
-    head = current_version(spark, table_path)
+    head = vs[-1]
     m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
 
     # 1. Zone-map pruning on the first merge key. A single [lo, hi]
@@ -149,16 +162,18 @@ def merge_into_manifest(
     all_keys = updates.select(*keys)
     if deletes is not None:
         all_keys = all_keys.unionByName(deletes)
+    # 256k longs ≈ 2 MB driver-side — cheap next to the scan a failed
+    # prune costs (measured: a 170k-key batch over the old 64k cap fell
+    # back to the envelope, pruned nothing, and paid a full-table
+    # counting scan).
+    cap = 262144
+    small_batch: bool | None = None  # None = key count unknown
     if has_stats and m["files"]:
-        # 256k longs ≈ 2 MB driver-side — cheap next to the scan a
-        # failed prune costs (measured: a 170k-key batch over the old
-        # 64k cap fell back to the envelope, pruned nothing, and paid a
-        # full-table counting scan).
-        cap = 262144
         key_rows = (
             all_keys.select(key0).distinct().limit(cap + 1).collect()
         )
-        if len(key_rows) <= cap:
+        small_batch = len(key_rows) <= cap
+        if small_batch:
             import bisect
 
             ks = sorted(r[key0] for r in key_rows if r[key0] is not None)
@@ -187,12 +202,16 @@ def merge_into_manifest(
             )
     else:
         candidates = list(m["files"])
-    pruned = [f for f in m["files"] if f not in set(candidates)]
+    cand_set = set(candidates)
+    pruned = [f for f in m["files"] if f not in cand_set]
 
     # 2. One counting scan over the candidates: per-file totals +
-    # matched update/delete counts against the broadcast key set (one
-    # flagged relation — overlap was refused, so each key carries
-    # exactly one flag).
+    # matched update/delete counts against the key set (one flagged
+    # relation — overlap was refused, so each key carries exactly one
+    # flag). The broadcast hint is applied only when the key count is
+    # KNOWN small (the prune collect bounded it, or one count() says
+    # so): an unconditional hint on a 100M-key batch would force a
+    # multi-GB broadcast build instead of letting the join shuffle.
     upd_probe = updates.select(*keys).distinct().select(
         "*", F.lit(1).alias("__mu"), F.lit(None).cast("int").alias("__md")
     )
@@ -206,7 +225,11 @@ def merge_into_manifest(
         )
     else:
         probe = upd_probe
-    key_set = F.broadcast(probe)
+    if small_batch is None:
+        small_batch = all_keys.select(key0).distinct().limit(
+            cap + 1
+        ).count() <= cap
+    key_set = F.broadcast(probe) if small_batch else probe
     affected: list[str] = []
     by_key: dict[str, tuple[int, int, int]] = {}
     rows_matched = 0
@@ -240,7 +263,11 @@ def merge_into_manifest(
                 affected.append(f)
                 rows_matched += mu
                 rows_deleted += md
-    carried = [f for f in m["files"] if f not in set(affected)]
+    affected_set = set(affected)
+    carried = [f for f in m["files"] if f not in affected_set]
+    probe_keys = F.broadcast(probe.select(*keys)) if small_batch else (
+        probe.select(*keys)
+    )
 
     # 3. Staged batch: affected files' survivors (neither updated nor
     # deleted) + the whole update batch, one write job. Updates may
@@ -248,7 +275,7 @@ def merge_into_manifest(
     # survivors NULL-backfill.
     if affected:
         survivors = _read_files(spark, m, affected).join(
-            F.broadcast(probe.select(*keys)), on=keys, how="left_anti"
+            probe_keys, on=keys, how="left_anti"
         )
         staged_df = survivors.unionByName(updates, allowMissingColumns=True)
     else:
@@ -261,10 +288,18 @@ def merge_into_manifest(
         by_key.get(_path_key(f), (0, 0, 0))[0] for f in affected
     )
     carried_stats = None
+    stat_cols: set[str] = set()
     if m.get("file_stats"):
         carried_set = {_path_key(f) for f in carried}
         carried_stats = {
             k: v for k, v in m["file_stats"].items() if k in carried_set
+        }
+        # Zone maps for the STAGED files too, for every column the
+        # prior version tracked (compact's discipline) — without this,
+        # stats coverage decays monotonically on merge-heavy tables and
+        # the NEXT merge's prune degrades file by file.
+        stat_cols = {
+            c for per_file in m["file_stats"].values() for c in per_file
         }
     version = _commit(
         spark,
@@ -274,6 +309,7 @@ def merge_into_manifest(
         carried_files=tuple(carried),
         carried_rows=carried_rows,
         meta=m.get("meta"),
+        stats_cols=tuple(sorted(stat_cols)),
         carried_stats=carried_stats,
         carried_schema=m.get("schema"),
         carried_read_at=t_read,
@@ -296,11 +332,7 @@ def merge_into_manifest(
             # image stands alone (per-key weight sum -1).
             old_images = (
                 _read_files(spark, m, affected)
-                .join(
-                    F.broadcast(probe.select(*keys)),
-                    on=keys,
-                    how="left_semi",
-                )
+                .join(probe_keys, on=keys, how="left_semi")
                 .select("*", F.lit(-1).alias("__w"))
             )
             out["changelog"] = old_images.unionByName(

@@ -399,9 +399,11 @@ def apply_changelog_mv(
     ):
         return have[-1]  # already applied — replay no-op
     extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
-    if extrema and source is None:
-        _invertible(spec)  # raises with the documented guidance
-    persisted = extrema or bool(key_cols)
+    # Validate the spec BEFORE anything is persisted: changelog_partial
+    # would raise the same errors later, but from inside the persisted
+    # region — leaking the cached changelog for the session.
+    _invertible(spec, with_source=source is not None)
+    persisted = bool(extrema) or bool(key_cols)
     if persisted:
         # These paths read the changelog more than once (the invariant
         # aggregate, the weighted fold, the tying-delete probe); a
@@ -410,14 +412,23 @@ def apply_changelog_mv(
         # BEFORE the first evaluation.
         changelog = changelog.persist()
     if key_cols:
-        # NULL weight sums are just as malformed as out-of-range ones
-        # (a NULL __w row silently contributes to nothing) — isin()
-        # alone evaluates NULL for them and would pass the check.
+        # NULL weights are just as malformed as out-of-range sums (a
+        # NULL __w row silently contributes to nothing) — and they must
+        # be probed PER ROW: F.sum skips NULLs, so a key that also has
+        # non-NULL weights would pass a sum-only test while its NULL
+        # image vanished from every measure.
         bad = (
             changelog.groupBy(*key_cols)
-            .agg(F.sum(F.col(weight_col)).alias("__ws"))
+            .agg(
+                F.sum(F.col(weight_col)).alias("__ws"),
+                (F.count(F.lit(1)) - F.count(F.col(weight_col))).alias(
+                    "__nulls"
+                ),
+            )
             .filter(
-                ~F.col("__ws").isin(-1, 0, 1) | F.col("__ws").isNull()
+                ~F.col("__ws").isin(-1, 0, 1)
+                | F.col("__ws").isNull()
+                | (F.col("__nulls") > 0)
             )
             .limit(5)
             .collect()
