@@ -86,6 +86,28 @@ def _refuse_duplicate_keys(updates: DataFrame, keys: list[str]) -> None:
         )
 
 
+def _refuse_null_keys(batch: DataFrame, keys: list[str], clause: str) -> None:
+    """A NULL merge key is a silent corruption machine, not an edge
+    case: it passes the duplicate check (groupBy treats NULLs as one
+    group), never matches any target row (the match join is not
+    null-safe), and is therefore re-INSERTED by every merge — duplicate
+    NULL-key rows accumulate and the emitted changelog carries +1-only
+    images for them. Refuse loudly instead, like duplicates."""
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    bad = batch.filter(cond).select(*keys).limit(3).collect()
+    if bad:
+        raise ValueError(
+            f"merge_into_manifest: {clause} batch carries NULL merge "
+            "keys (first offenders: "
+            + ", ".join(str(tuple(r[k] for k in keys)) for r in bad)
+            + ") — a NULL key can never match a target row, so every "
+            "merge would re-insert it; filter or key these rows upstream"
+        )
+
+
 def merge_into_manifest(
     spark: SparkSession,
     table_path: str,
@@ -126,8 +148,10 @@ def merge_into_manifest(
     # handles the same way). Eager, batch-sized.
     updates = updates.localCheckpoint()
     _refuse_duplicate_keys(updates, keys)
+    _refuse_null_keys(updates, keys, "update")
     if deletes is not None:
         deletes = deletes.select(*keys).distinct().localCheckpoint()
+        _refuse_null_keys(deletes, keys, "delete")
         overlap = (
             deletes.join(
                 F.broadcast(updates.select(*keys)), on=keys, how="left_semi"
@@ -146,71 +170,86 @@ def merge_into_manifest(
     head = vs[-1]
     m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
 
-    # 1. Zone-map pruning on the first merge key. A single [lo, hi]
-    # envelope of the batch is useless for the common mixed batch
-    # (updates in one range + inserts far above the table's max stretch
-    # it over every file), so probe each file's [min, max] against the
-    # SORTED distinct key set (bisect — any key inside the interval
-    # keeps the file). The key list is collected only up to a cap;
-    # past it, fall back to the envelope (a batch that large touches
-    # most files anyway). Conservative throughout: files without stats
-    # stay candidates, all-NULL zones can hold no key.
-    key0 = keys[0]
-    has_stats = any(
-        key0 in per_file for per_file in m.get("file_stats", {}).values()
-    )
+    # 1. Zone-map pruning on EVERY merge key with recorded stats,
+    # candidate sets intersected: a file survives only if, for each such
+    # key, its [min, max] interval can hold one of the batch's values
+    # for that key — a two-key merge prunes on both columns, not just
+    # keys[0]. A single [lo, hi] envelope of the batch is useless for
+    # the common mixed batch (updates in one range + inserts far above
+    # the table's max stretch it over every file), so each file is
+    # probed against the SORTED distinct value set (bisect — any value
+    # inside the interval keeps the file). The batch's distinct key
+    # TUPLES are collected only up to a cap; past it, fall back to
+    # per-key envelopes (a batch that large touches most files anyway).
+    # Conservative throughout: files without stats for a key pass that
+    # key's test, all-NULL zones can hold no value (NULL keys were
+    # refused above).
+    stats = m.get("file_stats", {})
     all_keys = updates.select(*keys)
     if deletes is not None:
         all_keys = all_keys.unionByName(deletes)
-    # 256k longs ≈ 2 MB driver-side — cheap next to the scan a failed
-    # prune costs (measured: a 170k-key batch over the old 64k cap fell
-    # back to the envelope, pruned nothing, and paid a full-table
-    # counting scan).
+    # 256k key tuples ≈ a few MB driver-side — cheap next to the scan a
+    # failed prune costs (measured: a 170k-key batch over the old 64k
+    # cap fell back to the envelope, pruned nothing, and paid a full-
+    # table counting scan). The count is over the FULL key tuple, not
+    # keys[0] alone: broadcast safety below rides on this flag, and a
+    # composite key whose leading column is low-cardinality could pass
+    # a key0-only cap while the probe relation (distinct full tuples)
+    # is orders of magnitude larger — exactly the OOM the cap prevents.
     cap = 262144
-    small_batch: bool | None = None  # None = key count unknown
-    if has_stats and m["files"]:
-        key_rows = (
-            all_keys.select(key0).distinct().limit(cap + 1).collect()
-        )
-        small_batch = len(key_rows) <= cap
-        if small_batch:
-            import bisect
+    tuple_rows = all_keys.distinct().limit(cap + 1).collect()
+    small_batch = len(tuple_rows) <= cap
 
-            ks = sorted(r[key0] for r in key_rows if r[key0] is not None)
-            stats = m.get("file_stats", {})
-            candidates = []
-            for f in m["files"]:
-                rng = stats.get(_path_key(f), {}).get(key0)
-                if rng is None:
-                    candidates.append(f)  # no stats: conservative keep
-                    continue
-                mn, mx = rng
-                if mn is None and mx is None:
-                    continue  # all-NULL zone: holds no key
-                try:
-                    i = bisect.bisect_left(ks, mn)
-                    if i < len(ks) and ks[i] <= mx:
-                        candidates.append(f)
-                except TypeError:
-                    candidates.append(f)  # incomparable: keep
+    def _bisect_keep(files: list[str], k: str, ks: list) -> list[str]:
+        import bisect
+
+        keep = []
+        for f in files:
+            rng = stats.get(_path_key(f), {}).get(k)
+            if rng is None:
+                keep.append(f)  # no stats: conservative keep
+                continue
+            mn, mx = rng
+            if mn is None and mx is None:
+                continue  # all-NULL zone: holds no key
+            try:
+                i = bisect.bisect_left(ks, mn)
+                if i < len(ks) and ks[i] <= mx:
+                    keep.append(f)
+            except TypeError:
+                keep.append(f)  # incomparable: keep
+        return keep
+
+    candidates = list(m["files"])
+    stat_keys = [
+        k for k in keys if any(k in per_file for per_file in stats.values())
+    ]
+    if stat_keys and m["files"]:
+        if small_batch:
+            for k in stat_keys:
+                ks = sorted({r[k] for r in tuple_rows if r[k] is not None})
+                candidates = _bisect_keep(candidates, k, ks)
         else:
-            lo_hi = all_keys.agg(
-                F.min(key0).alias("lo"), F.max(key0).alias("hi")
-            ).collect()[0]
-            candidates, _total = prune_files(
-                m, key0, lo_hi["lo"], lo_hi["hi"]
-            )
-    else:
-        candidates = list(m["files"])
+            aggs = []
+            for k in stat_keys:
+                aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+            env = all_keys.agg(*aggs).collect()[0]
+            for k in stat_keys:
+                candidates, _total = prune_files(
+                    {"files": candidates, "file_stats": stats},
+                    k,
+                    env[f"lo_{k}"],
+                    env[f"hi_{k}"],
+                )
     cand_set = set(candidates)
     pruned = [f for f in m["files"] if f not in cand_set]
 
     # 2. One counting scan over the candidates: per-file totals +
     # matched update/delete counts against the key set (one flagged
     # relation — overlap was refused, so each key carries exactly one
-    # flag). The broadcast hint is applied only when the key count is
-    # KNOWN small (the prune collect bounded it, or one count() says
-    # so): an unconditional hint on a 100M-key batch would force a
+    # flag). The broadcast hint is applied only when the FULL-TUPLE
+    # distinct count is known small (the prune collect above bounded
+    # it): an unconditional hint on a 100M-key batch would force a
     # multi-GB broadcast build instead of letting the join shuffle.
     upd_probe = updates.select(*keys).distinct().select(
         "*", F.lit(1).alias("__mu"), F.lit(None).cast("int").alias("__md")
@@ -225,10 +264,6 @@ def merge_into_manifest(
         )
     else:
         probe = upd_probe
-    if small_batch is None:
-        small_batch = all_keys.select(key0).distinct().limit(
-            cap + 1
-        ).count() <= cap
     key_set = F.broadcast(probe) if small_batch else probe
     affected: list[str] = []
     by_key: dict[str, tuple[int, int, int]] = {}

@@ -1401,9 +1401,27 @@ def vacuum_orphans(
         live_versions = set(versions(spark, table_path))
         for st in fs.listStatus(idx_root):
             mt = re.match(r"^v(\d{8})-", st.getPath().getName())
-            if mt and int(mt.group(1)) not in live_versions:
-                fs.delete(st.getPath(), True)
-                n_idx += 1
+            if not mt:
+                continue
+            v = int(mt.group(1))
+            if v in live_versions:
+                continue
+            # The live set was snapshotted BEFORE this listing: a sidecar
+            # committed concurrently (publish/compact followed by
+            # _rebuild_head_sidecars) for a NEWER version would match the
+            # regex while missing from the stale set. Sidecars are only
+            # ever built for already-committed manifests, so one manifest
+            # existence probe right before the delete closes the race
+            # exactly — if the manifest exists now, the version is live.
+            if fs.exists(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{table_path}/manifest/{v:08d}.json"
+                )
+            ):
+                live_versions.add(v)
+                continue
+            fs.delete(st.getPath(), True)
+            n_idx += 1
     # Opportunistic reclaim of past-TTL ``completed-`` purge plans: on a
     # table purged once and never again, only the next purge_rows run
     # would reclaim them — vacuum is the natural other owner (the fences

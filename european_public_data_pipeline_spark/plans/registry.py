@@ -358,46 +358,64 @@ _DRIVER_GREEN_R10 = frozenset({
     "s06_int8_quantization", "s13_mips_topk", "t21_bigram_surprisal",
 })
 
-# Round 10 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r11.json (freshest verdicts — checked last).
+# 50/50 green: every round-11 registration (q127-q131) got a first
+# verdict, the round-11 modified set (manifest/MV riders q106-q112,
+# q115-q117, q119-q126) re-earned theirs, and r7-era stale names
+# (d03/d04/d13/d14/d22-d24, t01-t11, q54/q56/q73/q90/q97/q99/q105,
+# sm11, g04) were refreshed.
+_DRIVER_GREEN_R11 = frozenset({
+    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
+    "d13_shingle_novelty", "d14_minhash_accuracy_audit",
+    "d22_lsh_recall_audit", "d23_incremental_lsh_probe",
+    "d24_embedding_decontamination", "g04_label_propagation",
+    "q105_approx_quantile_audit", "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan", "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning", "q110_incremental_mv_refresh",
+    "q111_purge_then_read", "q112_clustered_compact_scan",
+    "q115_wap_gated_publish", "q116_mv_refresh_rewrite_hazard",
+    "q117_bloom_stale_sidecar_purge", "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution", "q121_declarative_mv_second_shape",
+    "q122_vacuum_orphans", "q123_widen_column_rewrite",
+    "q124_streaming_mv_maintenance", "q125_changelog_applied_mv",
+    "q126_lifecycle_grand_tour", "q127_mv_safe_compaction",
+    "q128_changelog_minmax_targeted", "q129_read_appended_through_compact",
+    "q130_cow_merge_manifest", "q131_merge_emitted_changelog_mv",
+    "q54_regexp_functions", "q56_revenue_anomaly_zscore",
+    "q73_spend_percentile_rank", "q90_array_functions",
+    "q97_snapshot_changelog", "q99_join_size_estimate",
+    "sm11_temperature_sweep", "t01_token_stats", "t02_quality_score",
+    "t03_lang_id", "t04_fingerprint", "t05_term_frequency",
+    "t06_bpe_token_count", "t07_rolling_hash_fingerprint",
+    "t08_chunk_windows", "t09_quality_percentile_filter",
+    "t10_repetition_signals", "t11_tfidf_topk",
+})
+
+# Round 11 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-11 changes to already-green queries land here as they happen):
+# (round-12 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    # manifest.py changed for every commit path this round: commits now
-    # carry an operation-kind field (append/replace/overwrite), the
-    # post-commit purge fence loops until a pass applies nothing new
-    # (r10 ADVICE: a second sequential purge racing the fence's
-    # overwrite), _purge_plans skips expired completed- plans unread,
-    # compact/widen rebuild EVERY indexed column's Bloom sidecar on the
-    # new head, and vacuum_orphans reclaims expired plans. Every query
-    # that publishes/appends/compacts/purges through manifests re-earns
-    # its verdict.
-    "q106_zonemap_pruned_scan",
-    "q107_incremental_version_scan",
-    "q108_bloom_point_lookup",
-    "q109_zorder_dual_pruning",
-    "q111_purge_then_read",
-    "q112_clustered_compact_scan",
-    "q115_wap_gated_publish",
-    "q117_bloom_stale_sidecar_purge",
-    "q119_retention_expire_versions",
-    "q120_manifest_schema_evolution",
-    "q122_vacuum_orphans",
-    "q123_widen_column_rewrite",
-    "q126_lifecycle_grand_tour",
-    # mv_refresh.py: refresh_mv now walks the op-kind chain (skipping
-    # row-preserving replaces) and apply_changelog_mv gained the
-    # targeted min/max recompute + replay guard + weight invariant.
-    # q116's hazard moved from compact (now a skippable replace) to a
-    # true overwrite; q110/q121/q124/q125 ride the changed engine.
+    # Round 12: cow_merge.py gained NULL-merge-key refusal, a
+    # full-tuple broadcast bound, multi-key zone-map pruning, and
+    # persisted (Delta-CDF-style) changelogs; mv_refresh.py's chain
+    # walk now folds persisted changelogs across overwrite links and
+    # carries the replay watermark; manifest.py gained merge-on-read
+    # delete sidecars applied at scan/compact and the vacuum re-list
+    # fence. Queries riding those engines re-earn verdicts.
     "q110_incremental_mv_refresh",
     "q116_mv_refresh_rewrite_hazard",
     "q121_declarative_mv_second_shape",
     "q124_streaming_mv_maintenance",
     "q125_changelog_applied_mv",
-    # q113 (merge.py) and q114/q118 (scd.py) do not touch manifests'
-    # changed paths — their r8/r9 verdicts stand.
+    "q127_mv_safe_compaction",
+    "q128_changelog_minmax_targeted",
+    "q129_read_appended_through_compact",
+    "q130_cow_merge_manifest",
+    "q131_merge_emitted_changelog_mv",
+    "q122_vacuum_orphans",
+    "q126_lifecycle_grand_tour",
 )
 
 
@@ -414,7 +432,7 @@ def _driver_order() -> list[str]:
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
         _DRIVER_GREEN_R7, _DRIVER_GREEN_R8, _DRIVER_GREEN_R9,
-        _DRIVER_GREEN_R10,
+        _DRIVER_GREEN_R10, _DRIVER_GREEN_R11,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

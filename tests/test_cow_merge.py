@@ -127,6 +127,66 @@ def test_cow_merge_changelog_folds_into_mv(spark, tmp_path):
     assert got == want
 
 
+def test_cow_merge_refuses_null_keys(spark, tmp_path):
+    """A NULL merge key passes the duplicate check, never matches the
+    target (non-null-safe join), and would be re-inserted by EVERY
+    merge — refused loudly instead, in both clauses."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=20, files=2)
+    bad_upd = spark.createDataFrame([(None, 5), (3, 6)], "k long, v long")
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        merge_into_manifest(spark, t, bad_upd, keys=["k"])
+    ok_upd = spark.createDataFrame([(3, 6)], "k long, v long")
+    bad_del = spark.createDataFrame([(None,)], "k long")
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        merge_into_manifest(spark, t, ok_upd, keys=["k"], deletes=bad_del)
+
+
+def test_cow_merge_multi_key_prune_intersects(spark, tmp_path):
+    """Composite-key merge prunes on EVERY key with zone maps, not just
+    keys[0]: a batch whose k1 lands inside some file's range but whose
+    k2 lies outside every file's k2 range prunes ALL files (zero
+    rewritten, zero scanned) and inserts the new tuple."""
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("k1"),
+            (F.col("id") * 2).alias("k2"),
+            (F.col("id") * 10).alias("v"),
+        )
+        .repartitionByRange(4, "k1")
+        .sortWithinPartitions("k1")
+    )
+    t = str(tmp_path / "tbl")
+    M.publish_version(df, t, stats_cols=("k1", "k2"))
+    # k1=10 is inside file 0's k1 range; k2=99999 is outside every
+    # file's k2 range [0, 798] — the k2 probe must prune what the k1
+    # probe kept.
+    batch = spark.createDataFrame([(10, 99999, 7)], "k1 long, k2 long, v long")
+    out = merge_into_manifest(spark, t, batch, keys=["k1", "k2"])
+    assert out["files_rewritten"] == 0
+    assert out["files_pruned"] == out["files_carried"] > 0
+    assert out["rows_matched"] == 0
+    got = {(r["k1"], r["k2"]): r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[(10, 99999)] == 7      # inserted
+    assert got[(10, 20)] == 100       # the real (10, 20) row untouched
+    assert len(got) == 401
+    # And a tuple-true match on both columns still rewrites exactly one
+    # file.
+    out2 = merge_into_manifest(
+        spark,
+        t,
+        spark.createDataFrame([(10, 20, 111)], "k1 long, k2 long, v long"),
+        keys=["k1", "k2"],
+    )
+    assert out2["rows_matched"] == 1 and out2["files_rewritten"] == 1
+    assert M.read_version(spark, t).filter(
+        (F.col("k1") == 10) & (F.col("k2") == 20)
+    ).collect()[0]["v"] == 111
+
+
 def test_cow_merge_additive_evolution_in_updates(spark, tmp_path):
     """Update batch carrying a NEW column: survivors and carried files
     NULL-backfill, the committed schema gains the column additively."""

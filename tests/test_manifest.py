@@ -1014,6 +1014,35 @@ def test_vacuum_orphans_reclaims_unreferenced_aged_files(spark, tmp_path):
     assert os.path.exists(young_dir)
 
 
+def test_vacuum_index_sweep_rechecks_manifest_existence(spark, tmp_path, monkeypatch):
+    """A Bloom sidecar for a version committed AFTER vacuum snapshotted
+    the live-version set (a concurrent publish + _rebuild_head_sidecars)
+    matches the sweep regex while missing from the stale set — the
+    per-sidecar manifest-existence re-check must keep it. Simulated by
+    making versions() under-report the newest version."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.append_version(_ranged(spark, 0, 4), t)
+    M.append_version(_ranged(spark, 5, 9), t)
+    build_bloom_index(spark, t, "k", version=2)
+    real_versions = M.versions
+    monkeypatch.setattr(
+        M, "versions", lambda s, p: real_versions(s, p)[:-1]
+    )
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["indexes_dropped"] == 0
+    assert any(
+        name.startswith("v00000002-bloom-")
+        for name in os.listdir(f"{t}/index")
+    ), "vacuum deleted a live version's sidecar on a stale snapshot"
+
+
 def test_manifest_schema_evolution_additive(spark, tmp_path):
     """The manifest owns the schema: an append may ADD columns; every
     reader (current, time travel, incremental, zone-pruned) serves the
