@@ -3915,3 +3915,136 @@ def q131_merge_emitted_changelog_mv(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q132_persisted_changelog_refresh",
+    category="aggregate",
+    doc="Persisted merge changelogs close refresh_mv's last O(source) "
+    "gap (Delta CDF materialized by the writer: cow_merge "
+    "persist_changelog=True writes the weighted images under "
+    "{table}/changelog/ and the manifest records them atomically; "
+    "manifest.change_chain_links + mv_refresh._chain_changelog fold "
+    "them): the builder publishes two-thirds of customers as a "
+    "clustered manifest table, refreshes the MV (full), APPENDS the "
+    "held-out third (incremental refresh), then COW-merges a batch "
+    "(bounded updates + far inserts + deletes) WITH a persisted "
+    "changelog — the next refresh walks append + overwrite links and "
+    "folds both at O(delta + |MV|) instead of the O(source) rebuild "
+    "q116 pins for OPAQUE overwrites, handling min/max via the "
+    "targeted tying-delete recompute. The mode literal rides from "
+    "committed meta so a silent fallback to 'full' hash-mismatches; a "
+    "second refresh with nothing new must not commit (replay_noop). "
+    "At 100 TB this is the difference between a daily MERGE into a "
+    "curated corpus costing O(changelog) downstream and costing a "
+    "full MV rebuild. Oracle: DuckDB recomputes all four measures "
+    "over the merged-minus-deleted end state.",
+    oracle="""
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+k4 AS (SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS kmax FROM customer),
+base AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+),
+upd AS (
+  SELECT c_custkey AS k, CAST(c_acctbal + 10 AS DOUBLE) AS bal
+  FROM customer, k4 WHERE c_custkey % 7 = 0 AND c_custkey <= k4.kmax
+),
+ins AS (
+  SELECT c_custkey + 2 * mx.mk AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer, mx WHERE c_custkey % 13 = 0
+),
+batch AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT COALESCE(b.k, t.k) AS k, COALESCE(b.bal, t.bal) AS bal
+  FROM base t FULL OUTER JOIN batch b ON t.k = b.k
+),
+final AS (
+  SELECT k, bal FROM merged, k4
+  WHERE NOT (k % 11 = 0 AND k % 7 <> 0 AND k <= k4.kmax)
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(MAX(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c,
+       CAST('changelog' AS VARCHAR) AS refresh_mode,
+       TRUE AS replay_noop
+FROM final
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q132_persisted_changelog_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("min_bal_c", "min", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("max_bal_c", "max", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("pclref_customer", sf_dir)
+    mv = _scratch_table_path("pclref_mv", sf_dir)
+    manifest.publish_version(
+        c.filter(F.col("k") % 3 != 0)
+        .repartitionByRange(8, "k")
+        .sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )
+    refresh_mv(spark, path, mv, spec)                  # v1 -> full build
+    manifest.append_version(c.filter(F.col("k") % 3 == 0), path)
+    refresh_mv(spark, path, mv, spec)                  # v2 -> incremental
+    mx = c.agg(F.max("k")).collect()[0][0]
+    kmax = mx // 4
+    updates = (
+        c.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax))
+        .withColumn("bal", F.col("bal") + 10)
+        .unionByName(
+            c.filter(F.col("k") % 13 == 0).select(
+                (F.col("k") + 2 * mx).alias("k"),
+                F.pmod(F.col("k") + 2 * mx, F.lit(8)).alias("kb"),
+                "bal",
+            )
+        )
+    )
+    deletes = c.filter(
+        (F.col("k") % 11 == 0) & (F.col("k") % 7 != 0) & (F.col("k") <= kmax)
+    ).select("k")
+    merge_into_manifest(
+        spark, path, updates, keys=["k"], deletes=deletes,
+        persist_changelog=True,
+    )                                                   # v3: overwrite + CDF
+    refresh_mv(spark, path, mv, spec)                   # -> changelog fold
+    mode = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    v_before = manifest.versions(spark, mv)[-1]
+    refresh_mv(spark, path, mv, spec)                   # nothing new
+    noop = manifest.versions(spark, mv)[-1] == v_before
+    return (
+        manifest.read_version(spark, mv)
+        .select(
+            "kb", "n", "sum_bal_c", "min_bal_c", "max_bal_c",
+            F.lit(mode).alias("refresh_mode"),
+            F.lit(noop).alias("replay_noop"),
+        )
+        .orderBy("kb")
+    )

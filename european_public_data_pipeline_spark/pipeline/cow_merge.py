@@ -56,7 +56,13 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from european_public_data_pipeline_spark.pipeline.fs_util import (
+    delete_path,
+    hadoop_fs,
+)
 from european_public_data_pipeline_spark.pipeline.manifest import (
+    ConcurrentPublishError,
+    _changelog_stage_dir,
     _commit,
     _path_key,
     _read_files,
@@ -64,6 +70,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _stage_dir,
     current_version,
     prune_files,
+    read_changelog,
     versions,
 )
 
@@ -115,6 +122,7 @@ def merge_into_manifest(
     keys: list[str],
     emit_changelog: bool = False,
     deletes: DataFrame | None = None,
+    persist_changelog: bool = False,
 ) -> dict:
     """MERGE ``updates`` into the manifest table's current version:
     key-matched rows are replaced by their update row, new keys are
@@ -131,6 +139,17 @@ def merge_into_manifest(
     (+1 insert/new image, -1 old/deleted image) for
     ``apply_changelog_mv``; consume it before the PRIOR version is
     expired (its old files back the -1 images).
+
+    ``persist_changelog`` additionally MATERIALIZES those images under
+    ``{table}/changelog/v{version}-<uuid>/`` and records the file list
+    in the commit's manifest (Delta CDF's Change Data Feed persisted by
+    the writer): ``manifest.read_changelog`` serves it later, it
+    survives the prior version's expiry, and — the point —
+    ``refresh_mv``'s chain walk folds it across this otherwise-opaque
+    overwrite commit, so a downstream MV stays O(delta + |MV|) across
+    routine merges instead of paying an O(source) rebuild. Costs one
+    extra O(changelog) write inside the commit; the returned
+    ``changelog`` is then the persisted copy (stable under re-reads).
 
     Like ``append_version``, the merge chains off the HIGHEST committed
     version, not the LATEST pointer — after a ``rollback`` the next
@@ -319,6 +338,45 @@ def merge_into_manifest(
     data_dir = _stage_dir(table_path, n)
     staged_df.write.mode("overwrite").parquet(data_dir)
 
+    # Weighted row images (built lazily; evaluated only if emitted or
+    # persisted): old images of matched/deleted rows at -1, update rows
+    # at +1 — per-key weight sums 0 (update) / +1 (insert) / -1 (delete)
+    # by construction, apply_changelog_mv's invariant.
+    changelog_df: DataFrame | None = None
+    if emit_changelog or persist_changelog:
+        new_images = updates.select("*", F.lit(1).alias("__w"))
+        if affected:
+            old_images = (
+                _read_files(spark, m, affected)
+                .join(probe_keys, on=keys, how="left_semi")
+                .select("*", F.lit(-1).alias("__w"))
+            )
+            changelog_df = old_images.unionByName(
+                new_images, allowMissingColumns=True
+            )
+        else:
+            changelog_df = new_images
+
+    extra_payload = None
+    cl_dir = None
+    if persist_changelog:
+        # Staged BEFORE the manifest commit so the commit can reference
+        # it atomically; uuid-prefixed, so a lost commit race (cleaned
+        # up below) or a crash (reclaimed age-fenced by vacuum_orphans)
+        # never collides with the winner's changelog.
+        cl_dir = _changelog_stage_dir(table_path, n)
+        changelog_df.write.mode("overwrite").parquet(cl_dir)
+        jvm, fs, _ = hadoop_fs(spark, cl_dir)
+        cl_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        extra_payload = {
+            "changelog_files": cl_files,
+            "changelog_weight_col": "__w",
+        }
+
     carried_rows = int(m["row_count"]) - sum(
         by_key.get(_path_key(f), (0, 0, 0))[0] for f in affected
     )
@@ -336,20 +394,28 @@ def merge_into_manifest(
         stat_cols = {
             c for per_file in m["file_stats"].values() for c in per_file
         }
-    version = _commit(
-        spark,
-        table_path,
-        n,
-        data_dir,
-        carried_files=tuple(carried),
-        carried_rows=carried_rows,
-        meta=m.get("meta"),
-        stats_cols=tuple(sorted(stat_cols)),
-        carried_stats=carried_stats,
-        carried_schema=m.get("schema"),
-        carried_read_at=t_read,
-        op="overwrite",
-    )
+    try:
+        version = _commit(
+            spark,
+            table_path,
+            n,
+            data_dir,
+            carried_files=tuple(carried),
+            carried_rows=carried_rows,
+            meta=m.get("meta"),
+            stats_cols=tuple(sorted(stat_cols)),
+            carried_stats=carried_stats,
+            carried_schema=m.get("schema"),
+            carried_read_at=t_read,
+            op="overwrite",
+            extra_payload=extra_payload,
+        )
+    except ConcurrentPublishError:
+        # _commit already reclaimed OUR staged data dir; the staged
+        # changelog is equally ours-and-unreferenced — reclaim it too.
+        if cl_dir is not None:
+            delete_path(spark, cl_dir)
+        raise
     out = {
         "version": version,
         "files_rewritten": len(affected),
@@ -358,21 +424,10 @@ def merge_into_manifest(
         "rows_matched": rows_matched,
         "rows_deleted": rows_deleted,
     }
-    if emit_changelog:
-        w = F.lit(1).alias("__w")
-        new_images = updates.select("*", w)
-        if affected:
-            # Old images at -1 for BOTH clauses: an updated row's old
-            # image pairs with its +1 update row; a deleted row's old
-            # image stands alone (per-key weight sum -1).
-            old_images = (
-                _read_files(spark, m, affected)
-                .join(probe_keys, on=keys, how="left_semi")
-                .select("*", F.lit(-1).alias("__w"))
-            )
-            out["changelog"] = old_images.unionByName(
-                new_images, allowMissingColumns=True
-            )
-        else:
-            out["changelog"] = new_images
+    if persist_changelog:
+        # The PERSISTED copy: stable under re-reads and prior-version
+        # expiry, unlike the lazy plan.
+        out["changelog"] = read_changelog(spark, table_path, version)
+    elif emit_changelog:
+        out["changelog"] = changelog_df
     return out

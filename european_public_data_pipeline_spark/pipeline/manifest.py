@@ -348,6 +348,7 @@ def _commit(
     carried_schema: str | None = None,
     carried_read_at: float | None = None,
     op: str = "overwrite",
+    extra_payload: dict | None = None,
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -373,7 +374,12 @@ def _commit(
     ``replace`` is what lets ``refresh_mv`` skip it instead of paying an
     O(source) rebuild. Deliberately NOT in ``meta``: appends/compacts
     carry meta forward for consumer watermarks, while the op kind is a
-    per-commit fact that must never be inherited."""
+    per-commit fact that must never be inherited.
+
+    ``extra_payload``: additional top-level manifest fields recorded
+    atomically with the commit (the persisted-changelog pointer
+    ``changelog_files``/``changelog_weight_col`` rides here) — like
+    ``op``, per-commit facts, never inherited by later commits."""
     jvm, fs, _ = hadoop_fs(spark, data_dir)
     staged = sorted(
         str(st.getPath().toString())
@@ -481,6 +487,16 @@ def _commit(
         "schema": version_schema,
         "op": op,
     }
+    if extra_payload:
+        clash = set(extra_payload) & set(payload) | {"meta", "file_stats"} & set(
+            extra_payload
+        )
+        if clash:
+            raise ValueError(
+                f"_commit: extra_payload must not shadow core manifest "
+                f"fields ({sorted(clash)})"
+            )
+        payload.update(extra_payload)
     if meta:
         payload["meta"] = meta
     stats = dict(carried_stats or {})
@@ -1100,6 +1116,82 @@ def read_appended(
     return out
 
 
+def _changelog_stage_dir(table_path: str, n: int) -> str:
+    """Publisher-unique staging prefix for version ``n``'s persisted
+    changelog — same uuid discipline as ``_stage_dir``: a losing racer's
+    directory is never referenced and never collides with the winner's.
+    Readers go through the manifest's ``changelog_files`` list, so the
+    directory name is immaterial to reads."""
+    return f"{table_path}/changelog/v{n:08d}-{uuid.uuid4().hex[:12]}"
+
+
+def read_changelog(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame | None:
+    """The row-level changelog PERSISTED with ``version``'s commit
+    (Delta CDF's Change Data Feed, written by the writer at merge time:
+    ``cow_merge.merge_into_manifest(persist_changelog=True)``) — weighted
+    row images, old/deleted at -1, inserted/new at +1, weight column
+    named by the manifest's ``changelog_weight_col``. Returns ``None``
+    when the commit persisted no changelog (appends and replaces never
+    do: their delta is derivable from file metadata via
+    ``read_appended``). Unlike the LAZY changelog ``emit_changelog``
+    hands back, a persisted changelog is a self-contained copy — it
+    survives the prior version's expiry and replays identically."""
+    v = version if version is not None else current_version(spark, table_path)
+    m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+    files = m.get("changelog_files")
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def change_chain_links(
+    spark: SparkSession, table_path: str, from_version: int, to_version: int
+) -> list[tuple[str, int, list[str]]] | None:
+    """Walk the commit chain ``from_version+1 .. to_version`` and return
+    its row-level changes as ordered links — the superset of
+    ``append_chain_segments`` that looks through PERSISTED CHANGELOGS:
+    ``("append", v, new_files)`` for append commits, ``("changelog", v,
+    changelog_files)`` for overwrite commits that persisted their
+    row-level delta (a COW MERGE with ``persist_changelog=True``),
+    row-preserving replaces skipped. Returns ``None`` — consumer must
+    full-recompute — when any link is an overwrite WITHOUT a persisted
+    changelog, a pre-op-era manifest, or an unreadable (expired)
+    intermediate. Driver-side KB-manifest reads only, O(chain length).
+
+    This is what makes a routine daily MERGE into a 100 TB curated
+    corpus maintainable downstream: ``refresh_mv`` folds the appends as
+    +1 images and the merge's persisted delta as-is, at O(delta + |MV|)
+    instead of the O(source) rebuild an opaque overwrite forces."""
+    segments: list[tuple[str, int, list[str]]] = []
+    try:
+        prev = _read_json(spark, f"{table_path}/manifest/{from_version:08d}.json")
+    except Exception:
+        return None
+    for v in range(from_version + 1, to_version + 1):
+        try:
+            m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        except Exception:
+            return None  # expired/unreadable intermediate: chain broken
+        op = m.get("op")
+        if op == "append":
+            prev_set = set(prev["files"])
+            segments.append(
+                ("append", v, [f for f in m["files"] if f not in prev_set])
+            )
+        elif op == "replace":
+            pass  # rows preserved under new files — nothing changed
+        elif op == "overwrite" and m.get("changelog_files"):
+            segments.append(("changelog", v, list(m["changelog_files"])))
+        else:
+            # Opaque overwrite / legacy pre-op manifest / unknown kind:
+            # the row-level delta is not derivable.
+            return None
+        prev = m
+    return segments
+
+
 def prune_files(
     manifest: dict, col: str, lo, hi
 ) -> tuple[list[str], int]:
@@ -1313,11 +1405,18 @@ def expire_versions(
         return {"versions_expired": 0, "files_deleted": 0, "indexes_dropped": 0}
     retained_refs = _referenced_files(spark, table_path, sorted(keep))
     doomed: dict[str, str] = {}  # path_key -> original path string
+    doomed_cl: list[str] = []  # expired versions' persisted changelogs
     for v in expired:
-        for f in _read_json(spark, f"{table_path}/manifest/{v:08d}.json")["files"]:
+        mj = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        for f in mj["files"]:
             k = _path_key(f)
             if k not in retained_refs:
                 doomed.setdefault(k, f)
+        # Persisted changelogs are per-commit facts, never inherited by
+        # later manifests (_commit's extra_payload contract) — an
+        # expired version's changelog files are referenced by nothing
+        # retained and go with it.
+        doomed_cl += mj.get("changelog_files") or []
     # 1. Manifests first: after this, the doomed files are referenced by
     #    nothing and time travel to expired versions fails descriptively.
     for v in expired:
@@ -1341,10 +1440,22 @@ def expire_versions(
             if st.getPath().getName().startswith(prefixes):
                 fs.delete(st.getPath(), True)
                 n_idx += 1
+    # 4. Expired versions' persisted changelogs (+ their now-empty
+    #    staging directories).
+    n_cl = 0
+    for f in doomed_cl:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p):
+            fs.delete(p, False)
+            n_cl += 1
+        parent = p.getParent()
+        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+            fs.delete(parent, True)
     return {
         "versions_expired": len(expired),
         "files_deleted": n_files,
         "indexes_dropped": n_idx,
+        "changelogs_dropped": n_cl,
     }
 
 
@@ -1385,6 +1496,38 @@ def vacuum_orphans(
         if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
             fs.delete(st.getPath(), True)
             n_dirs += 1
+    # Persisted-changelog orphans, same rules as data: a merge that
+    # staged its changelog then lost the commit race (or crashed before
+    # it) leaves a uuid dir no manifest's ``changelog_files`` names;
+    # age-fenced because a changelog is staged BEFORE its manifest is
+    # written.
+    n_cl = 0
+    clroot = jvm.org.apache.hadoop.fs.Path(f"{table_path}/changelog")
+    if fs.exists(clroot):
+        cl_refs = {
+            _path_key(f)
+            for v in versions(spark, table_path)
+            for f in (
+                _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get(
+                    "changelog_files"
+                )
+                or []
+            )
+        }
+        it = fs.listFiles(clroot, True)
+        while it.hasNext():
+            st = it.next()
+            p = st.getPath()
+            if _path_key(str(p.toString())) in cl_refs:
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                continue  # possibly an in-flight merge's staged changelog
+            fs.delete(p, False)
+            n_cl += 1
+        for st in fs.listStatus(clroot):
+            if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
+                fs.delete(st.getPath(), True)
+                n_dirs += 1
     # Index sidecars whose VERSION no longer exists: expire_versions
     # deletes manifests (1), then files (2), then index dirs (3) — a
     # crash between 2 and 3 orphans the expired versions' sidecars
@@ -1445,7 +1588,39 @@ def vacuum_orphans(
         "dirs_removed": n_dirs,
         "indexes_dropped": n_idx,
         "plans_reclaimed": n_plans,
+        "changelogs_deleted": n_cl,
     }
+
+
+def _drop_persisted_changelogs(spark: SparkSession, table_path: str) -> None:
+    """Erase every persisted changelog on the table — called by the
+    purge path: changelogs carry full ROW IMAGES by value, so a purge's
+    legally-erased rows would otherwise survive verbatim inside them,
+    and the purge plan's file remap cannot rewrite a changelog (no
+    per-file row counts exist for it). Conservative and loud in effect:
+    manifests are stripped of their ``changelog_files`` pointer FIRST
+    (readers then see "no persisted changelog" and MV consumers degrade
+    to the full recompute an opaque overwrite already implies — sound,
+    just not incremental), the bytes deleted after — a crash between
+    the two leaves only unreferenced files ``vacuum_orphans``
+    reclaims."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    doomed: list[str] = []
+    for v in versions(spark, table_path):
+        mpath = f"{table_path}/manifest/{v:08d}.json"
+        mm = _read_json(spark, mpath)
+        if mm.get("changelog_files"):
+            doomed += mm["changelog_files"]
+            mm.pop("changelog_files", None)
+            mm.pop("changelog_weight_col", None)
+            _write_json(spark, mpath, mm, overwrite=True)
+    for f in doomed:
+        p = jvm.org.apache.hadoop.fs.Path(f)
+        if fs.exists(p):
+            fs.delete(p, False)
+        parent = p.getParent()
+        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+            fs.delete(parent, True)
 
 
 def _apply_purge_plan(
@@ -1480,7 +1655,13 @@ def _apply_purge_plan(
        ``completed-`` form.
 
     ``remap`` maps old file -> replacement path ('' when the purge
-    emptied the file); ``removed`` maps old file -> purged-row count."""
+    emptied the file); ``removed`` maps old file -> purged-row count.
+
+    Persisted changelogs are dropped FIRST (``_drop_persisted_
+    changelogs``): they carry purged rows by value, the plan cannot
+    remap them, and doing it here — inside the plan-driven path — means
+    a crash replay erases them too."""
+    _drop_persisted_changelogs(spark, table_path)
     jvm, fs, _ = hadoop_fs(spark, table_path)
     for _attempt in range(5):
         vs = versions(spark, table_path)

@@ -32,13 +32,20 @@ too: the refresh walks the commit chain since the applied version,
 aggregates only the ``append`` deltas, and SKIPS ``replace`` versions
 entirely (compact/widen preserve every row value-for-value, so their
 rows are already absorbed — without the tag, a routine nightly
-compaction would force an O(source) MV rebuild at 100 TB). Two rewrite
-hazards still force a FULL recompute (correct, just not incremental;
-q97/q100's changelogs are the row-level alternative):
+compaction would force an O(source) MV rebuild at 100 TB). An
+``overwrite`` commit that PERSISTED its row-level changelog (a COW
+MERGE with ``persist_changelog=True`` — Delta CDF materialized by the
+writer) stays incremental too: the chain walk falls back from
+``append_chain_segments`` to ``change_chain_links`` and folds appends
+(+1 images) and persisted changelogs through the shared weighted-fold
+engine. Two rewrite hazards still force a FULL recompute (correct,
+just not incremental; q97/q100's changelogs are the row-level
+alternative):
 
-1. An ``overwrite`` commit anywhere in the chain (full publish, MERGE-
-   class rewrite — no row-preservation guarantee), or a pre-op-era
-   chain that fails the legacy file-containment check.
+1. An OPAQUE ``overwrite`` commit anywhere in the chain (full publish,
+   or a merge that did not persist its changelog — no row-preservation
+   guarantee and no recorded delta), or a pre-op-era chain that fails
+   the legacy file-containment check.
 2. ``purge_rows``, which rewrites history IN PLACE without bumping any
    version: the chain walk can't see it (every manifest was remapped
    consistently), so the MV meta additionally stores an md5 of the
@@ -62,6 +69,7 @@ from pyspark.sql import functions as F
 from european_public_data_pipeline_spark.pipeline.manifest import (
     _read_json,
     append_chain_segments,
+    change_chain_links,
     current_version,
     publish_version,
     read_appended,
@@ -205,13 +213,30 @@ def refresh_mv(
 ) -> int:
     """Bring the MV at ``mv_path`` (shape ``spec``) up to date with the
     source table at ``src_path``. Returns the source version now applied
-    (unchanged on a no-op). O(delta + |MV|) when the chain since the
-    applied version is appends + row-preserving replaces (compact,
-    widen); O(source) full recompute when it was overwritten or purged
-    under the watermark."""
+    (unchanged on a no-op). Three modes, cheapest that is exact:
+
+    - ``incremental`` — the chain since the applied version is appends
+      + row-preserving replaces (compact, widen): aggregate only the
+      appended files, O(delta + |MV|).
+    - ``changelog`` — the chain additionally contains overwrite commits
+      that PERSISTED their row-level delta (a COW MERGE with
+      ``persist_changelog=True``): fold the appends as +1 images and
+      each persisted changelog as-is through the shared weighted-fold
+      engine, still O(delta + |MV|) — this is what keeps a daily MERGE
+      into a 100 TB curated corpus from forcing an O(source) MV rebuild.
+      Needs a count measure (the group refcount that retires emptied
+      groups); min/max measures re-aggregate only tying-delete groups
+      from the source head.
+    - ``full`` — anything else (opaque overwrite, purged history,
+      expired intermediate manifests): recompute from the source head.
+      Correct, just not incremental."""
     src_v = current_version(spark, src_path)
     meta = version_meta(spark, mv_path) if versions(spark, mv_path) else {}
     applied = int(meta.get(_META_KEY, 0))
+    # The changelog replay watermark (apply_changelog_mv's guard) must
+    # survive refresh_mv commits too: dropping it would let a later
+    # retry of an already-applied changelog_id double-apply weights.
+    prior_cl = meta.get(_META_APPLIED_CL)
 
     # purge_rows rewrites history in place without bumping versions: the
     # applied manifest's file list changing under the MV means the rows
@@ -233,34 +258,172 @@ def refresh_mv(
         return applied  # nothing new — idempotent no-op
 
     segments = None
+    links = None
     if applied > 0 and history_intact:
         segments = append_chain_segments(spark, src_path, applied, src_v)
-    incremental = segments is not None
+        if segments is None and any(
+            m.kind == "count" for m in spec.measures
+        ):
+            # Not append-exact — but a chain whose overwrites all
+            # persisted changelogs is still foldable. (Without a count
+            # measure there is no refcount to retire emptied groups —
+            # the fold would be unsound, so full recompute instead.)
+            links = change_chain_links(spark, src_path, applied, src_v)
+    mode = (
+        "incremental"
+        if segments is not None
+        else ("changelog" if links is not None else "full")
+    )
 
-    if incremental:
-        mv_now = read_version(spark, mv_path)
-        if any(files for _v, files in segments):
-            delta = read_appended(
-                spark, src_path, applied, src_v, segments=segments
+    caches: list[DataFrame] = []
+    n_dirty = 0
+    try:
+        if mode == "incremental":
+            mv_now = read_version(spark, mv_path)
+            if any(files for _v, files in segments):
+                delta = read_appended(
+                    spark, src_path, applied, src_v, segments=segments
+                )
+                merged = spec.merge(mv_now, spec.partial(delta))
+            else:
+                # replace-only chain: state unchanged, advance watermark
+                merged = mv_now
+        elif mode == "changelog":
+            stored = read_version(spark, mv_path)
+            changelog = _chain_changelog(
+                spark, src_path, applied, src_v, links, prior_cl
             )
-            merged = spec.merge(mv_now, spec.partial(delta))
-        else:
-            merged = mv_now  # replace-only chain: state unchanged, advance watermark
-    else:
-        merged = spec.partial(read_version(spark, src_path, src_v))
-    publish_version(
-        merged,
-        mv_path,
-        meta={
+            if changelog is None:
+                mode = "full"  # weight-column collision: fold unsound
+            else:
+                merged, n_dirty, caches = _fold_changelog(
+                    spec,
+                    stored,
+                    changelog,
+                    "__w",
+                    read_version(spark, src_path, src_v),
+                )
+                if merged is None:
+                    merged = stored  # empty delta: advance watermark only
+        if mode == "full":
+            merged = spec.partial(read_version(spark, src_path, src_v))
+        new_meta = {
             _META_KEY: src_v,
             _META_FILES_MD5: _files_md5(spark, src_path, src_v),
             # Which branch produced this MV version — auditable from the
             # committed meta (q116 pins the hazard detector through the
             # driver hash by emitting these as result columns).
-            _META_MODE: "incremental" if incremental else "full",
-        },
+            _META_MODE: mode,
+        }
+        if mode == "changelog":
+            new_meta["n_dirty_groups"] = n_dirty
+            # Guard a later direct apply_changelog_mv retry of the folded
+            # merge commits: the source version doubles as the changelog
+            # id (monotone — never lowered below a caller-set watermark).
+            new_meta[_META_APPLIED_CL] = (
+                max(int(prior_cl), src_v) if prior_cl is not None else src_v
+            )
+        elif prior_cl is not None:
+            new_meta[_META_APPLIED_CL] = int(prior_cl)
+        publish_version(merged, mv_path, meta=new_meta)
+        return src_v
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+def _chain_changelog(
+    spark: SparkSession,
+    src_path: str,
+    applied: int,
+    src_v: int,
+    links: list[tuple[str, int, list[str]]],
+    prior_cl=None,
+) -> DataFrame | None:
+    """Assemble one weighted changelog for the whole chain: append
+    links' rows as +1 images (via ``read_appended``, conformed to the
+    head schema), each persisted changelog conformed likewise with its
+    weight column normalized to ``__w``. Order-independence holds by
+    construction — count/sum fold commutatively, and min/max are
+    resolved from insert images + the tying-delete recompute against
+    the post-chain source, both order-blind. Returns ``None`` when the
+    source schema itself carries a ``__w`` column (the fold could not
+    tell data from weights — caller falls back to full recompute).
+
+    ``prior_cl`` (the MV's applied-changelog watermark): persisted-
+    changelog links with version <= it are SKIPPED — they were already
+    folded by a direct ``apply_changelog_mv`` of the writer-emitted
+    delta (q131's flow, where the merge's source version is the
+    changelog id). This is what lets the push path (writer hands the
+    delta straight to the MV) and the pull path (scheduled refresh
+    walks the chain) interleave on one MV without double-applying a
+    merge. The id-space CONVENTION is that changelog ids for a
+    manifest-table source are its source versions; an MV fed ids from
+    a foreign space must stick to one engine (documented on
+    ``apply_changelog_mv``)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    head_m = _read_json(spark, f"{src_path}/manifest/{src_v:08d}.json")
+    sj = head_m.get("schema")
+    head_schema = (
+        StructType.fromJson(_json.loads(sj)) if sj else None
     )
-    return src_v
+    if head_schema is not None and "__w" in head_schema.names:
+        return None
+    parts: list[DataFrame] = []
+    append_segs = [(v, files) for kind, v, files in links if kind == "append"]
+    if any(files for _v, files in append_segs):
+        appended = read_appended(
+            spark, src_path, applied, src_v, segments=append_segs
+        )
+        parts.append(appended.select("*", F.lit(1).alias("__w")))
+    for kind, v, files in links:
+        if kind != "changelog":
+            continue
+        if prior_cl is not None and v <= int(prior_cl):
+            continue  # already folded by a direct apply of this merge
+        m_v = _read_json(spark, f"{src_path}/manifest/{v:08d}.json")
+        wcol = m_v.get("changelog_weight_col", "__w")
+        cl = spark.read.parquet(*files)
+        if head_schema is not None:
+            # Conform to the head schema (a changelog written before a
+            # later evolution lacks the new columns; lossless casts for
+            # widened ones) + the normalized weight column.
+            cl = cl.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in cl.columns
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in head_schema.fields
+                ],
+                F.col(wcol).cast("int").alias("__w"),
+            )
+        elif wcol != "__w":
+            cl = cl.withColumnRenamed(wcol, "__w")
+        parts.append(cl)
+    if not parts:
+        # Every link was an already-applied merge (watermark skip) and
+        # no appends: an empty delta at the head schema — the caller
+        # advances the watermark without touching state.
+        if head_schema is None:
+            return None  # legacy schema-less head: no frame to derive
+        from pyspark.sql.types import IntegerType, StructField
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(head_schema.fields)
+                + [StructField("__w", IntegerType())]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def refresh_event_summary(
@@ -334,6 +497,88 @@ def changelog_partial(
 _META_APPLIED_CL = "applied_changelog_id"
 
 
+def _fold_changelog(
+    spec: MVSpec,
+    stored: DataFrame | None,
+    changelog: DataFrame,
+    weight_col: str,
+    source: DataFrame | None,
+) -> tuple[DataFrame | None, int, list[DataFrame]]:
+    """The one weighted-fold engine shared by ``apply_changelog_mv``
+    (caller-supplied changelogs) and ``refresh_mv``'s chain walk
+    (persisted merge changelogs + append segments as +1 images): fold
+    ``changelog`` into ``stored`` (``None`` = first build — the
+    changelog IS the state so far) and return ``(merged, n_dirty,
+    caches)``. ``merged`` is ``None`` when the changelog's delta is
+    empty (nothing to fold — callers no-op instead of committing an
+    identical version). ``caches`` are persisted DataFrames the plan
+    references; the CALLER unpersists them AFTER its publish executed
+    (an earlier unpersist would recompute the dirty subtree inside the
+    write it was cached for).
+
+    Min/max measures fold from INSERT images exactly (an insert can
+    only improve an extremum); deletes that tie a bound invalidate it —
+    those groups, and only those, are re-aggregated from ``source``
+    (the POST-change table). Why merged bounds are exactly right: a
+    group's deleted values are within [min, max] by membership — a
+    stored row's value lies within the stored bounds and an in-batch
+    inserted row's value within the delta's insert bounds, both folded
+    into merged — so a non-tying delete leaves both bounds true, while
+    a tie on EITHER origin (including a row inserted and deleted within
+    one batch) is caught. NULL images never tie (min/max ignore NULLs).
+    Groups whose count-refcount falls to zero leave the view."""
+    extrema = tuple(m for m in spec.measures if m.kind in ("min", "max"))
+    delta = changelog_partial(
+        spec, changelog, weight_col, allow_extrema=bool(extrema)
+    ).persist()
+    caches: list[DataFrame] = [delta]
+    if delta.limit(1).count() == 0:
+        return None, 0, caches
+    merged = spec.merge(stored, delta) if stored is not None else delta
+    n_dirty = 0
+    if extrema:
+        dels = changelog.filter(F.col(weight_col) < 0).select(
+            *spec.group_keys,
+            *[F.expr(m.expr).alias(f"__v_{m.name}") for m in extrema],
+        )
+        bounds = merged.select(
+            *spec.group_keys, *[m.name for m in extrema]
+        )
+        tie = None
+        for m in extrema:
+            c = F.col(f"__v_{m.name}") == F.col(m.name)
+            tie = c if tie is None else (tie | c)
+        dirty = (
+            dels.join(bounds, on=list(spec.group_keys))
+            .filter(tie)
+            .select(*spec.group_keys)
+            .distinct()
+            .persist()
+        )
+        caches.append(dirty)
+        n_dirty = dirty.count()
+        if n_dirty:
+            # Re-aggregate ONLY the dirty groups from the post-change
+            # source — exact for every measure — and replace their
+            # merged rows wholesale. The dirty set is broadcast-small
+            # by construction (the handful of groups whose champion
+            # left, never the table).
+            recomputed = spec.partial(
+                source.join(
+                    F.broadcast(dirty),
+                    on=list(spec.group_keys),
+                    how="left_semi",
+                )
+            )
+            merged = merged.join(
+                F.broadcast(dirty),
+                on=list(spec.group_keys),
+                how="left_anti",
+            ).unionByName(recomputed)
+    refcount = next(m.name for m in spec.measures if m.kind == "count")
+    return merged.filter(F.col(refcount) > 0), n_dirty, caches
+
+
 def apply_changelog_mv(
     spark: SparkSession,
     mv_path: str,
@@ -389,9 +634,8 @@ def apply_changelog_mv(
     MV write (crash-safe, time-travelable); meta records the mode.
     Returns the committed MV version."""
     have = versions(spark, mv_path)
-    prior_cl = (
-        version_meta(spark, mv_path).get(_META_APPLIED_CL) if have else None
-    )
+    mv_meta = version_meta(spark, mv_path) if have else {}
+    prior_cl = mv_meta.get(_META_APPLIED_CL)
     if (
         changelog_id is not None
         and prior_cl is not None
@@ -444,75 +688,31 @@ def apply_changelog_mv(
                     str(tuple(r[k] for k in key_cols)) for r in bad
                 )
             )
-    # Persist the delta around its two uses: the emptiness probe plus
-    # the merge/publish would otherwise evaluate it twice.
-    delta = changelog_partial(
-        spec, changelog, weight_col, allow_extrema=bool(extrema)
-    ).persist()
-    dirty = None
+    # The fold itself is the shared engine (_fold_changelog): delta
+    # aggregation, extremum handling via insert images + the tying-
+    # delete dirty-group recompute, and the refcount retirement filter.
+    stored = read_version(spark, mv_path) if have else None
+    caches: list[DataFrame] = []
     try:
-        if delta.limit(1).count() == 0:
+        merged, n_dirty, caches = _fold_changelog(
+            spec, stored, changelog, weight_col, source
+        )
+        if merged is None:
             # An empty changelog merges nothing — publishing would
             # commit an identical MV version on every idle cycle (the
             # streaming driver's empty-batch guard, same reasoning).
             return have[-1] if have else 0
-        n_dirty = 0
-        if have:
-            stored = read_version(spark, mv_path)
-            merged = spec.merge(stored, delta)
-        else:
-            merged = delta  # first build: the changelog IS the state so far
-        if extrema:
-            # Dirty groups: some DELETED image ties a MERGED extremum —
-            # the only deletes that can move a min/max. Why merged
-            # bounds are exactly right: a group's deleted values are
-            # within [min, max] by membership — a stored row's value
-            # lies within the stored bounds and an in-batch inserted
-            # row's value within the delta's insert bounds, both folded
-            # into merged — so a non-tying delete leaves both bounds
-            # true, while a tie on EITHER origin (including a row
-            # inserted and deleted within one batch) is caught. NULL
-            # images never tie (min/max ignore NULLs). This also covers
-            # the first build: merged IS the delta there.
-            dels = changelog.filter(F.col(weight_col) < 0).select(
-                *spec.group_keys,
-                *[F.expr(m.expr).alias(f"__v_{m.name}") for m in extrema],
-            )
-            bounds = merged.select(
-                *spec.group_keys, *[m.name for m in extrema]
-            )
-            tie = None
-            for m in extrema:
-                c = F.col(f"__v_{m.name}") == F.col(m.name)
-                tie = c if tie is None else (tie | c)
-            dirty = (
-                dels.join(bounds, on=list(spec.group_keys))
-                .filter(tie)
-                .select(*spec.group_keys)
-                .distinct()
-                .persist()
-            )
-            n_dirty = dirty.count()
-            if n_dirty:
-                # Re-aggregate ONLY the dirty groups from the
-                # post-change source — exact for every measure — and
-                # replace their merged rows wholesale. The dirty set is
-                # broadcast-small by construction.
-                recomputed = spec.partial(
-                    source.join(
-                        F.broadcast(dirty),
-                        on=list(spec.group_keys),
-                        how="left_semi",
-                    )
-                )
-                merged = merged.join(
-                    F.broadcast(dirty),
-                    on=list(spec.group_keys),
-                    how="left_anti",
-                ).unionByName(recomputed)
-        refcount = next(m.name for m in spec.measures if m.kind == "count")
-        merged = merged.filter(F.col(refcount) > 0)
         meta = {_META_MODE: "changelog", "n_dirty_groups": n_dirty}
+        # Symmetric watermark carry: applying a changelog does not move
+        # the SOURCE, so refresh_mv's applied-version anchor (and its
+        # file-list md5) stays true — dropping it would force the next
+        # scheduled refresh into a full recompute, and with a persisted
+        # merge changelog in the chain it is exactly the already-
+        # applied link the version-watermark skip then avoids
+        # re-folding (push and pull interleave on one MV).
+        for k in (_META_KEY, _META_FILES_MD5):
+            if k in mv_meta:
+                meta[k] = mv_meta[k]
         if changelog_id is not None:
             meta[_META_APPLIED_CL] = int(changelog_id)
         elif prior_cl is not None:
@@ -526,8 +726,7 @@ def apply_changelog_mv(
         # Unpersist AFTER publish_version's write executed the plans
         # that reference these (an earlier unpersist would recompute
         # the dirty subtree inside the write it was cached for).
-        delta.unpersist()
-        if dirty is not None:
-            dirty.unpersist()
+        for c in caches:
+            c.unpersist()
         if persisted:
             changelog.unpersist()

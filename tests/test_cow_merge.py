@@ -271,3 +271,110 @@ def test_cow_merge_delete_clause_and_changelog(spark, tmp_path):
         .collect()
     }
     assert got_mv == want
+
+
+def test_persist_changelog_survives_prior_version_expiry(spark, tmp_path):
+    """persist_changelog materializes the weighted images under
+    {table}/changelog/ and records them in the commit's manifest: the
+    changelog replays identically AFTER retention GC expired the prior
+    version whose files backed the lazy -1 images, and per-key weight
+    sums hold (update 0, insert +1, delete -1)."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=100, files=4)
+    updates = spark.createDataFrame(
+        [(5, 555), (1000, 1)], "k long, v long"
+    )
+    deletes = spark.createDataFrame([(7,)], "k long")
+    out = merge_into_manifest(
+        spark, t, updates, keys=["k"], deletes=deletes,
+        persist_changelog=True,
+    )
+    m = M._read_json(spark, f"{t}/manifest/{out['version']:08d}.json")
+    assert m.get("changelog_files") and m.get("changelog_weight_col") == "__w"
+    # A non-persisting commit records no changelog (probe v1 while its
+    # manifest still exists).
+    assert M.read_changelog(spark, t, 1) is None
+    # Expire v1 — the prior version, whose files back the lazy -1
+    # images; keep_last=1 drops it and deletes its exclusively-owned
+    # files, exactly the hazard the persisted copy removes.
+    M.expire_versions(spark, t, keep_last=1)
+    cl = M.read_changelog(spark, t, out["version"])
+    sums = {
+        r["k"]: r["ws"]
+        for r in cl.groupBy("k").agg(F.sum("__w").alias("ws")).collect()
+    }
+    assert sums[5] == 0 and sums[1000] == 1 and sums[7] == -1
+    # Old image carries the pre-merge value; new image the update's.
+    vals = sorted(
+        (r["v"], r["__w"]) for r in cl.filter(F.col("k") == 5).collect()
+    )
+    assert vals == [(50, -1), (555, 1)]
+
+
+def test_push_pull_interleave_no_double_apply(spark, tmp_path):
+    """The writer hands its persisted changelog straight to the MV
+    (push, changelog_id = merge's source version); the next scheduled
+    refresh_mv walks the same chain (pull) — the version-watermark skip
+    must not re-fold the merge, and the result equals a direct
+    recompute."""
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    mv = str(tmp_path / "mv")
+    # Group key must be a source column — the seed carries g = k % 3.
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(3)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    t2 = str(tmp_path / "tbl2")
+    M.publish_version(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t2,
+        stats_cols=("k",),
+    )
+    refresh_mv(spark, t2, mv, spec)  # full, applied=1
+    out = merge_into_manifest(
+        spark,
+        t2,
+        spark.createDataFrame(
+            [(5, 2, 999), (200, 2, 7)], "k long, g long, v long"
+        ),
+        keys=["k"],
+        persist_changelog=True,
+    )
+    # PUSH: the writer applies its own delta immediately.
+    apply_changelog_mv(
+        spark,
+        mv,
+        out["changelog"].select("g", "v", "__w"),
+        spec,
+        changelog_id=out["version"],
+    )
+    # PULL: the scheduler fires later; the chain contains the merge's
+    # changelog link, already covered by the watermark — skipped.
+    M.append_version(
+        spark.createDataFrame([(300, 0, 11)], "k long, g long, v long"), t2
+    )
+    refresh_mv(spark, t2, mv, spec)
+    meta = M.version_meta(spark, mv)
+    assert meta["refresh_mode"] == "changelog"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, t2)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want, "merge delta double-applied or append dropped"

@@ -1820,3 +1820,101 @@ def test_vacuum_reclaims_sidecars_of_expired_versions(spark, tmp_path):
     assert not os.path.isdir(f"{t}/index/v00000001-bloom-k")
     assert os.path.isdir(f"{t}/index/v00000002-bloom-k")  # live: untouched
     assert [r["k"] for r in read_point(spark, t, "k", 15).collect()] == [15]
+
+
+def _cl_merge(spark, t, rows, schema="k long, v long"):
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    return merge_into_manifest(
+        spark,
+        t,
+        spark.createDataFrame(rows, schema),
+        keys=["k"],
+        persist_changelog=True,
+    )
+
+
+def _k_table(spark, t, n=60):
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    M.publish_version(
+        spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ),
+        t,
+        stats_cols=("k",),
+    )
+
+
+def test_expire_versions_drops_expired_changelogs(spark, tmp_path):
+    """A persisted changelog is a per-commit fact: when its version
+    expires, its files go with it; a retained version's changelog
+    survives."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    _k_table(spark, t)                     # v1
+    _cl_merge(spark, t, [(3, 33)])         # v2: changelog to expire
+    new = _cl_merge(spark, t, [(4, 44)])   # v3: changelog to retain
+    out = M.expire_versions(spark, t, keep_last=1)
+    assert out["changelogs_dropped"] >= 1
+    assert M.read_changelog(spark, t, new["version"]).count() > 0
+    # Exactly the retained version's changelog files remain on disk.
+    remaining = []
+    for root, _dirs, files in os.walk(f"{t}/changelog"):
+        remaining += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    m3 = M._read_json(spark, f"{t}/manifest/{new['version']:08d}.json")
+    live = {M._path_key(f) for f in m3["changelog_files"]}
+    assert {M._path_key(p) for p in remaining} == live
+
+
+def test_vacuum_reclaims_orphan_staged_changelogs(spark, tmp_path):
+    """A merge that staged its changelog then lost the commit race (or
+    crashed) leaves an unreferenced uuid dir under {table}/changelog —
+    vacuum reclaims it past the age fence and never touches the live
+    one."""
+    import os
+    import time as _t
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    _k_table(spark, t)
+    live = _cl_merge(spark, t, [(3, 33)])
+    orphan = f"{t}/changelog/v00000099-deadbeefcafe"
+    spark.createDataFrame([(1, 1, 1)], "k long, v long, __w int").write.parquet(orphan)
+    old = _t.time() - 10_000
+    for root, _dirs, files in os.walk(orphan):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["changelogs_deleted"] >= 1
+    assert not os.path.exists(orphan)
+    assert M.read_changelog(spark, t, live["version"]).count() > 0
+
+
+def test_purge_rows_erases_persisted_changelogs(spark, tmp_path):
+    """Persisted changelogs carry row images BY VALUE — purge_rows must
+    erase them all and strip the manifest pointers, so the purged rows
+    survive nowhere and MV consumers degrade loudly to full recompute."""
+    import os
+
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+
+    t = str(tmp_path / "tbl")
+    _k_table(spark, t)
+    _cl_merge(spark, t, [(3, 33)])
+    res = M.purge_rows(spark, t, "k", [5])
+    assert res["rows_removed"] >= 1
+    for v in M.versions(spark, t):
+        m = M._read_json(spark, f"{t}/manifest/{v:08d}.json")
+        assert "changelog_files" not in m and "changelog_weight_col" not in m
+        assert M.read_changelog(spark, t, v) is None
+    leftovers = []
+    for root, _dirs, files in os.walk(f"{t}/changelog"):
+        leftovers += [f for f in files if f.endswith(".parquet")]
+    assert leftovers == []

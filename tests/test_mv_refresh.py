@@ -656,3 +656,198 @@ def test_changelog_replay_watermark_survives_idless_apply(spark, tmp_path):
     )
 
     assert versions(spark, mv)[-1] == v
+
+
+def test_refresh_mv_folds_persisted_merge_changelog(spark, tmp_path):
+    """The Delta-CDF loop inside refresh_mv itself: a chain of append +
+    COW-merge-with-persisted-changelog + append refreshes in ONE
+    'changelog' pass (mode from committed meta) at parity with a direct
+    recompute — including min/max moved by the merge — and a re-run is
+    a no-op."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_version,
+        versions,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "v"),
+            Measure("mn", "min", "v"),
+            Measure("mx", "max", "v"),
+        ),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(5)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    publish_version(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        src,
+        stats_cols=("k",),
+    )
+    assert refresh_mv(spark, src, mv, spec) == 1
+    assert version_meta(spark, mv)["refresh_mode"] == "full"
+    # v2: append; v3: merge (updates move group extrema: k=0 holds the
+    # global minimum v=0; deletes empty nothing but shrink groups);
+    # v4: append again.
+    append_version(
+        spark.range(300, 350).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id"), F.lit(5)).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        src,
+    )
+    updates = spark.createDataFrame(
+        [(k, k % 5, k * 10 + 7) for k in range(0, 20)]
+        + [(k, k % 5, k) for k in range(1000, 1010)],
+        "k long, g long, v long",
+    )
+    deletes = spark.createDataFrame([(25,), (26,)], "k long")
+    merged_out = merge_into_manifest(
+        spark, src, updates, keys=["k"], deletes=deletes,
+        persist_changelog=True,
+    )
+    assert merged_out["version"] == 3
+    append_version(
+        spark.range(2000, 2040).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id"), F.lit(5)).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        src,
+    )
+    assert refresh_mv(spark, src, mv, spec) == 4
+    meta = version_meta(spark, mv)
+    assert meta["refresh_mode"] == "changelog"
+    assert meta["applied_changelog_id"] == 4  # source version as cl id
+    got = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"], r["mn"], r["mx"])
+        for r in read_version(spark, src)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == want
+    # Idempotent: nothing new, no commit.
+    v_before = versions(spark, mv)[-1]
+    assert refresh_mv(spark, src, mv, spec) == 4
+    assert versions(spark, mv)[-1] == v_before
+
+
+def test_refresh_mv_opaque_overwrite_still_full(spark, tmp_path):
+    """A merge WITHOUT persist_changelog stays an opaque overwrite: the
+    chain walk cannot fold it and refresh_mv full-recomputes (mode
+    literal pinned), at parity with recompute."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(3)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    publish_version(base, src, stats_cols=("k",))
+    refresh_mv(spark, src, mv, spec)
+    merge_into_manifest(
+        spark,
+        src,
+        spark.createDataFrame([(5, 2, 999)], "k long, g long, v long"),
+        keys=["k"],
+    )
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["refresh_mode"] == "full"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in read_version(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_refresh_mv_carries_changelog_watermark_forward(spark, tmp_path):
+    """ADVICE r11: refresh_mv must not ERASE the applied_changelog_id
+    watermark apply_changelog_mv stored — a retry of an already-applied
+    id after an interleaved refresh_mv commit must still no-op."""
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        append_version as av,
+        publish_version,
+        read_version,
+        versions,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    publish_version(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, v long"),
+        src,
+    )
+    refresh_mv(spark, src, mv, spec)
+    # A side-channel changelog applied with id=9.
+    log = spark.createDataFrame([("b", 5, 1)], "g string, v long, __w int")
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=9)
+    # refresh_mv commits again (incremental append) — watermark carried.
+    av(spark.createDataFrame([(2, "a", 20)], "k long, g string, v long"), src)
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["applied_changelog_id"] == 9
+    v_before = versions(spark, mv)[-1]
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=9)  # retry
+    assert versions(spark, mv)[-1] == v_before  # no-op, not double-applied
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
+    }
+    assert got == {"a": (2, 30), "b": (1, 5)}
