@@ -4048,3 +4048,106 @@ def q132_persisted_changelog_refresh(
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q133_mor_delete_scan",
+    category="scan",
+    doc="Merge-on-read equality deletes (pipeline/mor_delete.py "
+    "delete_rows_mor — Iceberg v2 equality-delete files / Delta "
+    "deletion vectors on the repo's manifest format), the "
+    "complementary write shape to q130's COW merge: two delete commits "
+    "write KB-scale key sidecars and NO data files (the builder pins "
+    "metadata_only by comparing the file lists before/after — "
+    "byte-identical data tree), every read applies them as broadcast "
+    "anti joins, an APPEND then re-inserts half the first batch's keys "
+    "(the file_added sequence rule keeps them alive — a sidecar only "
+    "applies to files added before it), and a clustered compact FOLDS "
+    "the sidecars into clean files (delete state cleared, deleted rows "
+    "stay dead). Time travel to the pre-delete version still shows "
+    "every row (v1_intact). At 100 TB this is the trickle-delete "
+    "answer: 100 rows spread over 100 files cost one KB sidecar "
+    "commit, not 100 file rewrites — COW stays the right shape for "
+    "bounded clustered batches, MOR for scattered small ones. Oracle: "
+    "DuckDB restates the end state (survivors UNION re-inserts).",
+    oracle="""
+WITH final AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+  WHERE c_custkey % 17 <> 0 AND c_custkey % 23 <> 0
+  UNION ALL
+  SELECT c_custkey AS k, CAST(c_acctbal + 1000 AS DOUBLE) AS bal
+  FROM customer
+  WHERE c_custkey % 17 = 0 AND c_custkey % 2 = 0
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST('delete' AS VARCHAR) AS delete_op,
+       TRUE AS v1_intact,
+       TRUE AS metadata_only,
+       TRUE AS deleted_some
+FROM final
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q133_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_rows_mor,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("mor_customer", sf_dir)
+    manifest.publish_version(
+        c.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )                                                           # v1
+    n_base = manifest.read_version(spark, path).count()
+    m1_files = set(
+        manifest._read_json(spark, f"{path}/manifest/00000001.json")["files"]
+    )
+    d1 = delete_rows_mor(
+        spark, path, c.filter(F.col("k") % 17 == 0).select("k"), ["k"]
+    )                                                           # v2
+    delete_op = manifest.version_op(spark, path)
+    d2 = delete_rows_mor(
+        spark, path, c.filter(F.col("k") % 23 == 0).select("k"), ["k"]
+    )                                                           # v3
+    m3 = manifest._read_json(
+        spark, f"{path}/manifest/{d2['version']:08d}.json"
+    )
+    metadata_only = set(m3["files"]) == m1_files  # zero data files written
+    manifest.append_version(
+        c.filter((F.col("k") % 17 == 0) & (F.col("k") % 2 == 0)).withColumn(
+            "bal", F.col("bal") + 1000
+        ),
+        path,
+    )                                                           # v4: re-insert
+    v1_intact = manifest.read_version(spark, path, 1).count() == n_base
+    manifest.compact(spark, path, target_files=4, cluster_by="k")  # v5: fold
+    return (
+        manifest.read_version(spark, path)
+        .groupBy(F.pmod(F.col("k"), F.lit(8)).alias("kb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("bal") * 100).cast("bigint")
+            ).alias("sum_bal_c"),
+        )
+        .select(
+            "kb", "n", "sum_bal_c",
+            F.lit(delete_op).alias("delete_op"),
+            F.lit(v1_intact).alias("v1_intact"),
+            F.lit(metadata_only).alias("metadata_only"),
+            F.lit(d1["rows_deleted"] > 0 and d2["rows_deleted"] > 0).alias(
+                "deleted_some"
+            ),
+        )
+        .orderBy("kb")
+    )

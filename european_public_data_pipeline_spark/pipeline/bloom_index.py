@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from european_public_data_pipeline_spark.pipeline.manifest import (
     _path_key,
     _read_files,
+    _read_files_live,
     _read_json,
     _write_json,
     current_version,
@@ -189,7 +190,7 @@ def read_point(
         sidecar = spark.read.parquet(idx)
         bits = int(_read_json(spark, f"{idx}/_bloom_meta.json")["bits"])
     except Exception:
-        return _read_files(spark, m).where(F.col(col).isin(values))
+        return _read_files_live(spark, m).where(F.col(col).isin(values))
     # Every value's k (word, mask) cells, computed with the SAME hash
     # expressions and bit width the builder used, in ONE 1-row job.
     # xxhash64 hashes the TYPED binary value, so each literal must carry
@@ -252,7 +253,11 @@ def read_point(
     ]
     if not keep:
         return _read_files(spark, m, [m["files"][0]]).where(F.lit(False))
-    return _read_files(spark, m, keep).where(F.col(col).isin(values))
+    # Live read: a Bloom hit only proves the file MAY hold the value —
+    # merge-on-read delete sidecars must still apply, or a point lookup
+    # would resurrect a logically-deleted row (the sidecar indexes ALL
+    # physical rows by design; dead rows are filtered here, not there).
+    return _read_files_live(spark, m, keep).where(F.col(col).isin(values))
 
 
 def rebuild_index(

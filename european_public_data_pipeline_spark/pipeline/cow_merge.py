@@ -28,7 +28,7 @@ Algorithm (one metadata read + two bounded scans + one batch write):
 
 1. Zone-map candidate pruning: files whose recorded [min, max] on the
    first merge key cannot intersect the update batch's key range are
-   carried without being read (``prune_files`` — conservative: files
+   carried without being read (``prune_candidates`` — conservative: files
    without stats stay candidates).
 2. ONE scan of the candidate files, grouped by ``input_file_name``
    (never a per-file job storm), counts each file's total rows and
@@ -65,11 +65,11 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _changelog_stage_dir,
     _commit,
     _path_key,
-    _read_files,
+    _read_files_live,
     _read_json,
     _stage_dir,
     current_version,
-    prune_files,
+    prune_candidates,
     read_changelog,
     versions,
 )
@@ -203,7 +203,6 @@ def merge_into_manifest(
     # Conservative throughout: files without stats for a key pass that
     # key's test, all-NULL zones can hold no value (NULL keys were
     # refused above).
-    stats = m.get("file_stats", {})
     all_keys = updates.select(*keys)
     if deletes is not None:
         all_keys = all_keys.unionByName(deletes)
@@ -218,48 +217,18 @@ def merge_into_manifest(
     cap = 262144
     tuple_rows = all_keys.distinct().limit(cap + 1).collect()
     small_batch = len(tuple_rows) <= cap
-
-    def _bisect_keep(files: list[str], k: str, ks: list) -> list[str]:
-        import bisect
-
-        keep = []
-        for f in files:
-            rng = stats.get(_path_key(f), {}).get(k)
-            if rng is None:
-                keep.append(f)  # no stats: conservative keep
-                continue
-            mn, mx = rng
-            if mn is None and mx is None:
-                continue  # all-NULL zone: holds no key
-            try:
-                i = bisect.bisect_left(ks, mn)
-                if i < len(ks) and ks[i] <= mx:
-                    keep.append(f)
-            except TypeError:
-                keep.append(f)  # incomparable: keep
-        return keep
-
-    candidates = list(m["files"])
-    stat_keys = [
-        k for k in keys if any(k in per_file for per_file in stats.values())
-    ]
-    if stat_keys and m["files"]:
-        if small_batch:
-            for k in stat_keys:
-                ks = sorted({r[k] for r in tuple_rows if r[k] is not None})
-                candidates = _bisect_keep(candidates, k, ks)
-        else:
-            aggs = []
-            for k in stat_keys:
-                aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
-            env = all_keys.agg(*aggs).collect()[0]
-            for k in stat_keys:
-                candidates, _total = prune_files(
-                    {"files": candidates, "file_stats": stats},
-                    k,
-                    env[f"lo_{k}"],
-                    env[f"hi_{k}"],
-                )
+    if small_batch:
+        candidates = prune_candidates(m, keys, key_tuples=tuple_rows)
+    else:
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+        env = all_keys.agg(*aggs).collect()[0]
+        candidates = prune_candidates(
+            m,
+            keys,
+            envelope={k: (env[f"lo_{k}"], env[f"hi_{k}"]) for k in keys},
+        )
     cand_set = set(candidates)
     pruned = [f for f in m["files"] if f not in cand_set]
 
@@ -289,11 +258,17 @@ def merge_into_manifest(
     rows_matched = 0
     rows_deleted = 0
     if candidates:
-        # input_file_name is resolved BEFORE the join: it is only
-        # defined on scan-side rows, and a plan that shuffled the probe
-        # side (hint not honored) would silently blank it after.
-        tgt = _read_files(spark, m, candidates).select(
-            F.input_file_name().alias("__f"), *keys
+        # input_file_name is resolved BEFORE any join (the live reader
+        # captures it AT SCAN into __f): it is only defined on scan-side
+        # rows, and a plan that shuffled the probe side (hint not
+        # honored) — or the live reader's own delete anti joins — would
+        # silently blank it after. The LIVE read also makes the counting
+        # scan net of merge-on-read sidecars: a row an earlier delete
+        # already killed neither matches nor counts toward file totals,
+        # keeping carried-row arithmetic consistent with the manifest's
+        # (net) row_count.
+        tgt = _read_files_live(spark, m, candidates, file_col="__f").select(
+            "__f", *keys
         )
         counts = (
             tgt.join(key_set, on=keys, how="left")
@@ -328,7 +303,11 @@ def merge_into_manifest(
     # carry NEW columns (additive evolution — _commit merges schemas);
     # survivors NULL-backfill.
     if affected:
-        survivors = _read_files(spark, m, affected).join(
+        # Live read: a rewritten file FOLDS its applicable delete
+        # sidecars — sidecar-dead rows are not resurrected into the
+        # staged batch (the staged files enter file_added at the new
+        # version, past every recorded sidecar).
+        survivors = _read_files_live(spark, m, affected).join(
             probe_keys, on=keys, how="left_anti"
         )
         staged_df = survivors.unionByName(updates, allowMissingColumns=True)
@@ -346,8 +325,10 @@ def merge_into_manifest(
     if emit_changelog or persist_changelog:
         new_images = updates.select("*", F.lit(1).alias("__w"))
         if affected:
+            # Live read: a sidecar-dead row produces no -1 image (it
+            # was never visible, so it contributes nothing to fold).
             old_images = (
-                _read_files(spark, m, affected)
+                _read_files_live(spark, m, affected)
                 .join(probe_keys, on=keys, how="left_semi")
                 .select("*", F.lit(-1).alias("__w"))
             )
@@ -409,6 +390,24 @@ def merge_into_manifest(
             carried_read_at=t_read,
             op="overwrite",
             extra_payload=extra_payload,
+            # Merge-on-read state carries: untouched files keep their
+            # applicable sidecars (entries skip the rewritten files
+            # naturally — their file_added is the NEW version, past
+            # every recorded sidecar, and their deletes were folded).
+            carried_delete_entries=m.get("delete_files"),
+            # Always a dict (not None) when sidecars exist: _commit then
+            # records the staged files at the NEW version — without it,
+            # the rewrites would default to version 0 and every sidecar
+            # would re-apply to them.
+            carried_file_added=(
+                {
+                    k: v
+                    for k, v in (m.get("file_added") or {}).items()
+                    if k in {_path_key(f) for f in carried}
+                }
+                if m.get("delete_files") or m.get("file_added")
+                else None
+            ),
         )
     except ConcurrentPublishError:
         # _commit already reclaimed OUR staged data dir; the staged

@@ -168,6 +168,72 @@ def _read_files(spark: SparkSession, m: dict, files: list | None = None) -> Data
     return spark.read.parquet(*fl)
 
 
+def _delete_entries(m: dict) -> list[dict]:
+    """The manifest's merge-on-read delete sidecars, oldest first: each
+    entry is ``{"version": dv, "files": [sidecar parquet], "keys":
+    [key cols]}`` — an equality-delete (Iceberg v2's shape) committed at
+    version ``dv`` that logically removes every target row whose key
+    tuple appears in the sidecar, FOR FILES ADDED BEFORE ``dv`` only
+    (``file_added``) — a row re-inserted after the delete stays alive."""
+    return sorted(m.get("delete_files") or [], key=lambda e: e["version"])
+
+
+def _read_files_live(
+    spark: SparkSession,
+    m: dict,
+    files: list | None = None,
+    file_col: str | None = None,
+) -> DataFrame:
+    """``_read_files`` + merge-on-read delete application: anti-join
+    each file's rows against the delete sidecars that APPLY to it — a
+    sidecar committed at version ``dv`` applies to files added before
+    ``dv`` (``file_added``; absent entries read as version 0 — every
+    sidecar applies, correct for files that predate MOR tracking). Files
+    bucket by the index of their first applicable sidecar (at most
+    #delete-commits + 1 buckets — compact folds and clears the list, so
+    this stays small), each bucket anti-joins its sidecar suffix with
+    the KB-scale sidecars BROADCAST: the fact side never shuffles, and
+    at 100 TB the delete application costs a broadcast hash probe per
+    row, not a rewrite. ``file_col`` captures ``input_file_name()`` AT
+    SCAN into a named column (before the anti joins, after which the
+    scan attribution would be undefined) for callers that need per-file
+    accounting (the COW merge's counting scan)."""
+    from pyspark.sql import functions as F
+
+    entries = _delete_entries(m)
+    fl = m["files"] if files is None else files
+    if not entries:
+        base = _read_files(spark, m, fl)
+        if file_col is not None:
+            base = base.select(F.input_file_name().alias(file_col), "*")
+        return base
+    import bisect as _bisect
+
+    fa = m.get("file_added") or {}
+    evs = [e["version"] for e in entries]
+    buckets: dict[int, list[str]] = {}
+    for f in fl:
+        a = int(fa.get(_path_key(f), 0))
+        i = _bisect.bisect_right(evs, a)  # entries[i:] apply (dv > a)
+        buckets.setdefault(i, []).append(f)
+    out: DataFrame | None = None
+    for i in sorted(buckets):
+        part = _read_files(spark, m, buckets[i])
+        if file_col is not None:
+            part = part.select(F.input_file_name().alias(file_col), "*")
+        for e in entries[i:]:
+            dk = (
+                spark.read.parquet(*e["files"])
+                .select(*e["keys"])
+                .distinct()
+            )
+            part = part.join(
+                F.broadcast(dk), on=list(e["keys"]), how="left_anti"
+            )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def _stage_dir(table_path: str, n: int) -> str:
     """A publisher-unique staging prefix for candidate version ``n``.
 
@@ -331,6 +397,17 @@ def _remap_manifest_payload(m: dict, removed: dict, remap: dict) -> bool:
     if stats:
         for f in touched:
             stats.pop(_path_key(f), None)
+    fa = m.get("file_added")
+    if fa:
+        # A remapped file keeps its original add-version (same rows
+        # minus the purged ones), so delete-sidecar applicability is
+        # unchanged; an emptied file's entry drops with it.
+        for f in touched:
+            k = _path_key(f)
+            tgt = remap_k.get(k)
+            v_added = fa.pop(k, None)
+            if tgt and v_added is not None:
+                fa[_path_key(tgt)] = v_added
     return True
 
 
@@ -338,7 +415,7 @@ def _commit(
     spark: SparkSession,
     table_path: str,
     n: int,
-    data_dir: str,
+    data_dir: str | None,
     *,
     carried_files: tuple[str, ...] = (),
     carried_rows: int = 0,
@@ -349,6 +426,8 @@ def _commit(
     carried_read_at: float | None = None,
     op: str = "overwrite",
     extra_payload: dict | None = None,
+    carried_delete_entries: list | None = None,
+    carried_file_added: dict | None = None,
 ) -> int:
     """The shared commit tail: list the staged files, write the immutable
     manifest, swap LATEST. If another publisher claimed version ``n``
@@ -370,7 +449,9 @@ def _commit(
     (prior rows preserved value-for-value under new files — compact,
     widen), ``overwrite`` (no row-preservation guarantee — full
     publish, MERGE-style rewrites; also the conservative default and
-    what a pre-op-era manifest reads as). A scheduled compaction tagged
+    what a pre-op-era manifest reads as), ``delete`` (a merge-on-read
+    sidecar commit: rows logically removed, every file carried —
+    ``mor_delete``). A scheduled compaction tagged
     ``replace`` is what lets ``refresh_mv`` skip it instead of paying an
     O(source) rebuild. Deliberately NOT in ``meta``: appends/compacts
     carry meta forward for consumer watermarks, while the op kind is a
@@ -379,13 +460,35 @@ def _commit(
     ``extra_payload``: additional top-level manifest fields recorded
     atomically with the commit (the persisted-changelog pointer
     ``changelog_files``/``changelog_weight_col`` rides here) — like
-    ``op``, per-commit facts, never inherited by later commits."""
-    jvm, fs, _ = hadoop_fs(spark, data_dir)
-    staged = sorted(
-        str(st.getPath().toString())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
-        if st.getPath().getName().endswith(".parquet")
-    )
+    ``op``, per-commit facts, never inherited by later commits.
+
+    ``data_dir=None`` is a PURE-METADATA commit (a merge-on-read delete:
+    nothing staged, every file carried) — ``carried_schema`` is then
+    required, since there is no batch to derive one from.
+
+    ``carried_delete_entries`` / ``carried_file_added``: the
+    merge-on-read state that IS inherited down append chains (unlike
+    ``extra_payload``): the cumulative equality-delete sidecar list and
+    the per-file add-version map sidecar applicability is decided by.
+    Staged files enter ``file_added`` at version ``n`` (no existing
+    sidecar applies to them — every recorded ``dv`` <= head < n), so an
+    append re-inserting a deleted key stays alive. Full rewrites
+    (publish/compact/widen) pass neither: they FOLD deletes into the
+    rewrite and the state resets."""
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    if data_dir is not None:
+        staged = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+    else:
+        if carried_schema is None:
+            raise ValueError(
+                "_commit: a pure-metadata commit (data_dir=None) needs "
+                "carried_schema — there is no staged batch to derive one"
+            )
+        staged = []
 
     def _purge_fence() -> tuple[tuple[str, ...], int, dict | None]:
         # Writer fence against a racing purge_rows: this commit may have
@@ -406,6 +509,7 @@ def _commit(
         # scheme/slash-rendering divergence between the manifest writer
         # and the plan can never silently skip the remap.
         cf, cr, cs = carried_files, carried_rows, carried_stats
+        fa = dict(carried_file_added) if carried_file_added else None
         for plan in _purge_plans(spark, table_path):
             removed_k = {_path_key(k): v for k, v in plan["removed"].items()}
             remap_k = {_path_key(k): v for k, v in plan["remap"].items()}
@@ -422,17 +526,34 @@ def _commit(
                     k: v for k, v in cs.items()
                     if k not in {_path_key(f) for f in touched}
                 }
-        return cf, cr, cs
+            if fa:
+                # A remapped file keeps its original add-version (its
+                # surviving rows are the originals minus purged ones).
+                for f in touched:
+                    k = _path_key(f)
+                    tgt = remap_k.get(k)
+                    v_added = fa.pop(k, None)
+                    if tgt and v_added is not None:
+                        fa[_path_key(tgt)] = v_added
+        return cf, cr, cs, fa
 
-    # Parquet count() is answered from row-group metadata — no data read.
-    staged_df = spark.read.parquet(data_dir)
-    staged_rows = staged_df.count()
-    # The manifest owns the schema (readers never infer): prior columns
-    # first, the batch's new columns appended — additive evolution, with
-    # a loud error on a same-name type conflict (_merge_schemas).
-    version_schema = _merge_schemas(carried_schema, staged_df.schema).json()
+    if data_dir is not None:
+        # Parquet count() is answered from row-group metadata — no data
+        # read.
+        staged_df = spark.read.parquet(data_dir)
+        staged_rows = staged_df.count()
+        # The manifest owns the schema (readers never infer): prior
+        # columns first, the batch's new columns appended — additive
+        # evolution, with a loud error on a same-name type conflict
+        # (_merge_schemas).
+        version_schema = _merge_schemas(
+            carried_schema, staged_df.schema
+        ).json()
+    else:
+        staged_rows = 0
+        version_schema = carried_schema
     staged_stats: dict = {}
-    if stats_cols:
+    if stats_cols and data_dir is not None:
         try:
             staged_stats = _file_stats(spark, data_dir, stats_cols)
         except Exception:
@@ -447,7 +568,9 @@ def _commit(
         # Fence LAST — after the staged-batch scans above, which are the
         # seconds-long part of a commit; a purge starting during them is
         # still caught here, immediately before the manifest write.
-        carried_files, carried_rows, carried_stats = _purge_fence()
+        carried_files, carried_rows, carried_stats, carried_file_added = (
+            _purge_fence()
+        )
         # The completed-plan TTL only covers carried reads younger than
         # the reclaim window. A pathologically long stage (a multi-hour
         # batch write) could outlive the plan of a purge that ran and
@@ -470,7 +593,8 @@ def _commit(
                 if not fs.exists(jvm.org.apache.hadoop.fs.Path(f))
             ]
             if missing:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+                if data_dir is not None:
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
                 raise RuntimeError(
                     f"append to {table_path} carried {len(missing)} file(s) "
                     f"that no longer exist (a purge completed and its plan "
@@ -503,6 +627,13 @@ def _commit(
     stats.update(staged_stats)
     if stats:
         payload["file_stats"] = stats
+    if carried_delete_entries:
+        payload["delete_files"] = carried_delete_entries
+    if carried_file_added is not None:
+        payload["file_added"] = {
+            **carried_file_added,
+            **{_path_key(s): n for s in staged},
+        }
     try:
         _write_json(
             spark,
@@ -511,7 +642,8 @@ def _commit(
             overwrite=False,
         )
     except ConcurrentPublishError:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+        if data_dir is not None:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
         raise
     _write_json(spark, f"{table_path}/LATEST.json", {"version": n}, overwrite=True)
     if carried_files:
@@ -664,6 +796,18 @@ def append_version(
         carried_schema=carried_schema,
         carried_read_at=t_read,
         op="append",
+        # Merge-on-read state is inherited down append chains: carried
+        # files keep their applicable delete sidecars; the staged batch
+        # enters file_added at the new version, so no existing sidecar
+        # can kill a re-inserted key. The map is forced non-None when
+        # sidecars exist — an unrecorded appended file would default to
+        # version 0 and every sidecar would wrongly apply to it.
+        carried_delete_entries=prior.get("delete_files"),
+        carried_file_added=(
+            prior.get("file_added")
+            if not prior.get("delete_files")
+            else (prior.get("file_added") or {})
+        ),
     )
 
 
@@ -680,7 +824,9 @@ def version_op(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> str:
     """The operation kind committed with ``version`` (default: current)
-    — ``append`` / ``replace`` / ``overwrite`` (see ``_commit``). A
+    — ``append`` / ``replace`` / ``overwrite`` / ``delete`` (a
+    merge-on-read equality-delete sidecar commit, ``mor_delete``; rows
+    removed, files untouched — see ``_commit``). A
     manifest written before op tags existed reads as ``overwrite``: the
     conservative kind (no row-preservation guarantee), so consumers
     that special-case the stronger kinds degrade to exactly the
@@ -765,7 +911,12 @@ def compact(
         raise FileNotFoundError(f"nothing to compact at {table_path}")
     head = vs[-1]
     prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
-    df = _read_files(spark, prior)
+    # Live read: merge-on-read delete sidecars FOLD into the rewrite —
+    # the compacted files carry only surviving rows, and the new
+    # manifest carries no delete state (publish_version resets it), so
+    # scan-side anti joins stop being paid. This is the MOR bargain:
+    # O(batch) delete commits between compactions, one fold at compact.
+    df = _read_files_live(spark, prior)
     if cluster_by is not None:
         df = df.repartitionByRange(
             max(1, target_files), cluster_by
@@ -871,7 +1022,10 @@ def widen_column(
         raise FileNotFoundError(f"no committed manifests at {table_path}")
     head = vs[-1]
     prior = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
-    df = _read_files(spark, prior)
+    # Live read: like compact, the rewrite folds merge-on-read deletes
+    # (rows the current version already serves as deleted must not be
+    # resurrected into the widened files).
+    df = _read_files_live(spark, prior)
     if col not in df.columns:
         raise ValueError(
             f"widen_column: column {col!r} not in {table_path}'s current "
@@ -934,10 +1088,14 @@ def read_version(
     spark: SparkSession, table_path: str, version: int | None = None
 ) -> DataFrame:
     """Read the table as of ``version`` (default: the LATEST pointer).
-    Loads exactly the manifest's file list — never a directory listing."""
+    Loads exactly the manifest's file list — never a directory listing —
+    and applies the version's merge-on-read delete sidecars (broadcast
+    anti joins, ``_read_files_live``): logically-deleted rows are dead
+    through every read path, including time travel (each version's
+    manifest lists exactly the sidecars committed at or before it)."""
     v = version if version is not None else current_version(spark, table_path)
     m = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
-    return _read_files(spark, m)
+    return _read_files_live(spark, m)
 
 
 def read_incremental(
@@ -977,7 +1135,7 @@ def read_incremental(
                 f"{table_path} reference no files — no schema to derive"
             )
         return _read_files(spark, m_to, [schema_file]).where(F.lit(False))
-    return _read_files(spark, m_to, added)
+    return _read_files_live(spark, m_to, added)
 
 
 def append_chain_segments(
@@ -1015,15 +1173,20 @@ def append_chain_segments(
         elif op is None:
             # Pre-op-era manifest in the chain: the legacy containment
             # rule over the ENDPOINTS (sound: containment can only hold
-            # across a chain of effective appends).
-            old = set(
-                _read_json(
-                    spark, f"{table_path}/manifest/{from_version:08d}.json"
-                )["files"]
+            # across a chain of effective appends — EXCEPT a merge-on-
+            # read delete, which removes rows while leaving the file
+            # list intact; the sidecar-count check below closes that).
+            from_m = _read_json(
+                spark, f"{table_path}/manifest/{from_version:08d}.json"
             )
+            old = set(from_m["files"])
             head = _read_json(
                 spark, f"{table_path}/manifest/{to_version:08d}.json"
             )
+            if len(head.get("delete_files") or []) != len(
+                from_m.get("delete_files") or []
+            ):
+                return None  # a MOR delete hides inside the chain
             if old <= set(head["files"]):
                 return [
                     (to_version, [f for f in head["files"] if f not in old])
@@ -1182,11 +1345,13 @@ def change_chain_links(
             )
         elif op == "replace":
             pass  # rows preserved under new files — nothing changed
-        elif op == "overwrite" and m.get("changelog_files"):
+        elif op in ("overwrite", "delete") and m.get("changelog_files"):
+            # A COW merge or a merge-on-read delete that persisted its
+            # row-level delta: foldable.
             segments.append(("changelog", v, list(m["changelog_files"])))
         else:
-            # Opaque overwrite / legacy pre-op manifest / unknown kind:
-            # the row-level delta is not derivable.
+            # Opaque overwrite/delete / legacy pre-op manifest / unknown
+            # kind: the row-level delta is not derivable.
             return None
         prev = m
     return segments
@@ -1222,6 +1387,64 @@ def prune_files(
     return keep, len(manifest["files"])
 
 
+def prune_candidates(
+    m: dict,
+    keys: list[str],
+    key_tuples: list | None = None,
+    envelope: dict | None = None,
+) -> list[str]:
+    """Zone-map candidate pruning for a keyed write (COW merge,
+    merge-on-read delete), INTERSECTED across every key with recorded
+    stats: a file survives only if, for each such key, its [min, max]
+    interval can hold one of the batch's values for that key.
+
+    ``key_tuples`` (collected distinct key rows, when the batch was
+    small enough to collect): each file is probed against the SORTED
+    per-key value set by bisect — any value inside the interval keeps
+    the file; this is what beats a [lo, hi] envelope for the common
+    mixed batch (updates in one range + inserts far above the table's
+    max stretch an envelope over every file). ``envelope`` ({key: (lo,
+    hi)}) is the fallback past the collect cap. Conservative
+    throughout: files without stats for a key pass that key's test,
+    all-NULL zones can hold no value, incomparable types keep the
+    file."""
+    import bisect
+
+    stats = m.get("file_stats", {})
+    candidates = list(m["files"])
+    stat_keys = [
+        k for k in keys if any(k in per_file for per_file in stats.values())
+    ]
+    if not stat_keys or not candidates:
+        return candidates
+    if key_tuples is not None:
+        for k in stat_keys:
+            ks = sorted({r[k] for r in key_tuples if r[k] is not None})
+            keep = []
+            for f in candidates:
+                rng = stats.get(_path_key(f), {}).get(k)
+                if rng is None:
+                    keep.append(f)  # no stats: conservative keep
+                    continue
+                mn, mx = rng
+                if mn is None and mx is None:
+                    continue  # all-NULL zone: holds no key
+                try:
+                    i = bisect.bisect_left(ks, mn)
+                    if i < len(ks) and ks[i] <= mx:
+                        keep.append(f)
+                except TypeError:
+                    keep.append(f)  # incomparable: keep
+            candidates = keep
+    elif envelope is not None:
+        for k in stat_keys:
+            lo, hi = envelope[k]
+            candidates, _total = prune_files(
+                {"files": candidates, "file_stats": stats}, k, lo, hi
+            )
+    return candidates
+
+
 def read_where(
     spark: SparkSession,
     table_path: str,
@@ -1254,7 +1477,10 @@ def read_where(
                 f"files — no schema to derive"
             )
         return _read_files(spark, m, [m["files"][0]]).where(F.lit(False))
-    return _read_files(spark, m, keep).where(
+    # Live read: a zone map can only prove a file MAY hold matching
+    # rows — merge-on-read delete sidecars must still apply, or pruning
+    # would resurrect logically-deleted rows.
+    return _read_files_live(spark, m, keep).where(
         F.col(col).between(F.lit(lo), F.lit(hi))
     )
 
@@ -1404,8 +1630,20 @@ def expire_versions(
     if not expired:
         return {"versions_expired": 0, "files_deleted": 0, "indexes_dropped": 0}
     retained_refs = _referenced_files(spark, table_path, sorted(keep))
+    # Delete sidecars are CUMULATIVE (carried forward until a full
+    # rewrite folds them): one may be referenced by retained manifests
+    # too — refcount them like data files.
+    retained_del = {
+        _path_key(f)
+        for v in sorted(keep)
+        for e in _delete_entries(
+            _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        )
+        for f in e["files"]
+    }
     doomed: dict[str, str] = {}  # path_key -> original path string
     doomed_cl: list[str] = []  # expired versions' persisted changelogs
+    doomed_del: dict[str, str] = {}  # expired-only delete sidecars
     for v in expired:
         mj = _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
         for f in mj["files"]:
@@ -1417,6 +1655,11 @@ def expire_versions(
         # expired version's changelog files are referenced by nothing
         # retained and go with it.
         doomed_cl += mj.get("changelog_files") or []
+        for e in _delete_entries(mj):
+            for f in e["files"]:
+                k = _path_key(f)
+                if k not in retained_del:
+                    doomed_del.setdefault(k, f)
     # 1. Manifests first: after this, the doomed files are referenced by
     #    nothing and time travel to expired versions fails descriptively.
     for v in expired:
@@ -1441,9 +1684,10 @@ def expire_versions(
                 fs.delete(st.getPath(), True)
                 n_idx += 1
     # 4. Expired versions' persisted changelogs (+ their now-empty
-    #    staging directories).
+    #    staging directories), and delete sidecars no retained manifest
+    #    references.
     n_cl = 0
-    for f in doomed_cl:
+    for f in list(doomed_cl) + list(doomed_del.values()):
         p = jvm.org.apache.hadoop.fs.Path(f)
         if fs.exists(p):
             fs.delete(p, False)
@@ -1496,35 +1740,50 @@ def vacuum_orphans(
         if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
             fs.delete(st.getPath(), True)
             n_dirs += 1
-    # Persisted-changelog orphans, same rules as data: a merge that
-    # staged its changelog then lost the commit race (or crashed before
-    # it) leaves a uuid dir no manifest's ``changelog_files`` names;
-    # age-fenced because a changelog is staged BEFORE its manifest is
+    # Persisted-changelog and delete-sidecar orphans, same rules as
+    # data: a merge/delete that staged its sidecar then lost the commit
+    # race (or crashed before it) leaves a uuid dir no manifest names;
+    # age-fenced because sidecars are staged BEFORE their manifest is
     # written.
     n_cl = 0
-    clroot = jvm.org.apache.hadoop.fs.Path(f"{table_path}/changelog")
-    if fs.exists(clroot):
-        cl_refs = {
-            _path_key(f)
-            for v in versions(spark, table_path)
-            for f in (
-                _read_json(spark, f"{table_path}/manifest/{v:08d}.json").get(
-                    "changelog_files"
-                )
-                or []
-            )
-        }
-        it = fs.listFiles(clroot, True)
+    live_vs = versions(spark, table_path)
+    live_ms = [
+        _read_json(spark, f"{table_path}/manifest/{v:08d}.json")
+        for v in live_vs
+    ]
+    for subdir, refs in (
+        (
+            "changelog",
+            {
+                _path_key(f)
+                for mm in live_ms
+                for f in (mm.get("changelog_files") or [])
+            },
+        ),
+        (
+            "deletes",
+            {
+                _path_key(f)
+                for mm in live_ms
+                for e in _delete_entries(mm)
+                for f in e["files"]
+            },
+        ),
+    ):
+        sroot = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{subdir}")
+        if not fs.exists(sroot):
+            continue
+        it = fs.listFiles(sroot, True)
         while it.hasNext():
             st = it.next()
             p = st.getPath()
-            if _path_key(str(p.toString())) in cl_refs:
+            if _path_key(str(p.toString())) in refs:
                 continue
             if st.getModificationTime() > cutoff_ms:
-                continue  # possibly an in-flight merge's staged changelog
+                continue  # possibly an in-flight commit's staged sidecar
             fs.delete(p, False)
             n_cl += 1
-        for st in fs.listStatus(clroot):
+        for st in fs.listStatus(sroot):
             if st.isDirectory() and len(fs.listStatus(st.getPath())) == 0:
                 fs.delete(st.getPath(), True)
                 n_dirs += 1
@@ -1842,6 +2101,21 @@ def purge_rows(
     manifests = {
         v: _read_json(spark, f"{table_path}/manifest/{v:08d}.json") for v in vs
     }
+    mor_versions = [v for v, m in manifests.items() if m.get("delete_files")]
+    if mor_versions:
+        # A purge's file remap adjusts row counts by PHYSICAL matches,
+        # but a manifest with merge-on-read delete sidecars carries a
+        # row_count NET of logical deletes — purging a row a sidecar
+        # already killed would double-subtract it, and the sidecars
+        # themselves may name purged key values. Fold the sidecars
+        # first (compact rewrites the head clean), expire versions that
+        # still carry them, then purge.
+        raise RuntimeError(
+            f"purge_rows: versions {mor_versions} of {table_path} carry "
+            f"merge-on-read delete sidecars; run compact() (folds the "
+            f"head's sidecars) and expire_versions() past the sidecar-"
+            f"carrying history, then re-run the purge"
+        )
     # Union of files across all versions, with any zone map we have.
     all_files: dict[str, dict] = {}
     for m in manifests.values():

@@ -1,0 +1,223 @@
+"""Merge-on-read equality deletes for versioned-manifest tables
+(SURVEY.md §2.7 write paths, scaled onto §2.1 S11) — Iceberg v2's
+equality-delete files / Delta's deletion vectors, on this repo's
+manifest format. The complementary write shape to ``cow_merge``:
+
+- COW (``merge_into_manifest``): rewrite every file containing a
+  matched key. Right for a bounded daily batch against a clustered
+  table — O(touched files + batch).
+- MOR (THIS module): commit a KB-scale SIDECAR of deleted key tuples
+  and apply it at scan time (broadcast anti join); fold it into real
+  file rewrites only at the next ``compact``. Right for a trickle of
+  small deletes — 100 rows spread over 100 files would make COW
+  rewrite 100 files, while a MOR commit writes O(batch) bytes and NO
+  data files at all.
+
+Reference anchor: the gold stage's delete-then-append
+(``load_hicp_to_sql.py:54-62``) is a row-level delete the engine
+previously could only express as a file rewrite (``purge_rows``/COW).
+
+Semantics (Iceberg v2 sequence-number rule, carried by ``file_added``):
+a sidecar committed at version ``dv`` applies only to files ADDED
+before ``dv`` — a row re-inserted by a later append or merge stays
+alive. Manifests carry the cumulative sidecar list (``delete_files``)
+and the per-file add-version map (``file_added``); every read path
+(``read_version``, ``read_where``, ``read_incremental``, Bloom
+``read_point``) applies the sidecars via ``_read_files_live``, so
+zone-map or Bloom pruning can never resurrect a deleted row, and time
+travel to a pre-delete version shows the rows (that version's manifest
+lists no such sidecar). ``compact``/``widen_column`` FOLD the sidecars
+into their rewrite and the new version carries none.
+
+The commit itself is pure metadata + the sidecar: ``_commit`` with
+``data_dir=None`` — purge-fenced, concurrent-publisher-safe, op kind
+``delete`` (file-level incremental consumers must NOT treat it as an
+append; ``append_chain_segments`` refuses across it). With
+``persist_changelog=True`` the matched rows' old images are also
+materialized at weight -1 (Delta CDF), which keeps ``refresh_mv``'s
+chain walk incremental across the delete exactly like a persisted
+merge changelog (q132's path).
+
+``row_count`` stays EXACT: one key-column counting scan over the
+zone-map-pruned candidates (net of earlier sidecars, so a twice-deleted
+row never double-subtracts). That scan reads key columns of a bounded
+candidate set — the commit still WRITES only O(batch) bytes, which is
+the 100 TB property that matters; a stats-free variant would have to
+give up exact row counts for pure metadata commits.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from european_public_data_pipeline_spark.pipeline.fs_util import (
+    delete_path,
+    hadoop_fs,
+)
+from european_public_data_pipeline_spark.pipeline.manifest import (
+    ConcurrentPublishError,
+    _changelog_stage_dir,
+    _commit,
+    _path_key,
+    _read_files_live,
+    _read_json,
+    prune_candidates,
+    read_changelog,
+    versions,
+)
+
+
+def delete_rows_mor(
+    spark: SparkSession,
+    table_path: str,
+    deletes: DataFrame,
+    keys: list[str],
+    persist_changelog: bool = False,
+) -> dict:
+    """Logically delete every current row whose key tuple appears in
+    ``deletes`` (extra columns ignored; keys absent from the target are
+    no-ops) by committing an equality-delete sidecar — no data file is
+    read beyond the pruned counting scan, none is written. Returns
+    ``{"version", "rows_deleted", "files_pruned", "files_scanned",
+    "sidecar_files", "changelog"?}``; when nothing matches, NO version
+    is committed (an empty sidecar would tax every future scan for
+    nothing) and ``version`` is the unchanged head.
+
+    NULL delete keys are refused loudly (a NULL key matches nothing —
+    same guard as ``merge_into_manifest``). Like every writer here, the
+    commit chains off the highest committed version."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    t_read = time.time()
+    head = vs[-1]
+    m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+    carried_schema = m.get("schema")
+    if carried_schema is None and m["files"]:
+        # Legacy table (pre-schema-era): derive from one footer, like
+        # append_version — the manifest must own a schema from here on.
+        carried_schema = spark.read.parquet(m["files"][0]).schema.json()
+
+    dkeys = deletes.select(*keys).distinct().localCheckpoint()
+    null_cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_cond = c if null_cond is None else (null_cond | c)
+    bad = dkeys.filter(null_cond).limit(3).collect()
+    if bad:
+        raise ValueError(
+            "delete_rows_mor: delete batch carries NULL keys (first "
+            "offenders: "
+            + ", ".join(str(tuple(r[k] for k in keys)) for r in bad)
+            + ") — a NULL key matches no row; filter upstream"
+        )
+
+    # Zone-map pruning, intersected across keys (shared with the COW
+    # merge): the counting scan below touches only files that CAN hold
+    # a deleted key. Same full-tuple collect cap and broadcast rule.
+    cap = 262144
+    tuple_rows = dkeys.limit(cap + 1).collect()
+    small_batch = len(tuple_rows) <= cap
+    if small_batch:
+        candidates = prune_candidates(m, keys, key_tuples=tuple_rows)
+    else:
+        aggs = []
+        for k in keys:
+            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
+        env = dkeys.agg(*aggs).collect()[0]
+        candidates = prune_candidates(
+            m,
+            keys,
+            envelope={k: (env[f"lo_{k}"], env[f"hi_{k}"]) for k in keys},
+        )
+    probe = F.broadcast(dkeys) if small_batch else dkeys
+    matched = 0
+    if candidates:
+        # LIVE read: rows an earlier sidecar already killed neither
+        # match nor subtract again — row_count stays exact.
+        matched = (
+            _read_files_live(spark, m, candidates)
+            .join(probe, on=keys, how="left_semi")
+            .count()
+        )
+    out = {
+        "version": head,
+        "rows_deleted": int(matched),
+        "files_pruned": len(m["files"]) - len(candidates),
+        "files_scanned": len(candidates),
+        "sidecar_files": 0,
+    }
+    if matched == 0:
+        return out
+
+    n = head + 1
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    sidecar_dir = f"{table_path}/deletes/v{n:08d}-{uuid.uuid4().hex[:12]}"
+    # KB-scale by design: one file of distinct key tuples.
+    dkeys.coalesce(1).write.mode("overwrite").parquet(sidecar_dir)
+    sidecar_files = sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    entries = list(m.get("delete_files") or []) + [
+        {"version": n, "files": sidecar_files, "keys": list(keys)}
+    ]
+    # Seed the add-version map on the first delete: every current file
+    # predates this sidecar (version 0 = all sidecars apply), and from
+    # here on _commit records each staged file's true version.
+    file_added = m.get("file_added") or {
+        _path_key(f): 0 for f in m["files"]
+    }
+
+    extra_payload = None
+    cl_dir = None
+    if persist_changelog:
+        cl_dir = _changelog_stage_dir(table_path, n)
+        old_images = (
+            _read_files_live(spark, m, candidates)
+            .join(probe, on=keys, how="left_semi")
+            .select("*", F.lit(-1).alias("__w"))
+        )
+        old_images.write.mode("overwrite").parquet(cl_dir)
+        cl_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        extra_payload = {
+            "changelog_files": cl_files,
+            "changelog_weight_col": "__w",
+        }
+
+    try:
+        version = _commit(
+            spark,
+            table_path,
+            n,
+            None,  # pure-metadata commit: nothing staged
+            carried_files=tuple(m["files"]),
+            carried_rows=int(m["row_count"]) - int(matched),
+            meta=m.get("meta"),
+            carried_stats=m.get("file_stats"),
+            carried_schema=carried_schema,
+            carried_read_at=t_read,
+            op="delete",
+            extra_payload=extra_payload,
+            carried_delete_entries=entries,
+            carried_file_added=file_added,
+        )
+    except ConcurrentPublishError:
+        delete_path(spark, sidecar_dir)
+        if cl_dir is not None:
+            delete_path(spark, cl_dir)
+        raise
+    out["version"] = version
+    out["sidecar_files"] = len(sidecar_files)
+    if persist_changelog:
+        out["changelog"] = read_changelog(spark, table_path, version)
+    return out

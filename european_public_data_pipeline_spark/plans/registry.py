@@ -416,6 +416,21 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q131_merge_emitted_changelog_mv",
     "q122_vacuum_orphans",
     "q126_lifecycle_grand_tour",
+    # The merge-on-read delete feature rewired every manifest READ path
+    # (_read_files_live behind read_version/read_where/read_incremental/
+    # read_point) and the append/compact/widen/expire carriers — the
+    # whole lakehouse scan family re-earns its verdict.
+    "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan",
+    "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning",
+    "q111_purge_then_read",
+    "q112_clustered_compact_scan",
+    "q115_wap_gated_publish",
+    "q117_bloom_stale_sidecar_purge",
+    "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution",
+    "q123_widen_column_rewrite",
 )
 
 

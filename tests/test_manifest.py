@@ -932,7 +932,12 @@ def test_expire_versions_refcounts_shared_files(spark, tmp_path):
     # Expire v1 while v2 still references its files: manifest + sidecar
     # go, every byte stays.
     out = M.expire_versions(spark, t, keep_last=1)
-    assert out == {"versions_expired": 1, "files_deleted": 0, "indexes_dropped": 1}
+    assert out == {
+        "versions_expired": 1,
+        "files_deleted": 0,
+        "indexes_dropped": 1,
+        "changelogs_dropped": 0,
+    }
     assert M.versions(spark, t) == [2]
     for f in v1_files:
         assert os.path.exists(f.replace("file:", ""))

@@ -1,0 +1,279 @@
+"""Merge-on-read equality deletes: KB-scale sidecar commits (no data
+rewrite), scan-side application everywhere (current read, time travel,
+zone-pruned, Bloom point lookup), re-inserts stay alive, compaction
+folds, GC accounts for sidecars, and the write-amplification claim
+holds — a MOR commit writes O(batch) bytes while COW rewrites files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import european_public_data_pipeline_spark.pipeline.manifest as M
+from european_public_data_pipeline_spark.pipeline.mor_delete import (
+    delete_rows_mor,
+)
+
+
+def _seed(spark, t, n=400, files=8):
+    df = (
+        spark.range(n)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .repartitionByRange(files, "k")
+        .sortWithinPartitions("k")
+    )
+    M.publish_version(df, t, stats_cols=("k",))
+
+
+def _dk(spark, *ks):
+    return spark.createDataFrame([(k,) for k in ks], "k long")
+
+
+def test_mor_delete_end_state_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    out = delete_rows_mor(spark, t, _dk(spark, 5, 6, 99999), ["k"])
+    assert out["rows_deleted"] == 2          # 99999 absent: no-op
+    assert out["files_pruned"] >= 1          # zone maps pruned the scan
+    assert out["sidecar_files"] == 1
+    got = {r["k"] for r in M.read_version(spark, t).collect()}
+    assert 5 not in got and 6 not in got and len(got) == 398
+    # Time travel: the pre-delete version still shows the rows.
+    assert M.read_version(spark, t, 1).count() == 400
+    # row_count is exact (net of deletes), op kind is 'delete'.
+    m = M._read_json(spark, f"{t}/manifest/{out['version']:08d}.json")
+    assert m["row_count"] == 398 and m["op"] == "delete"
+    # A second, overlapping delete never double-subtracts.
+    out2 = delete_rows_mor(spark, t, _dk(spark, 5, 7), ["k"])
+    assert out2["rows_deleted"] == 1
+    m2 = M._read_json(spark, f"{t}/manifest/{out2['version']:08d}.json")
+    assert m2["row_count"] == 397
+    # A no-match delete commits nothing.
+    out3 = delete_rows_mor(spark, t, _dk(spark, 777777), ["k"])
+    assert out3["rows_deleted"] == 0
+    assert out3["version"] == out2["version"]
+
+
+def test_mor_delete_commit_writes_o_batch_bytes(spark, tmp_path):
+    """The write-amplification claim: the MOR commit stages NO data
+    files (the data tree is byte-identical before and after) and the
+    sidecar is KB-scale, while the COW path would rewrite every file
+    containing a matched key."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+
+    def data_bytes(p):
+        total = 0
+        for root, _d, files in os.walk(f"{p}/data"):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    before = data_bytes(t)
+    # Keys spread across every file: COW would rewrite all 8.
+    spread = _dk(spark, *range(0, 400, 50))
+    out = delete_rows_mor(spark, t, spread, ["k"])
+    assert out["rows_deleted"] == 8
+    assert data_bytes(t) == before, "MOR delete wrote data files"
+    sidecar_bytes = 0
+    for root, _d, files in os.walk(f"{t}/deletes"):
+        sidecar_bytes += sum(
+            os.path.getsize(os.path.join(root, f)) for f in files
+        )
+    assert 0 < sidecar_bytes < 64 * 1024  # KB-scale sidecar
+    # The COW twin on a fresh copy rewrites every file.
+    t2 = str(tmp_path / "tbl2")
+    _seed(spark, t2)
+    cow = merge_into_manifest(
+        spark,
+        t2,
+        spark.createDataFrame([], "k long, v long"),
+        keys=["k"],
+        deletes=spread,
+    )
+    assert cow["files_rewritten"] == 8
+    assert data_bytes(t2) > before  # staged survivors: real rewrite
+
+
+def test_mor_reinsert_after_delete_stays_alive(spark, tmp_path):
+    """The sequence-number rule (file_added): a sidecar applies only to
+    files added BEFORE it — appends and COW merges re-inserting a
+    deleted key win."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=100, files=4)
+    delete_rows_mor(spark, t, _dk(spark, 5, 6, 7), ["k"])
+    M.append_version(spark.createDataFrame([(5, 555)], "k long, v long"), t)
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[5] == 555 and 6 not in got and 7 not in got
+    # A COW merge's update of a DEAD key is an insert (no match), and
+    # its staged file is past every sidecar.
+    out = merge_into_manifest(
+        spark,
+        t,
+        spark.createDataFrame([(6, 666), (10, 1010)], "k long, v long"),
+        keys=["k"],
+    )
+    assert out["rows_matched"] == 1  # only k=10 was alive
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[6] == 666 and got[10] == 1010 and 7 not in got
+
+
+def test_mor_pruned_reads_never_resurrect(spark, tmp_path):
+    """read_where and Bloom read_point apply sidecars AFTER pruning —
+    a file kept by the zone map / Bloom filter still anti-joins its
+    deletes."""
+    from european_public_data_pipeline_spark.pipeline.bloom_index import (
+        build_bloom_index,
+        read_point,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    build_bloom_index(spark, t, "k")
+    delete_rows_mor(spark, t, _dk(spark, 5, 200), ["k"])
+    rw = {r["k"] for r in M.read_where(spark, t, "k", 0, 10).collect()}
+    assert rw == {0, 1, 2, 3, 4, 6, 7, 8, 9, 10}
+    # Bloom sidecar indexes physical rows; the live read filters.
+    assert read_point(spark, t, "k", 200).count() == 0
+    assert read_point(spark, t, "k", 201).count() == 1
+    # read_incremental across an append after the delete.
+    M.append_version(spark.createDataFrame([(900, 9)], "k long, v long"), t)
+    inc = {r["k"] for r in M.read_incremental(spark, t, 2).collect()}
+    assert inc == {900}
+
+
+def test_mor_compact_folds_and_clears(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=100, files=4)
+    delete_rows_mor(spark, t, _dk(spark, 5, 6), ["k"])
+    M.compact(spark, t, target_files=2, cluster_by="k")
+    head = M.current_version(spark, t)
+    m = M._read_json(spark, f"{t}/manifest/{head:08d}.json")
+    assert "delete_files" not in m and "file_added" not in m
+    got = {r["k"] for r in M.read_version(spark, t).collect()}
+    assert 5 not in got and 6 not in got and len(got) == 98
+    assert m["row_count"] == 98
+    # Deleted rows stay dead through the fold AND time travel to the
+    # sidecar-carrying version still applies them.
+    assert M.read_version(spark, t, 2).count() == 98
+
+
+def test_mor_refuses_null_keys_and_purge_refuses_mor(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=40, files=2)
+    with pytest.raises(ValueError, match="NULL keys"):
+        delete_rows_mor(
+            spark, t, spark.createDataFrame([(None,)], "k long"), ["k"]
+        )
+    delete_rows_mor(spark, t, _dk(spark, 3), ["k"])
+    with pytest.raises(RuntimeError, match="delete sidecars"):
+        M.purge_rows(spark, t, "k", [7])
+    # Remediation path: compact folds the head, expire drops the
+    # sidecar-carrying history, then purge runs.
+    M.compact(spark, t, target_files=1)
+    M.expire_versions(spark, t, keep_last=1)
+    res = M.purge_rows(spark, t, "k", [7])
+    assert res["rows_removed"] == 1
+
+
+def test_mor_gc_expire_and_vacuum_sidecars(spark, tmp_path):
+    import time as _t
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=60, files=2)
+    delete_rows_mor(spark, t, _dk(spark, 3), ["k"])      # v2 sidecar
+    delete_rows_mor(spark, t, _dk(spark, 4), ["k"])      # v3 sidecar
+    # Both sidecars are carried by the head (cumulative): expiring v1/v2
+    # must delete NOTHING under deletes/ (v3 still lists both).
+    M.expire_versions(spark, t, keep_last=1)
+    live = {
+        M._path_key(f)
+        for e in M._delete_entries(
+            M._read_json(
+                spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+            )
+        )
+        for f in e["files"]
+    }
+    on_disk = set()
+    for root, _d, files in os.walk(f"{t}/deletes"):
+        on_disk |= {
+            M._path_key(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        }
+    assert live <= on_disk
+    # Compact clears the state; expiring the sidecar-carrying history
+    # reclaims the sidecar files.
+    M.compact(spark, t, target_files=1)
+    M.expire_versions(spark, t, keep_last=1)
+    on_disk2 = []
+    for root, _d, files in os.walk(f"{t}/deletes"):
+        on_disk2 += [f for f in files if f.endswith(".parquet")]
+    assert on_disk2 == []
+    # Vacuum reclaims an orphaned (crashed) staged sidecar, age-fenced.
+    orphan = f"{t}/deletes/v00000099-deadbeefcafe"
+    _dk(spark, 1).write.parquet(orphan)
+    old = _t.time() - 10_000
+    for root, _d, files in os.walk(orphan):
+        for fn in files:
+            os.utime(os.path.join(root, fn), (old, old))
+    out = M.vacuum_orphans(spark, t, min_age_seconds=3600)
+    assert out["changelogs_deleted"] >= 1
+    assert not os.path.exists(orphan)
+
+
+def test_mor_persisted_changelog_keeps_mv_incremental(spark, tmp_path):
+    """delete_rows_mor(persist_changelog=True) writes -1 old images —
+    refresh_mv folds the delete like a persisted merge changelog, at
+    parity with recompute, and emptied groups leave the view."""
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(4)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    M.publish_version(df, src, stats_cols=("k",))
+    refresh_mv(spark, src, mv, spec)
+    # Delete ALL of group 3 (k % 4 == 3) -> the group must leave the MV.
+    out = delete_rows_mor(
+        spark,
+        src,
+        spark.createDataFrame([(k,) for k in range(3, 40, 4)], "k long"),
+        ["k"],
+        persist_changelog=True,
+    )
+    assert out["rows_deleted"] == 10
+    refresh_mv(spark, src, mv, spec)
+    assert M.version_meta(spark, mv)["refresh_mode"] == "changelog"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and 3 not in got
