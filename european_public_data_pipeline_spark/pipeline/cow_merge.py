@@ -346,6 +346,14 @@ def merge_into_manifest(
         # up below) or a crash (reclaimed age-fenced by vacuum_orphans)
         # never collides with the winner's changelog.
         cl_dir = _changelog_stage_dir(table_path, n)
+        # A bounded batch's changelog is KB-to-MB scale but inherits the
+        # update batch's partitioning (measured: a 9k-image changelog
+        # written as 34 near-empty files cost every later read ~60ms of
+        # footer overhead PER FILE — the fold paid more for file opens
+        # than for rows). Coalesce when the batch is known small; a
+        # past-cap batch keeps its write parallelism.
+        if small_batch:
+            changelog_df = changelog_df.coalesce(4)
         changelog_df.write.mode("overwrite").parquet(cl_dir)
         jvm, fs, _ = hadoop_fs(spark, cl_dir)
         cl_files = sorted(

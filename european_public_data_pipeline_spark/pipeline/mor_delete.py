@@ -183,6 +183,11 @@ def delete_rows_mor(
             .join(probe, on=keys, how="left_semi")
             .select("*", F.lit(-1).alias("__w"))
         )
+        # Same small-file discipline as the merge's persisted changelog:
+        # a bounded delete's old images are KB-to-MB scale — don't let
+        # them inherit the candidate files' partitioning.
+        if small_batch:
+            old_images = old_images.coalesce(4)
         old_images.write.mode("overwrite").parquet(cl_dir)
         cl_files = sorted(
             str(st.getPath().toString())

@@ -296,13 +296,20 @@ def refresh_mv(
             if changelog is None:
                 mode = "full"  # weight-column collision: fold unsound
             else:
-                merged, n_dirty, caches = _fold_changelog(
+                # The fold reads the assembled changelog several times
+                # (delta aggregate, tying-delete probe) — persist it
+                # once, or each pass re-opens every segment/sidecar
+                # file (apply_changelog_mv's discipline).
+                changelog = changelog.persist()
+                caches.append(changelog)
+                merged, n_dirty, fold_caches = _fold_changelog(
                     spec,
                     stored,
                     changelog,
                     "__w",
                     read_version(spark, src_path, src_v),
                 )
+                caches += fold_caches
                 if merged is None:
                     merged = stored  # empty delta: advance watermark only
         if mode == "full":
