@@ -71,6 +71,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     current_version,
     prune_candidates,
     read_changelog,
+    refuse_null_keys,
     versions,
 )
 
@@ -93,26 +94,8 @@ def _refuse_duplicate_keys(updates: DataFrame, keys: list[str]) -> None:
         )
 
 
-def _refuse_null_keys(batch: DataFrame, keys: list[str], clause: str) -> None:
-    """A NULL merge key is a silent corruption machine, not an edge
-    case: it passes the duplicate check (groupBy treats NULLs as one
-    group), never matches any target row (the match join is not
-    null-safe), and is therefore re-INSERTED by every merge — duplicate
-    NULL-key rows accumulate and the emitted changelog carries +1-only
-    images for them. Refuse loudly instead, like duplicates."""
-    cond = None
-    for k in keys:
-        c = F.col(k).isNull()
-        cond = c if cond is None else (cond | c)
-    bad = batch.filter(cond).select(*keys).limit(3).collect()
-    if bad:
-        raise ValueError(
-            f"merge_into_manifest: {clause} batch carries NULL merge "
-            "keys (first offenders: "
-            + ", ".join(str(tuple(r[k] for k in keys)) for r in bad)
-            + ") — a NULL key can never match a target row, so every "
-            "merge would re-insert it; filter or key these rows upstream"
-        )
+# NULL-key refusal is shared with the MOR delete writer
+# (manifest.refuse_null_keys) — one guard, one message, no drift.
 
 
 def merge_into_manifest(
@@ -167,10 +150,10 @@ def merge_into_manifest(
     # handles the same way). Eager, batch-sized.
     updates = updates.localCheckpoint()
     _refuse_duplicate_keys(updates, keys)
-    _refuse_null_keys(updates, keys, "update")
+    refuse_null_keys(updates, keys, "merge_into_manifest: update batch")
     if deletes is not None:
         deletes = deletes.select(*keys).distinct().localCheckpoint()
-        _refuse_null_keys(deletes, keys, "delete")
+        refuse_null_keys(deletes, keys, "merge_into_manifest: delete batch")
         overlap = (
             deletes.join(
                 F.broadcast(updates.select(*keys)), on=keys, how="left_semi"

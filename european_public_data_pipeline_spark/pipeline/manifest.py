@@ -216,20 +216,26 @@ def _read_files_live(
         a = int(fa.get(_path_key(f), 0))
         i = _bisect.bisect_right(evs, a)  # entries[i:] apply (dv > a)
         buckets.setdefault(i, []).append(f)
+    # One key frame per ENTRY, reused across buckets — rebuilding it
+    # inside the bucket loop would re-open every sidecar's footers and
+    # re-plan its distinct once per bucket. The unconditional broadcast
+    # is safe because delete_rows_mor REFUSES batches past its collect
+    # cap (262k tuples ≈ a few MB) — every committed sidecar is
+    # broadcast-sized by construction.
+    dks = [
+        (
+            list(e["keys"]),
+            spark.read.parquet(*e["files"]).select(*e["keys"]).distinct(),
+        )
+        for e in entries
+    ]
     out: DataFrame | None = None
     for i in sorted(buckets):
         part = _read_files(spark, m, buckets[i])
         if file_col is not None:
             part = part.select(F.input_file_name().alias(file_col), "*")
-        for e in entries[i:]:
-            dk = (
-                spark.read.parquet(*e["files"])
-                .select(*e["keys"])
-                .distinct()
-            )
-            part = part.join(
-                F.broadcast(dk), on=list(e["keys"]), how="left_anti"
-            )
+        for ekeys, dk in dks[i:]:
+            part = part.join(F.broadcast(dk), on=ekeys, how="left_anti")
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -1385,6 +1391,30 @@ def prune_files(
             continue
         keep.append(f)
     return keep, len(manifest["files"])
+
+
+def refuse_null_keys(batch: DataFrame, keys: list[str], ctx: str) -> None:
+    """Shared keyed-writer guard (COW merge, MOR delete): a NULL merge
+    key is a silent corruption machine, not an edge case — it passes a
+    duplicate check (groupBy treats NULLs as one group) and never
+    matches any target row (the match joins are not null-safe), so a
+    merge would re-INSERT it every run and a delete would no-op while
+    claiming the key. Refuse loudly; ``ctx`` names the operation and
+    clause for the error."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for k in keys:
+        c = F.col(k).isNull()
+        cond = c if cond is None else (cond | c)
+    bad = batch.filter(cond).select(*keys).limit(3).collect()
+    if bad:
+        raise ValueError(
+            f"{ctx} carries NULL merge keys (first offenders: "
+            + ", ".join(str(tuple(r[k] for k in keys)) for r in bad)
+            + ") — a NULL key can never match a target row; filter or "
+            "key these rows upstream"
+        )
 
 
 def prune_candidates(

@@ -67,6 +67,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _read_json,
     prune_candidates,
     read_changelog,
+    refuse_null_keys,
     versions,
 )
 
@@ -103,47 +104,58 @@ def delete_rows_mor(
         carried_schema = spark.read.parquet(m["files"][0]).schema.json()
 
     dkeys = deletes.select(*keys).distinct().localCheckpoint()
-    null_cond = None
-    for k in keys:
-        c = F.col(k).isNull()
-        null_cond = c if null_cond is None else (null_cond | c)
-    bad = dkeys.filter(null_cond).limit(3).collect()
-    if bad:
-        raise ValueError(
-            "delete_rows_mor: delete batch carries NULL keys (first "
-            "offenders: "
-            + ", ".join(str(tuple(r[k] for k in keys)) for r in bad)
-            + ") — a NULL key matches no row; filter upstream"
-        )
+    refuse_null_keys(dkeys, keys, "delete_rows_mor: delete batch")
 
     # Zone-map pruning, intersected across keys (shared with the COW
     # merge): the counting scan below touches only files that CAN hold
-    # a deleted key. Same full-tuple collect cap and broadcast rule.
+    # a deleted key. The batch is bounded by the collect cap — a
+    # committed sidecar is read back as an UNCONDITIONAL broadcast on
+    # every subsequent scan (_read_files_live), so a past-cap batch is
+    # refused outright: MOR is the shape for scattered SMALL deletes,
+    # and a multi-GB sidecar would OOM every reader until the next
+    # compact. Bulk deletes belong to the COW merge or purge_rows.
     cap = 262144
     tuple_rows = dkeys.limit(cap + 1).collect()
-    small_batch = len(tuple_rows) <= cap
-    if small_batch:
-        candidates = prune_candidates(m, keys, key_tuples=tuple_rows)
-    else:
-        aggs = []
-        for k in keys:
-            aggs += [F.min(k).alias(f"lo_{k}"), F.max(k).alias(f"hi_{k}")]
-        env = dkeys.agg(*aggs).collect()[0]
-        candidates = prune_candidates(
-            m,
-            keys,
-            envelope={k: (env[f"lo_{k}"], env[f"hi_{k}"]) for k in keys},
+    if len(tuple_rows) > cap:
+        raise ValueError(
+            f"delete_rows_mor: delete batch exceeds {cap} distinct key "
+            "tuples — a sidecar this large would force a huge broadcast "
+            "on EVERY read until the next compact; use "
+            "merge_into_manifest(deletes=...) (copy-on-write rewrite) "
+            "or purge_rows for bulk deletes"
         )
-    probe = F.broadcast(dkeys) if small_batch else dkeys
-    matched = 0
-    if candidates:
-        # LIVE read: rows an earlier sidecar already killed neither
-        # match nor subtract again — row_count stays exact.
+    candidates = prune_candidates(m, keys, key_tuples=tuple_rows)
+    probe = F.broadcast(dkeys)
+
+    n = head + 1
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    cl_dir = None
+    extra_payload = None
+    if candidates and persist_changelog:
+        # ONE pruned live scan serves both needs: stage the old images
+        # first, then answer the matched count from the staged parquet's
+        # row-group metadata (no second data read — the same trick
+        # _commit uses for staged rows). LIVE read: rows an earlier
+        # sidecar already killed produce no image and never subtract
+        # again, and a bounded batch's images are coalesced (the
+        # small-file discipline the merge changelog write follows).
+        cl_dir = _changelog_stage_dir(table_path, n)
+        old_images = (
+            _read_files_live(spark, m, candidates)
+            .join(probe, on=keys, how="left_semi")
+            .select("*", F.lit(-1).alias("__w"))
+            .coalesce(4)
+        )
+        old_images.write.mode("overwrite").parquet(cl_dir)
+        matched = spark.read.parquet(cl_dir).count()
+    elif candidates:
         matched = (
             _read_files_live(spark, m, candidates)
             .join(probe, on=keys, how="left_semi")
             .count()
         )
+    else:
+        matched = 0
     out = {
         "version": head,
         "rows_deleted": int(matched),
@@ -152,10 +164,20 @@ def delete_rows_mor(
         "sidecar_files": 0,
     }
     if matched == 0:
+        if cl_dir is not None:
+            delete_path(spark, cl_dir)  # staged images of nothing
         return out
+    if cl_dir is not None:
+        cl_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        extra_payload = {
+            "changelog_files": cl_files,
+            "changelog_weight_col": "__w",
+        }
 
-    n = head + 1
-    jvm, fs, _ = hadoop_fs(spark, table_path)
     sidecar_dir = f"{table_path}/deletes/v{n:08d}-{uuid.uuid4().hex[:12]}"
     # KB-scale by design: one file of distinct key tuples.
     dkeys.coalesce(1).write.mode("overwrite").parquet(sidecar_dir)
@@ -173,31 +195,6 @@ def delete_rows_mor(
     file_added = m.get("file_added") or {
         _path_key(f): 0 for f in m["files"]
     }
-
-    extra_payload = None
-    cl_dir = None
-    if persist_changelog:
-        cl_dir = _changelog_stage_dir(table_path, n)
-        old_images = (
-            _read_files_live(spark, m, candidates)
-            .join(probe, on=keys, how="left_semi")
-            .select("*", F.lit(-1).alias("__w"))
-        )
-        # Same small-file discipline as the merge's persisted changelog:
-        # a bounded delete's old images are KB-to-MB scale — don't let
-        # them inherit the candidate files' partitioning.
-        if small_batch:
-            old_images = old_images.coalesce(4)
-        old_images.write.mode("overwrite").parquet(cl_dir)
-        cl_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
-        extra_payload = {
-            "changelog_files": cl_files,
-            "changelog_weight_col": "__w",
-        }
 
     try:
         version = _commit(

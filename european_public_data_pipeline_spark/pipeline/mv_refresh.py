@@ -324,14 +324,16 @@ def refresh_mv(
         }
         if mode == "changelog":
             new_meta["n_dirty_groups"] = n_dirty
-            # Guard a later direct apply_changelog_mv retry of the folded
-            # merge commits: the source version doubles as the changelog
-            # id (monotone — never lowered below a caller-set watermark).
-            new_meta[_META_APPLIED_CL] = (
-                max(int(prior_cl), src_v) if prior_cl is not None else src_v
-            )
-        elif prior_cl is not None:
-            new_meta[_META_APPLIED_CL] = int(prior_cl)
+        # EVERY mode advances the replay watermark to the source version
+        # (monotone — never lowered below a caller-set one): a full
+        # recompute or incremental merge absorbs the source THROUGH
+        # src_v, so a delayed writer push of some commit's changelog
+        # with id <= src_v (the source-version id convention) is
+        # already reflected and must no-op — the changelog mode's guard
+        # alone would leave a full recompute double-applicable.
+        new_meta[_META_APPLIED_CL] = (
+            max(int(prior_cl), src_v) if prior_cl is not None else src_v
+        )
         publish_version(merged, mv_path, meta=new_meta)
         return src_v
     finally:

@@ -170,7 +170,7 @@ def test_mor_compact_folds_and_clears(spark, tmp_path):
 def test_mor_refuses_null_keys_and_purge_refuses_mor(spark, tmp_path):
     t = str(tmp_path / "tbl")
     _seed(spark, t, n=40, files=2)
-    with pytest.raises(ValueError, match="NULL keys"):
+    with pytest.raises(ValueError, match="NULL merge keys"):
         delete_rows_mor(
             spark, t, spark.createDataFrame([(None,)], "k long"), ["k"]
         )
@@ -277,3 +277,14 @@ def test_mor_persisted_changelog_keeps_mv_incremental(spark, tmp_path):
         .collect()
     }
     assert got == want and 3 not in got
+
+
+def test_mor_refuses_past_cap_batches(spark, tmp_path):
+    """A committed sidecar is broadcast on EVERY read until the next
+    compact — a past-cap batch is refused with the COW/purge
+    remediation instead of committing a reader-OOM machine."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=10, files=1)
+    big = spark.range(262_146).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="exceeds"):
+        delete_rows_mor(spark, t, big, ["k"])

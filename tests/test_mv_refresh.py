@@ -851,3 +851,72 @@ def test_refresh_mv_carries_changelog_watermark_forward(spark, tmp_path):
         r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
     }
     assert got == {"a": (2, 30), "b": (1, 5)}
+
+
+def test_refresh_full_mode_advances_changelog_watermark(spark, tmp_path):
+    """A full (or incremental) refresh absorbs the source THROUGH
+    src_v — a delayed writer push of a merge changelog with
+    changelog_id = that merge's source version must then no-op, or its
+    weights double-apply on top of the recompute."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_version,
+        versions,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    publish_version(
+        spark.range(60).select(
+            F.col("id").alias("k"),
+            F.pmod(F.col("id"), F.lit(3)).alias("g"),
+            (F.col("id") * 10).alias("v"),
+        ),
+        src,
+        stats_cols=("k",),
+    )
+    refresh_mv(spark, src, mv, spec)
+    assert version_meta(spark, mv)["applied_changelog_id"] == 1
+    # v2: an OPAQUE merge (no persisted changelog) whose writer intends
+    # to push the emitted delta later.
+    out = merge_into_manifest(
+        spark,
+        src,
+        spark.createDataFrame([(5, 2, 999)], "k long, g long, v long"),
+        keys=["k"],
+        emit_changelog=True,
+    )
+    pushed = out["changelog"].select("g", "v", "__w").localCheckpoint()
+    # The scheduled refresh runs FIRST: full recompute absorbs merge v2.
+    refresh_mv(spark, src, mv, spec)
+    meta = version_meta(spark, mv)
+    assert meta["refresh_mode"] == "full"
+    assert meta["applied_changelog_id"] == 2
+    # The delayed push must no-op.
+    v_before = versions(spark, mv)[-1]
+    apply_changelog_mv(spark, mv, pushed, spec, changelog_id=out["version"])
+    assert versions(spark, mv)[-1] == v_before
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in read_version(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want, "merge delta double-applied after full refresh"
