@@ -4151,3 +4151,109 @@ def q133_mor_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q134_mor_position_delete",
+    category="scan",
+    doc="Position-delete sidecars (pipeline/mor_delete.py "
+    "delete_where_mor — Iceberg v2's SECOND delete flavor, position-"
+    "delete files): a PREDICATE delete on a table WITHOUT unique keys "
+    "(the builder publishes customers with duplicated rows) commits a "
+    "sidecar of exact (file, row_index) pairs — something q133's "
+    "equality deletes cannot express, since no key tuple names one of "
+    "two identical rows — killing every matching physical row, "
+    "duplicates included, with NO data file written. The physical "
+    "identity is captured AT SCAN via _metadata.file_path/row_index "
+    "with the path normalized by the same expression the reader uses. "
+    "A later append re-inserts predicate-matching rows (alive — "
+    "positions never apply to files added after the sidecar), an "
+    "equality delete then coexists with the position sidecar (both "
+    "flavors applied as broadcast anti joins, applicability decided "
+    "per file by file_added), and a clustered compact folds BOTH and "
+    "clears the state. Time travel to the pre-delete version shows "
+    "all 20% duplicate rows (v1_intact); the position delete's count "
+    "equals the duplicate-inclusive predicate count "
+    "(dups_died_together). Oracle: DuckDB restates the end state.",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal FROM customer
+  UNION ALL
+  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) FROM customer
+  WHERE c_custkey % 5 = 0
+),
+final AS (
+  SELECT k, bal FROM base WHERE NOT (bal < 0) AND k % 33 <> 0
+  UNION ALL
+  SELECT c_custkey AS k, CAST(-50 AS DOUBLE) AS bal FROM customer
+  WHERE c_custkey % 100 = 0 AND c_custkey % 33 <> 0
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST('position' AS VARCHAR) AS sidecar_kind,
+       TRUE AS v1_intact,
+       TRUE AS dups_died_together
+FROM final
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q134_mor_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_rows_mor,
+        delete_where_mor,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    base = c.unionByName(c.filter(F.col("k") % 5 == 0))  # duplicates
+    path = _scratch_table_path("morpos_customer", sf_dir)
+    manifest.publish_version(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )                                                           # v1
+    n_base = manifest.read_version(spark, path).count()
+    expected_neg = (
+        manifest.read_version(spark, path, 1)
+        .filter(F.col("bal") < 0)
+        .count()
+    )
+    out1 = delete_where_mor(spark, path, "bal < 0")             # v2
+    kind = manifest._read_json(
+        spark, f"{path}/manifest/{out1['version']:08d}.json"
+    )["delete_files"][-1].get("kind", "?")
+    manifest.append_version(
+        c.filter(F.col("k") % 100 == 0).withColumn(
+            "bal", F.lit(-50.0)
+        ),
+        path,
+    )                                                           # v3: re-insert
+    delete_rows_mor(
+        spark, path, c.filter(F.col("k") % 33 == 0).select("k"), ["k"]
+    )                                                           # v4: equality
+    v1_intact = manifest.read_version(spark, path, 1).count() == n_base
+    manifest.compact(spark, path, target_files=4, cluster_by="k")  # v5: fold
+    return (
+        manifest.read_version(spark, path)
+        .groupBy(F.pmod(F.col("k"), F.lit(8)).alias("kb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("bal") * 100).cast("bigint")
+            ).alias("sum_bal_c"),
+        )
+        .select(
+            "kb", "n", "sum_bal_c",
+            F.lit(kind).alias("sidecar_kind"),
+            F.lit(v1_intact).alias("v1_intact"),
+            F.lit(out1["rows_deleted"] == expected_neg).alias(
+                "dups_died_together"
+            ),
+        )
+        .orderBy("kb")
+    )

@@ -169,13 +169,42 @@ def _read_files(spark: SparkSession, m: dict, files: list | None = None) -> Data
 
 
 def _delete_entries(m: dict) -> list[dict]:
-    """The manifest's merge-on-read delete sidecars, oldest first: each
-    entry is ``{"version": dv, "files": [sidecar parquet], "keys":
-    [key cols]}`` — an equality-delete (Iceberg v2's shape) committed at
-    version ``dv`` that logically removes every target row whose key
-    tuple appears in the sidecar, FOR FILES ADDED BEFORE ``dv`` only
-    (``file_added``) — a row re-inserted after the delete stays alive."""
+    """The manifest's merge-on-read delete sidecars, oldest first — the
+    two Iceberg-v2 flavors:
+
+    - EQUALITY: ``{"version": dv, "files": [...], "keys": [cols]}`` —
+      removes every row whose key tuple appears in the sidecar.
+    - POSITION: ``{"version": dv, "files": [...], "kind": "position"}``
+      — the sidecar holds exact ``(__pf, __pr)`` = (normalized file
+      path, row index) pairs; removes precisely those physical rows
+      (the shape predicate deletes need on tables WITHOUT unique keys,
+      where an equality delete could not name one of two duplicates).
+
+    Both apply only to files ADDED BEFORE ``dv`` (``file_added``) — a
+    row (re-)inserted after the delete stays alive."""
     return sorted(m.get("delete_files") or [], key=lambda e: e["version"])
+
+
+# SQL mirror of _path_key — sidecar writers and the live reader compute
+# file keys with the SAME expression, so scheme/slash rendering can
+# never desynchronize them.
+_PATH_KEY_SQL = r"^[a-z][a-z0-9+.-]*:/+"
+
+
+def _pos_capture(df: DataFrame) -> DataFrame:
+    """Capture each row's physical identity AT SCAN: normalized file
+    path (``__pf``) + row index within the file (``__pr``, parquet's
+    ``_metadata.row_index``). Only valid directly on a scan — joins
+    void the metadata column."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        F.regexp_replace(
+            F.col("_metadata.file_path"), _PATH_KEY_SQL, "/"
+        ).alias("__pf"),
+        F.col("_metadata.row_index").alias("__pr"),
+        "*",
+    )
 
 
 def _read_files_live(
@@ -183,6 +212,7 @@ def _read_files_live(
     m: dict,
     files: list | None = None,
     file_col: str | None = None,
+    keep_positions: bool = False,
 ) -> DataFrame:
     """``_read_files`` + merge-on-read delete application: anti-join
     each file's rows against the delete sidecars that APPLY to it — a
@@ -197,13 +227,17 @@ def _read_files_live(
     row, not a rewrite. ``file_col`` captures ``input_file_name()`` AT
     SCAN into a named column (before the anti joins, after which the
     scan attribution would be undefined) for callers that need per-file
-    accounting (the COW merge's counting scan)."""
+    accounting (the COW merge's counting scan); ``keep_positions``
+    likewise keeps the physical-identity columns ``__pf``/``__pr`` in
+    the result (the position-delete writer needs them)."""
     from pyspark.sql import functions as F
 
     entries = _delete_entries(m)
     fl = m["files"] if files is None else files
     if not entries:
         base = _read_files(spark, m, fl)
+        if keep_positions:
+            base = _pos_capture(base)
         if file_col is not None:
             base = base.select(F.input_file_name().alias(file_col), "*")
         return base
@@ -219,23 +253,35 @@ def _read_files_live(
     # One key frame per ENTRY, reused across buckets — rebuilding it
     # inside the bucket loop would re-open every sidecar's footers and
     # re-plan its distinct once per bucket. The unconditional broadcast
-    # is safe because delete_rows_mor REFUSES batches past its collect
-    # cap (262k tuples ≈ a few MB) — every committed sidecar is
-    # broadcast-sized by construction.
-    dks = [
-        (
-            list(e["keys"]),
-            spark.read.parquet(*e["files"]).select(*e["keys"]).distinct(),
-        )
-        for e in entries
-    ]
+    # is safe because the MOR writers REFUSE batches past their collect
+    # caps (262k tuples/positions ≈ a few MB) — every committed sidecar
+    # is broadcast-sized by construction.
+    dks = []
+    for e in entries:
+        if e.get("kind") == "position":
+            dk = spark.read.parquet(*e["files"]).select("__pf", "__pr")
+            dks.append((["__pf", "__pr"], dk, True))
+        else:
+            dk = (
+                spark.read.parquet(*e["files"])
+                .select(*e["keys"])
+                .distinct()
+            )
+            dks.append((list(e["keys"]), dk, False))
     out: DataFrame | None = None
     for i in sorted(buckets):
-        part = _read_files(spark, m, buckets[i])
+        raw = _read_files(spark, m, buckets[i])
+        # Position entries need each row's physical identity captured
+        # AT SCAN (joins void _metadata); dropped again before the
+        # buckets union, so the caller-visible schema is unchanged.
+        has_pos = any(is_pos for _k, _dk, is_pos in dks[i:])
+        part = _pos_capture(raw) if (has_pos or keep_positions) else raw
         if file_col is not None:
             part = part.select(F.input_file_name().alias(file_col), "*")
-        for ekeys, dk in dks[i:]:
+        for ekeys, dk, _is_pos in dks[i:]:
             part = part.join(F.broadcast(dk), on=ekeys, how="left_anti")
+        if has_pos and not keep_positions:
+            part = part.drop("__pf", "__pr")
         out = part if out is None else out.unionByName(part)
     return out
 

@@ -1,7 +1,14 @@
-"""Merge-on-read equality deletes for versioned-manifest tables
-(SURVEY.md §2.7 write paths, scaled onto §2.1 S11) — Iceberg v2's
-equality-delete files / Delta's deletion vectors, on this repo's
-manifest format. The complementary write shape to ``cow_merge``:
+"""Merge-on-read deletes for versioned-manifest tables (SURVEY.md §2.7
+write paths, scaled onto §2.1 S11) — BOTH Iceberg v2 delete flavors on
+this repo's manifest format:
+
+- EQUALITY deletes (``delete_rows_mor``): a sidecar of key tuples,
+  for keyed tables (q133).
+- POSITION deletes (``delete_where_mor``): a sidecar of exact
+  (file, row_index) pairs from a PREDICATE, for tables without unique
+  keys — duplicates die together and no key needs to exist (q134).
+
+The complementary write shape to ``cow_merge``:
 
 - COW (``merge_into_manifest``): rewrite every file containing a
   matched key. Right for a bounded daily batch against a clustered
@@ -63,13 +70,20 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _changelog_stage_dir,
     _commit,
     _path_key,
+    _pos_capture,
+    _read_files,
     _read_files_live,
     _read_json,
     prune_candidates,
+    prune_files,
     read_changelog,
     refuse_null_keys,
     versions,
 )
+
+# Sidecars are broadcast on EVERY read until the next compact (see
+# _read_files_live) — both MOR writers bound them to this many rows.
+_SIDECAR_CAP = 262144
 
 
 def delete_rows_mor(
@@ -114,7 +128,7 @@ def delete_rows_mor(
     # refused outright: MOR is the shape for scattered SMALL deletes,
     # and a multi-GB sidecar would OOM every reader until the next
     # compact. Bulk deletes belong to the COW merge or purge_rows.
-    cap = 262144
+    cap = _SIDECAR_CAP
     tuple_rows = dkeys.limit(cap + 1).collect()
     if len(tuple_rows) > cap:
         raise ValueError(
@@ -219,6 +233,153 @@ def delete_rows_mor(
             delete_path(spark, cl_dir)
         raise
     out["version"] = version
+    out["sidecar_files"] = len(sidecar_files)
+    if persist_changelog:
+        out["changelog"] = read_changelog(spark, table_path, version)
+    return out
+
+
+def delete_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    condition: str,
+    persist_changelog: bool = False,
+    prune_col: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> dict:
+    """Logically delete every current row matching the SQL boolean
+    ``condition`` by committing a POSITION sidecar — Iceberg v2's
+    position-delete files: the sidecar names exact ``(file, row_index)``
+    pairs, so this works on tables WITHOUT unique keys (duplicate rows —
+    an equality delete could never target them) and removes precisely
+    the physical rows the predicate matched, no data file rewritten.
+
+    Cost shape: ONE live scan of the candidate files evaluates the
+    predicate (the price of a predicate delete on any engine);
+    ``prune_col``/``prune_lo``/``prune_hi`` optionally zone-prune the
+    scan when the predicate implies a range on a stats column. The
+    COMMIT writes O(matches) bytes. Matches past the sidecar cap are
+    refused (same reasoning as ``delete_rows_mor``: the sidecar is
+    broadcast on every read until the next compact) — bulk predicate
+    deletes belong to a filtered rewrite or ``purge_rows``.
+
+    Returns ``{"version", "rows_deleted", "files_pruned",
+    "files_scanned", "sidecar_files", "changelog"?}``; a no-match
+    predicate commits nothing. ``persist_changelog`` stages the matched
+    rows' old images at weight -1 (keeps ``refresh_mv`` incremental
+    across the delete, like the equality flavor)."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    t_read = time.time()
+    head = vs[-1]
+    m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+    carried_schema = m.get("schema")
+    if carried_schema is None and m["files"]:
+        carried_schema = spark.read.parquet(m["files"][0]).schema.json()
+
+    if prune_col is not None:
+        candidates, _total = prune_files(m, prune_col, prune_lo, prune_hi)
+    else:
+        candidates = list(m["files"])
+    out = {
+        "version": head,
+        "rows_deleted": 0,
+        "files_pruned": len(m["files"]) - len(candidates),
+        "files_scanned": len(candidates),
+        "sidecar_files": 0,
+    }
+    if not candidates:
+        return out
+
+    n = head + 1
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+
+    # ONE live scan: physical identity captured AT SCAN (_pos_capture),
+    # earlier sidecars applied (a row already dead cannot match again),
+    # then the predicate. Persisted around its two writes (positions +
+    # optional old images) — the predicate evaluates once.
+    matches = _read_files_live(
+        spark, m, candidates, keep_positions=True
+    ).filter(F.expr(condition)).persist()
+    try:
+        sidecar_dir = (
+            f"{table_path}/deletes/v{n:08d}-{uuid.uuid4().hex[:12]}"
+        )
+        matches.select("__pf", "__pr").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sidecar_dir)
+        # Matched count from the staged sidecar's row-group metadata —
+        # no second scan.
+        matched = spark.read.parquet(sidecar_dir).count()
+        if matched == 0:
+            delete_path(spark, sidecar_dir)
+            return out
+        if matched > _SIDECAR_CAP:
+            delete_path(spark, sidecar_dir)
+            raise ValueError(
+                f"delete_where_mor: predicate matched {matched} rows — "
+                f"past the sidecar cap ({_SIDECAR_CAP}); a sidecar this "
+                "large would force a huge broadcast on EVERY read until "
+                "the next compact. Rewrite filtered (publish_version of "
+                "the surviving rows) or purge_rows instead"
+            )
+        cl_dir = None
+        extra_payload = None
+        if persist_changelog:
+            cl_dir = _changelog_stage_dir(table_path, n)
+            matches.drop("__pf", "__pr").select(
+                "*", F.lit(-1).alias("__w")
+            ).coalesce(4).write.mode("overwrite").parquet(cl_dir)
+            cl_files = sorted(
+                str(st.getPath().toString())
+                for st in fs.listStatus(
+                    jvm.org.apache.hadoop.fs.Path(cl_dir)
+                )
+                if st.getPath().getName().endswith(".parquet")
+            )
+            extra_payload = {
+                "changelog_files": cl_files,
+                "changelog_weight_col": "__w",
+            }
+    finally:
+        matches.unpersist()
+    sidecar_files = sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
+        if st.getPath().getName().endswith(".parquet")
+    )
+    entries = list(m.get("delete_files") or []) + [
+        {"version": n, "files": sidecar_files, "kind": "position"}
+    ]
+    file_added = m.get("file_added") or {
+        _path_key(f): 0 for f in m["files"]
+    }
+    try:
+        version = _commit(
+            spark,
+            table_path,
+            n,
+            None,
+            carried_files=tuple(m["files"]),
+            carried_rows=int(m["row_count"]) - int(matched),
+            meta=m.get("meta"),
+            carried_stats=m.get("file_stats"),
+            carried_schema=carried_schema,
+            carried_read_at=t_read,
+            op="delete",
+            extra_payload=extra_payload,
+            carried_delete_entries=entries,
+            carried_file_added=file_added,
+        )
+    except ConcurrentPublishError:
+        delete_path(spark, sidecar_dir)
+        if cl_dir is not None:
+            delete_path(spark, cl_dir)
+        raise
+    out["version"] = version
+    out["rows_deleted"] = int(matched)
     out["sidecar_files"] = len(sidecar_files)
     if persist_changelog:
         out["changelog"] = read_changelog(spark, table_path, version)

@@ -279,6 +279,26 @@ def test_mor_persisted_changelog_keeps_mv_incremental(spark, tmp_path):
     assert got == want and 3 not in got
 
 
+def test_mor_live_read_never_shuffles_the_fact(spark, tmp_path):
+    """The 100 TB property, measured not argued: applying delete
+    sidecars is broadcast anti joins — a full read of a sidecar-carrying
+    table writes ZERO shuffle bytes (a regression flipping the
+    broadcast into a shuffle would put the whole fact on the wire)."""
+    from european_public_data_pipeline_spark.plans.metrics import (
+        shuffle_bytes_written,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    delete_rows_mor(spark, t, _dk(spark, 5, 200), ["k"])
+    delete_rows_mor(spark, t, _dk(spark, 7), ["k"])  # two applicable entries
+    df = M.read_version(spark, t)
+    assert df.count() == 397
+    assert shuffle_bytes_written(df) == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_mor_refuses_past_cap_batches(spark, tmp_path):
     """A committed sidecar is broadcast on EVERY read until the next
     compact — a past-cap batch is refused with the COW/purge
@@ -288,3 +308,100 @@ def test_mor_refuses_past_cap_batches(spark, tmp_path):
     big = spark.range(262_146).select(F.col("id").alias("k"))
     with pytest.raises(ValueError, match="exceeds"):
         delete_rows_mor(spark, t, big, ["k"])
+
+
+def test_mor_position_delete_on_duplicate_rows(spark, tmp_path):
+    """Position deletes (Iceberg v2's second flavor): a predicate
+    delete on a table WITHOUT unique keys kills exactly the matching
+    physical rows — duplicates included — writes no data files, and
+    rows inserted afterwards never match old position sidecars."""
+    t = str(tmp_path / "tbl")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10 - 5).cast("double").alias("bal"),
+    )
+    dups = base.filter(F.col("k") % 5 == 0)
+    M.publish_version(
+        base.unionByName(dups)
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k"),
+        t,
+        stats_cols=("k",),
+    )
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_where_mor,
+    )
+
+    out = delete_where_mor(spark, t, "bal < 0")
+    assert out["rows_deleted"] == 60  # 50 base + 10 duplicate rows
+    cur = M.read_version(spark, t)
+    assert cur.filter(F.col("bal") < 0).count() == 0
+    assert cur.count() == 60
+    m = M._read_json(spark, f"{t}/manifest/{out['version']:08d}.json")
+    assert m["row_count"] == 60 and m["op"] == "delete"
+    assert m["delete_files"][-1]["kind"] == "position"
+    # Time travel: pre-delete version intact (duplicates and all).
+    assert M.read_version(spark, t, 1).count() == 120
+    # A later insert matching the predicate stays alive (positions
+    # never apply to files added after the sidecar).
+    M.append_version(
+        spark.createDataFrame([(1000, -9.0)], "k long, bal double"), t
+    )
+    assert M.read_version(spark, t).filter(F.col("bal") < 0).count() == 1
+    # Equality and position sidecars coexist; compact folds both.
+    delete_rows_mor(spark, t, _dk(spark, 7), ["k"])
+    M.compact(spark, t, target_files=2)
+    m2 = M._read_json(
+        spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+    )
+    assert "delete_files" not in m2
+    final = M.read_version(spark, t)
+    assert final.filter(F.col("k") == 7).count() == 0
+    assert final.filter(
+        (F.col("bal") < 0) & (F.col("k") != 1000)
+    ).count() == 0
+
+
+def test_mor_position_delete_no_match_and_changelog(spark, tmp_path):
+    """A no-match predicate commits nothing; persist_changelog images
+    fold into refresh_mv like the equality flavor."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_where_mor,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(60).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(3)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    M.publish_version(df, t, stats_cols=("k",))
+    out = delete_where_mor(spark, t, "v > 100000")
+    assert out["rows_deleted"] == 0
+    assert M.versions(spark, t) == [1]  # nothing committed
+    mv = str(tmp_path / "mv")
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    refresh_mv(spark, t, mv, spec)
+    out2 = delete_where_mor(spark, t, "v % 20 = 0", persist_changelog=True)
+    assert out2["rows_deleted"] == 30
+    refresh_mv(spark, t, mv, spec)
+    assert M.version_meta(spark, mv)["refresh_mode"] == "changelog"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, t)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
