@@ -4257,3 +4257,134 @@ def q134_mor_position_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q135_streaming_cdc_upsert_mv",
+    category="streaming",
+    doc="The end-to-end streaming CDC shape on the lakehouse substrate "
+    "(streaming/sinks.py upsert_stream_manifest): a checkpointed "
+    "foreachBatch stream lands each micro-batch as a copy-on-write "
+    "MERGE commit into a manifest table (zone-map pruned, snapshot-"
+    "isolated) that PERSISTS its row-level changelog, and the "
+    "downstream MV is refreshed by the scheduled pull engine "
+    "(refresh_mv) which folds BOTH merge commits' persisted changelogs "
+    "in one 'changelog'-mode pass — never an O(source) rebuild. The "
+    "builder seeds two-thirds of customers, full-builds the MV, "
+    "streams two CDC batches (bounded balance bumps at +10 then +20, "
+    "plus far-key inserts) through the sink as two micro-batches "
+    "(availableNow runs over a growing feed directory), then one "
+    "refresh folds merge v2 AND v3. Exactly-once: the checkpoint "
+    "dedupes input files; a replayed merge batch is end-state "
+    "idempotent. Count, exact centi-sum, min AND max measures — the "
+    "bumps move group extrema, exercising the targeted tying-delete "
+    "recompute inside the chain fold. Oracle: DuckDB recomputes the "
+    "final state directly.",
+    oracle="""
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+k4 AS (SELECT CAST(FLOOR(MAX(c_custkey) / 4.0) AS BIGINT) AS kmax FROM customer),
+base AS (
+  SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+merged AS (
+  SELECT k,
+         CASE
+           WHEN k % 7 = 0 AND k <= (SELECT kmax FROM k4) THEN bal + 10
+           WHEN k % 11 = 0 AND k % 7 <> 0 AND k <= (SELECT kmax FROM k4)
+             THEN bal + 20
+           ELSE bal
+         END AS bal
+  FROM base
+  UNION ALL
+  SELECT c_custkey + 2 * (SELECT mk FROM mx) AS k,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 13 = 0
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(MAX(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c,
+       CAST('changelog' AS VARCHAR) AS refresh_mode,
+       CAST(2 AS BIGINT) AS merge_commits
+FROM merged
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q135_streaming_cdc_upsert_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+    from european_public_data_pipeline_spark.streaming.sinks import (
+        upsert_stream_manifest,
+    )
+
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("min_bal_c", "min", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("max_bal_c", "max", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("cdcup_customer", sf_dir)
+    mv = _scratch_table_path("cdcup_mv", sf_dir)
+    feed = _scratch_table_path("cdcup_feed", sf_dir)
+    ckpt = _scratch_table_path("cdcup_ckpt", sf_dir)
+    seeded = c.filter(F.col("k") % 3 != 0)
+    manifest.publish_version(
+        seeded.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )                                                           # v1
+    refresh_mv(spark, path, mv, spec)                           # full build
+    mx = c.agg(F.max("k")).collect()[0][0]
+    kmax = mx // 4
+
+    def stream_once():
+        feed_df = spark.readStream.schema(
+            "k long, kb long, bal double"
+        ).parquet(feed)
+        upsert_stream_manifest(feed_df, path, ckpt, keys=["k"])
+
+    # CDC batch A: +10 bumps on in-table keys. One availableNow run =
+    # one micro-batch = one merge commit (v2).
+    seeded.filter((F.col("k") % 7 == 0) & (F.col("k") <= kmax)).withColumn(
+        "bal", F.col("bal") + 10
+    ).coalesce(1).write.parquet(feed)
+    stream_once()
+    # CDC batch B: +20 bumps (disjoint keys) + far-key inserts -> v3.
+    seeded.filter(
+        (F.col("k") % 11 == 0) & (F.col("k") % 7 != 0) & (F.col("k") <= kmax)
+    ).withColumn("bal", F.col("bal") + 20).unionByName(
+        c.filter(F.col("k") % 13 == 0).select(
+            (F.col("k") + 2 * mx).alias("k"),
+            F.pmod(F.col("k") + 2 * mx, F.lit(8)).alias("kb"),
+            "bal",
+        )
+    ).coalesce(1).write.mode("append").parquet(feed)
+    stream_once()
+    n_merges = manifest.current_version(spark, path) - 1
+    refresh_mv(spark, path, mv, spec)  # folds BOTH persisted changelogs
+    mode = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    return (
+        manifest.read_version(spark, mv)
+        .select(
+            "kb", "n", "sum_bal_c", "min_bal_c", "max_bal_c",
+            F.lit(mode).alias("refresh_mode"),
+            F.lit(n_merges).cast("long").alias("merge_commits"),
+        )
+        .orderBy("kb")
+    )

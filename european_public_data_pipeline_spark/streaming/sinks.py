@@ -93,3 +93,56 @@ def upsert_stream(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def upsert_stream_manifest(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    persist_changelog: bool = True,
+    await_termination: bool = True,
+):
+    """Streaming CDC upsert into a VERSIONED-MANIFEST table — the
+    lakehouse upgrade of ``upsert_stream``: each micro-batch is a
+    copy-on-write ``merge_into_manifest`` commit (zone-map pruned,
+    O(touched files + batch), snapshot-isolated, time-travelable), and
+    with ``persist_changelog`` every commit materializes its row-level
+    delta, so a downstream MV maintained by ``refresh_mv`` keeps
+    folding at O(delta + |MV|) across the stream's merges instead of
+    full-recomputing per commit — the end-to-end CDC shape: stream ->
+    merge commits -> persisted CDF -> scheduled pull refresh.
+
+    Exactly-once composition: the checkpoint deduplicates INPUT (a
+    restarted query never re-reads committed files), and a batch
+    retried after a mid-commit crash re-merges the same rows onto the
+    same keys — the end state is identical and the extra version's
+    changelog folds to a net-zero delta (each key's -1 old image equals
+    its +1 new image). Empty micro-batches commit nothing. Duplicate
+    keys WITHIN one micro-batch are refused by the merge (resolve to
+    one revision per key upstream, e.g. a latest-wins window per
+    batch)."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # idle trigger: no version, no empty changelog
+        merge_into_manifest(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            keys=keys,
+            persist_changelog=persist_changelog,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q

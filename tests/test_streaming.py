@@ -566,3 +566,86 @@ def _pk(f):
     from european_public_data_pipeline_spark.pipeline.manifest import _path_key
 
     return _path_key(f)
+
+
+def test_upsert_stream_manifest_cdc_and_replay_idempotence(spark, tmp_path):
+    """The manifest-native streaming CDC sink: micro-batches land as
+    COW merge commits with persisted changelogs, one pull refresh folds
+    them all, and a REPLAYED batch (fresh checkpoint over the same
+    feed) leaves the end state — table AND folded MV — unchanged."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+    from european_public_data_pipeline_spark.streaming.sinks import (
+        upsert_stream_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    mv = str(tmp_path / "mv")
+    feed = str(tmp_path / "feed")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(4)).alias("g"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    M.publish_version(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t,
+        stats_cols=("k",),
+    )
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "CAST(ROUND(v * 100) AS BIGINT)"),
+        ),
+    )
+    refresh_mv(spark, t, mv, spec)
+    # One CDC batch: bump k in [0, 10), insert k in [1000, 1005).
+    spark.createDataFrame(
+        [(k, k % 4, k * 10 + 5.0) for k in range(10)]
+        + [(k, k % 4, float(k)) for k in range(1000, 1005)],
+        "k long, g long, v double",
+    ).coalesce(1).write.parquet(feed)
+
+    def run(ckpt):
+        upsert_stream_manifest(
+            spark.readStream.schema("k long, g long, v double").parquet(feed),
+            t,
+            ckpt,
+            keys=["k"],
+        )
+
+    run(str(tmp_path / "ckpt1"))  # -> merge v2
+    state_a = sorted(
+        (r["k"], r["v"]) for r in M.read_version(spark, t).collect()
+    )
+    assert M.current_version(spark, t) == 2
+    # REPLAY: a fresh checkpoint re-reads the same feed and re-merges
+    # the same batch (the crash-retry shape). End state unchanged.
+    run(str(tmp_path / "ckpt2"))  # -> merge v3, same rows
+    state_b = sorted(
+        (r["k"], r["v"]) for r in M.read_version(spark, t).collect()
+    )
+    assert state_b == state_a
+    # The pull refresh folds BOTH changelogs (the replay's is net-zero)
+    # and matches a direct recompute.
+    refresh_mv(spark, t, mv, spec)
+    assert M.version_meta(spark, mv)["refresh_mode"] == "changelog"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, t)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(v * 100) AS BIGINT)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
