@@ -195,9 +195,19 @@ def _pos_capture(df: DataFrame) -> DataFrame:
     """Capture each row's physical identity AT SCAN: normalized file
     path (``__pf``) + row index within the file (``__pr``, parquet's
     ``_metadata.row_index``). Only valid directly on a scan — joins
-    void the metadata column."""
+    void the metadata column. A source schema already carrying either
+    reserved name is refused loudly (the select would otherwise yield
+    ambiguous references mid-operation — the same hazard class as
+    ``_chain_changelog``'s ``__w`` check)."""
     from pyspark.sql import functions as F
 
+    clash = {"__pf", "__pr"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"position deletes reserve column names {sorted(clash)}; "
+            "rename the source column(s) — the physical-identity capture "
+            "would otherwise produce ambiguous references"
+        )
     return df.select(
         F.regexp_replace(
             F.col("_metadata.file_path"), _PATH_KEY_SQL, "/"
@@ -256,8 +266,13 @@ def _read_files_live(
     # is safe because the MOR writers REFUSE batches past their collect
     # caps (262k tuples/positions ≈ a few MB) — every committed sidecar
     # is broadcast-sized by construction.
-    dks = []
-    for e in entries:
+    # Entries below every bucket's first applicable index are never
+    # joined — building their frames would still eagerly read sidecar
+    # footers driver-side on every such read (e.g. read_incremental of
+    # files all newer than an old sidecar).
+    first_needed = min(buckets)
+    dks: list = [None] * first_needed
+    for e in entries[first_needed:]:
         if e.get("kind") == "position":
             dk = spark.read.parquet(*e["files"]).select("__pf", "__pr")
             dks.append((["__pf", "__pr"], dk, True))

@@ -70,8 +70,6 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _changelog_stage_dir,
     _commit,
     _path_key,
-    _pos_capture,
-    _read_files,
     _read_files_live,
     _read_json,
     prune_candidates,
@@ -257,11 +255,16 @@ def delete_where_mor(
 
     Cost shape: ONE live scan of the candidate files evaluates the
     predicate (the price of a predicate delete on any engine);
-    ``prune_col``/``prune_lo``/``prune_hi`` optionally zone-prune the
-    scan when the predicate implies a range on a stats column. The
-    COMMIT writes O(matches) bytes. Matches past the sidecar cap are
-    refused (same reasoning as ``delete_rows_mor``: the sidecar is
-    broadcast on every read until the next compact) — bulk predicate
+    ``prune_col``/``prune_lo``/``prune_hi`` optionally SCOPE the delete
+    to a key range — the range both zone-prunes the scan and becomes
+    part of the delete predicate (``condition AND col BETWEEN lo AND
+    hi``), so a hint that does not bound the condition narrows the
+    delete rather than silently skipping matching rows in pruned
+    files. The COMMIT writes O(matches) bytes. Matches past the
+    sidecar cap are refused BEFORE the sidecar is written (a bounded
+    ``limit(cap+1)`` count that also materializes the cached scan in
+    parallel — same reasoning as ``delete_rows_mor``: the sidecar is
+    broadcast on every read until the next compact); bulk predicate
     deletes belong to a filtered rewrite or ``purge_rows``.
 
     Returns ``{"version", "rows_deleted", "files_pruned",
@@ -279,8 +282,16 @@ def delete_where_mor(
     if carried_schema is None and m["files"]:
         carried_schema = spark.read.parquet(m["files"][0]).schema.json()
 
+    cond = F.expr(condition)
     if prune_col is not None:
         candidates, _total = prune_files(m, prune_col, prune_lo, prune_hi)
+        # The scope range is PART of the predicate, not a trusted
+        # assertion about it: a row outside [lo, hi] is out of the
+        # delete's scope by definition — never silently missed because
+        # its file was pruned while the condition alone would match it.
+        cond = cond & F.col(prune_col).between(
+            F.lit(prune_lo), F.lit(prune_hi)
+        )
     else:
         candidates = list(m["files"])
     out = {
@@ -296,35 +307,33 @@ def delete_where_mor(
     n = head + 1
     jvm, fs, _ = hadoop_fs(spark, table_path)
 
-    # ONE live scan: physical identity captured AT SCAN (_pos_capture),
-    # earlier sidecars applied (a row already dead cannot match again),
-    # then the predicate. Persisted around its two writes (positions +
-    # optional old images) — the predicate evaluates once.
+    # ONE live scan: physical identity captured AT SCAN (the reader's
+    # keep_positions), earlier sidecars applied (a row already dead
+    # cannot match again), then the predicate. Persisted: the bounded
+    # count below materializes the cache IN PARALLEL, and the sidecar/
+    # changelog writes read the cache — the predicate evaluates once,
+    # and no single-task coalesce write happens before the cap check.
     matches = _read_files_live(
         spark, m, candidates, keep_positions=True
-    ).filter(F.expr(condition)).persist()
+    ).filter(cond).persist()
     try:
+        matched = matches.limit(_SIDECAR_CAP + 1).count()
+        if matched == 0:
+            return out
+        if matched > _SIDECAR_CAP:
+            raise ValueError(
+                f"delete_where_mor: predicate matched over the sidecar "
+                f"cap ({_SIDECAR_CAP} rows); a sidecar this large would "
+                "force a huge broadcast on EVERY read until the next "
+                "compact. Rewrite filtered (publish_version of the "
+                "surviving rows) or purge_rows instead"
+            )
         sidecar_dir = (
             f"{table_path}/deletes/v{n:08d}-{uuid.uuid4().hex[:12]}"
         )
         matches.select("__pf", "__pr").coalesce(1).write.mode(
             "overwrite"
         ).parquet(sidecar_dir)
-        # Matched count from the staged sidecar's row-group metadata —
-        # no second scan.
-        matched = spark.read.parquet(sidecar_dir).count()
-        if matched == 0:
-            delete_path(spark, sidecar_dir)
-            return out
-        if matched > _SIDECAR_CAP:
-            delete_path(spark, sidecar_dir)
-            raise ValueError(
-                f"delete_where_mor: predicate matched {matched} rows — "
-                f"past the sidecar cap ({_SIDECAR_CAP}); a sidecar this "
-                "large would force a huge broadcast on EVERY read until "
-                "the next compact. Rewrite filtered (publish_version of "
-                "the surviving rows) or purge_rows instead"
-            )
         cl_dir = None
         extra_payload = None
         if persist_changelog:

@@ -405,3 +405,40 @@ def test_mor_position_delete_no_match_and_changelog(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_mor_position_delete_scope_hint_is_part_of_predicate(spark, tmp_path):
+    """The prune hint SCOPES the delete (condition AND range) — a hint
+    that does not bound the condition narrows the delete instead of
+    silently skipping matching rows in pruned files."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_where_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=400, files=8)  # v divisible by 10 everywhere
+    out = delete_where_mor(
+        spark, t, "v % 20 = 0", prune_col="k", prune_lo=0, prune_hi=99
+    )
+    # Only in-scope matches died: k in [0,99] with even k.
+    assert out["rows_deleted"] == 50
+    assert out["files_pruned"] >= 1  # the range pruned the scan too
+    got = {r["k"] for r in M.read_version(spark, t).collect()}
+    assert 2 not in got and 98 not in got
+    assert 100 in got and 200 in got  # out-of-scope matches survive
+
+
+def test_mor_position_capture_refuses_reserved_names(spark, tmp_path):
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_where_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    M.publish_version(
+        spark.range(10).select(
+            F.col("id").alias("k"), F.col("id").alias("__pf")
+        ),
+        t,
+    )
+    with pytest.raises(ValueError, match="reserve column names"):
+        delete_where_mor(spark, t, "k > 5")
