@@ -154,10 +154,14 @@ def merge_into_manifest(
     if deletes is not None:
         deletes = deletes.select(*keys).distinct().localCheckpoint()
         refuse_null_keys(deletes, keys, "merge_into_manifest: delete batch")
+        # No broadcast hint: the batch size is UNKNOWN at this point
+        # (the full-tuple cap collect happens later) — an unconditional
+        # hint on a 100M-key update batch would force the same
+        # multi-GB broadcast build the counting scan's cap exists to
+        # prevent. Catalyst picks broadcast itself off the checkpointed
+        # sizes when the sides are small.
         overlap = (
-            deletes.join(
-                F.broadcast(updates.select(*keys)), on=keys, how="left_semi"
-            )
+            deletes.join(updates.select(*keys), on=keys, how="left_semi")
             .limit(3)
             .collect()
         )
