@@ -391,46 +391,72 @@ _DRIVER_GREEN_R11 = frozenset({
     "t10_repetition_signals", "t11_tfidf_topk",
 })
 
-# Round 11 went 50/50 — nothing failed on last driver contact.
+# Hash-green in CORRECTNESS_r12.json (freshest verdicts — checked last).
+# 50/50 green: every round-12 registration (q132-q135) got a first
+# verdict, the round-12 modified set (manifest/MV/merge riders
+# q106-q112, q115-q117, q119-q131) re-earned theirs, and r6/r7-era
+# stale names (g05, m01/m02/m04/m07, q29-q49 block, sm01-sm03, sm12,
+# t12) were refreshed.
+_DRIVER_GREEN_R12 = frozenset({
+    "g05_dup_graph_kcore", "m01_media_metadata", "m02_frame_sampling",
+    "m04_thumbnail_resize", "m07_payload_simhash_pairs",
+    "q106_zonemap_pruned_scan", "q107_incremental_version_scan",
+    "q108_bloom_point_lookup", "q109_zorder_dual_pruning",
+    "q110_incremental_mv_refresh", "q111_purge_then_read",
+    "q112_clustered_compact_scan", "q115_wap_gated_publish",
+    "q116_mv_refresh_rewrite_hazard", "q117_bloom_stale_sidecar_purge",
+    "q119_retention_expire_versions", "q120_manifest_schema_evolution",
+    "q121_declarative_mv_second_shape", "q122_vacuum_orphans",
+    "q123_widen_column_rewrite", "q124_streaming_mv_maintenance",
+    "q125_changelog_applied_mv", "q126_lifecycle_grand_tour",
+    "q127_mv_safe_compaction", "q128_changelog_minmax_targeted",
+    "q129_read_appended_through_compact", "q130_cow_merge_manifest",
+    "q131_merge_emitted_changelog_mv", "q132_persisted_changelog_refresh",
+    "q133_mor_delete_scan", "q134_mor_position_delete",
+    "q135_streaming_cdc_upsert_mv", "q29_rollup_revenue",
+    "q30_unpivot_measures", "q32_argmax_per_group",
+    "q33_sql_text_surface", "q34_rank_family",
+    "q36_local_supplier_volume", "q37_conditional_agg",
+    "q38_large_volume_customers", "q39_range_frame_trailing",
+    "q40_below_average_parts", "q41_promo_revenue_share",
+    "q42_grouping_sets", "q49_nation_pair_volume",
+    "sm01_stratified_sample", "sm02_per_stratum_budget",
+    "sm03_sequence_packing", "sm12_curriculum_schedule",
+    "t12_corpus_head_mass",
+})
+
+# Round 12 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-12 changes to already-green queries land here as they happen):
+# (round-13 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    # Round 12: cow_merge.py gained NULL-merge-key refusal, a
-    # full-tuple broadcast bound, multi-key zone-map pruning, and
-    # persisted (Delta-CDF-style) changelogs; mv_refresh.py's chain
-    # walk now folds persisted changelogs across overwrite links and
-    # carries the replay watermark; manifest.py gained merge-on-read
-    # delete sidecars applied at scan/compact and the vacuum re-list
-    # fence. Queries riding those engines re-earn verdicts.
+    # Round 13: mv_refresh.py's changelog fold no longer carries the
+    # refresh anchor when a dirty-group recompute consulted a source
+    # ahead of the applied watermark, and _chain_changelog refuses
+    # foreign-space applied-changelog ids; manifest.py gained the
+    # empty-live-files short-circuit, the __f reserved-name refusal,
+    # the purge re-verify fence, and merge-on-read UPSERT sidecars;
+    # cow_merge.py routes mode="mor" merges; the streaming CDC sink
+    # gained intra-batch latest-wins dedupe and mode="mor". Queries
+    # riding those engines re-earn verdicts.
     "q110_incremental_mv_refresh",
     "q116_mv_refresh_rewrite_hazard",
     "q121_declarative_mv_second_shape",
     "q124_streaming_mv_maintenance",
     "q125_changelog_applied_mv",
+    "q126_lifecycle_grand_tour",
     "q127_mv_safe_compaction",
     "q128_changelog_minmax_targeted",
     "q129_read_appended_through_compact",
     "q130_cow_merge_manifest",
     "q131_merge_emitted_changelog_mv",
-    "q122_vacuum_orphans",
-    "q126_lifecycle_grand_tour",
-    # The merge-on-read delete feature rewired every manifest READ path
-    # (_read_files_live behind read_version/read_where/read_incremental/
-    # read_point) and the append/compact/widen/expire carriers — the
-    # whole lakehouse scan family re-earns its verdict.
-    "q106_zonemap_pruned_scan",
-    "q107_incremental_version_scan",
-    "q108_bloom_point_lookup",
-    "q109_zorder_dual_pruning",
+    "q132_persisted_changelog_refresh",
+    "q133_mor_delete_scan",
+    "q134_mor_position_delete",
+    "q135_streaming_cdc_upsert_mv",
     "q111_purge_then_read",
-    "q112_clustered_compact_scan",
-    "q115_wap_gated_publish",
-    "q117_bloom_stale_sidecar_purge",
-    "q119_retention_expire_versions",
-    "q120_manifest_schema_evolution",
-    "q123_widen_column_rewrite",
+    "q122_vacuum_orphans",
 )
 
 
@@ -447,7 +473,7 @@ def _driver_order() -> list[str]:
         _DRIVER_GREEN_R1, _DRIVER_GREEN_R2, _DRIVER_GREEN_R3,
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
         _DRIVER_GREEN_R7, _DRIVER_GREEN_R8, _DRIVER_GREEN_R9,
-        _DRIVER_GREEN_R10, _DRIVER_GREEN_R11,
+        _DRIVER_GREEN_R10, _DRIVER_GREEN_R11, _DRIVER_GREEN_R12,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]
