@@ -237,6 +237,28 @@ def refresh_mv(
     # survive refresh_mv commits too: dropping it would let a later
     # retry of an already-applied changelog_id double-apply weights.
     prior_cl = meta.get(_META_APPLIED_CL)
+    # Enforce the id-space convention instead of merely documenting it:
+    # _META_APPLIED_CL is the SOURCE-VERSION-space watermark, and a
+    # source version can never exceed the source head — a larger value
+    # means foreign ids were applied without ``id_space="foreign"``.
+    # Honoring it would make the chain walk silently skip EVERY
+    # persisted changelog link (all have version <= src_v < prior_cl),
+    # losing their deltas from the MV; ignoring it would re-fold links
+    # a push already applied. Neither is sound, so refuse loudly.
+    if prior_cl is not None and int(prior_cl) > src_v:
+        raise ValueError(
+            f"refresh_mv: MV at {mv_path} carries "
+            f"applied_changelog_id={int(prior_cl)}, ahead of the "
+            f"source's current version ({src_v}) — changelog ids "
+            f"applied to this MV are not source versions. Apply "
+            f"foreign-space ids with id_space='foreign' (their own "
+            f"watermark key), or rebuild the MV; the chain walk cannot "
+            f"interleave with a contaminated source-version watermark."
+        )
+    # Foreign-space replay watermark: never consulted here (its ids say
+    # nothing about source versions), but carried forward so a foreign
+    # push's retry still no-ops after any refresh commit.
+    foreign_cl = meta.get(_META_APPLIED_FOREIGN_CL)
 
     # purge_rows rewrites history in place without bumping versions: the
     # applied manifest's file list changing under the MV means the rows
@@ -334,6 +356,8 @@ def refresh_mv(
         new_meta[_META_APPLIED_CL] = (
             max(int(prior_cl), src_v) if prior_cl is not None else src_v
         )
+        if foreign_cl is not None:
+            new_meta[_META_APPLIED_FOREIGN_CL] = int(foreign_cl)
         publish_version(merged, mv_path, meta=new_meta)
         return src_v
     finally:
@@ -366,10 +390,12 @@ def _chain_changelog(
     changelog id). This is what lets the push path (writer hands the
     delta straight to the MV) and the pull path (scheduled refresh
     walks the chain) interleave on one MV without double-applying a
-    merge. The id-space CONVENTION is that changelog ids for a
-    manifest-table source are its source versions; an MV fed ids from
-    a foreign space must stick to one engine (documented on
-    ``apply_changelog_mv``)."""
+    merge. The id-space convention — changelog ids for a manifest-table
+    source ARE its source versions — is ENFORCED upstream: foreign ids
+    live in their own watermark key (``apply_changelog_mv``'s
+    ``id_space="foreign"``), and ``refresh_mv`` refuses a claimed
+    source-version watermark ahead of the source head, so ``prior_cl``
+    here is always a genuine source version."""
     import json as _json
 
     from pyspark.sql.types import StructType
@@ -504,6 +530,14 @@ def changelog_partial(
 
 
 _META_APPLIED_CL = "applied_changelog_id"
+# Replay watermark for changelog ids that are NOT source versions (an
+# upstream queue offset, an orchestrator run id): kept in its own meta
+# key so the chain walk never mistakes one for a source-version
+# watermark. ``_META_APPLIED_CL`` is the SOURCE-VERSION-space watermark
+# — the only one ``_chain_changelog`` honors — and ``refresh_mv``
+# refuses an MV whose claimed source-version watermark is ahead of the
+# source head (provably foreign; applied without ``id_space="foreign"``).
+_META_APPLIED_FOREIGN_CL = "applied_foreign_changelog_id"
 
 
 def _fold_changelog(
@@ -597,6 +631,7 @@ def apply_changelog_mv(
     source: DataFrame | None = None,
     key_cols: tuple[str, ...] = (),
     changelog_id: int | None = None,
+    id_space: str = "source_version",
 ) -> int:
     """Maintain the MV at ``mv_path`` from a ROW-LEVEL changelog — the
     Delta-CDF-style alternative to ``refresh_mv``'s file-level deltas
@@ -632,6 +667,18 @@ def apply_changelog_mv(
     commit is crash-safe (a torn write never corrupts the prior
     version) but says nothing about applying the same changelog twice.
 
+    ``id_space`` declares WHICH space ``changelog_id`` lives in, and the
+    two spaces keep separate watermarks: ``"source_version"`` (default)
+    means ids are the source manifest table's versions — the convention
+    that lets ``refresh_mv``'s chain walk skip a pushed merge changelog
+    instead of double-folding it. ``"foreign"`` means ids come from
+    anywhere else (a queue offset, a run id); they guard replays in
+    their own meta key and the chain walk never consults them. Ids from
+    the two spaces never compare against each other — a foreign id 9 on
+    an MV whose source sits at version 2 must not make a later push of
+    the REAL merge-at-version-3 changelog no-op (nor make ``refresh_mv``
+    silently skip unapplied links, which it now refuses instead).
+
     ``key_cols`` (the source's row-identity columns, when the changelog
     carries them) turns on the weight invariant: per-key weight sums
     must be in {-1, 0, 1} (delete / update / insert) — an update missing
@@ -642,9 +689,18 @@ def apply_changelog_mv(
     The commit is the same versioned-manifest protocol as every other
     MV write (crash-safe, time-travelable); meta records the mode.
     Returns the committed MV version."""
+    if id_space not in ("source_version", "foreign"):
+        raise ValueError(
+            f"id_space must be 'source_version' or 'foreign', got "
+            f"{id_space!r}"
+        )
+    guard_key = (
+        _META_APPLIED_CL if id_space == "source_version"
+        else _META_APPLIED_FOREIGN_CL
+    )
     have = versions(spark, mv_path)
     mv_meta = version_meta(spark, mv_path) if have else {}
-    prior_cl = mv_meta.get(_META_APPLIED_CL)
+    prior_cl = mv_meta.get(guard_key)
     if (
         changelog_id is not None
         and prior_cl is not None
@@ -719,17 +775,39 @@ def apply_changelog_mv(
         # merge changelog in the chain it is exactly the already-
         # applied link the version-watermark skip then avoids
         # re-folding (push and pull interleave on one MV).
-        for k in (_META_KEY, _META_FILES_MD5):
-            if k in mv_meta:
-                meta[k] = mv_meta[k]
+        #
+        # EXCEPT when this fold's tying-delete recompute ran (n_dirty >
+        # 0): the dirty groups were re-aggregated from the LIVE
+        # ``source``, which may sit AHEAD of the anchor (append commits
+        # the MV never refreshed) — their rows are then already baked
+        # into the recomputed groups, yet the carried anchor tells the
+        # next refresh_mv to fold those same appends as +1 images again:
+        # double-counted n/sum for every dirty group, committed in
+        # 'changelog' mode and never self-healing. Dropping the anchor
+        # forces that next refresh full — the source-consulting path is
+        # rare (tying deletes on min/max MVs only), and a full recompute
+        # is always exact.
+        if n_dirty == 0:
+            for k in (_META_KEY, _META_FILES_MD5):
+                if k in mv_meta:
+                    meta[k] = mv_meta[k]
         if changelog_id is not None:
-            meta[_META_APPLIED_CL] = int(changelog_id)
+            meta[guard_key] = int(changelog_id)
         elif prior_cl is not None:
             # An id-less apply must not ERASE the replay watermark — a
             # later retry of an already-applied id would then sail
             # through the guard and double-apply (meta is per-commit,
             # so carrying forward is this writer's job).
-            meta[_META_APPLIED_CL] = int(prior_cl)
+            meta[guard_key] = int(prior_cl)
+        # The OTHER space's watermark is carried untouched — each space
+        # guards its own replays, and erasing one while advancing the
+        # other reopens the double-apply it existed to block.
+        other_key = (
+            _META_APPLIED_FOREIGN_CL if guard_key == _META_APPLIED_CL
+            else _META_APPLIED_CL
+        )
+        if other_key in mv_meta:
+            meta[other_key] = int(mv_meta[other_key])
         return publish_version(merged, mv_path, meta=meta)
     finally:
         # Unpersist AFTER publish_version's write executed the plans

@@ -810,9 +810,13 @@ def test_refresh_mv_opaque_overwrite_still_full(spark, tmp_path):
 
 
 def test_refresh_mv_carries_changelog_watermark_forward(spark, tmp_path):
-    """ADVICE r11: refresh_mv must not ERASE the applied_changelog_id
-    watermark apply_changelog_mv stored — a retry of an already-applied
-    id after an interleaved refresh_mv commit must still no-op."""
+    """ADVICE r11: refresh_mv must not ERASE the replay watermark
+    apply_changelog_mv stored — a retry of an already-applied id after
+    an interleaved refresh_mv commit must still no-op. The side-channel
+    id (9, from an orchestrator — not a source version) is declared
+    with id_space='foreign' (ADVICE r12): it lands in its own meta key,
+    so refresh_mv carries it without mistaking it for a source-version
+    chain watermark."""
     from european_public_data_pipeline_spark.pipeline.manifest import (
         append_version as av,
         publish_version,
@@ -837,15 +841,21 @@ def test_refresh_mv_carries_changelog_watermark_forward(spark, tmp_path):
         src,
     )
     refresh_mv(spark, src, mv, spec)
-    # A side-channel changelog applied with id=9.
+    # A side-channel changelog applied with a foreign-space id=9.
     log = spark.createDataFrame([("b", 5, 1)], "g string, v long, __w int")
-    apply_changelog_mv(spark, mv, log, spec, changelog_id=9)
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=9, id_space="foreign")
     # refresh_mv commits again (incremental append) — watermark carried.
     av(spark.createDataFrame([(2, "a", 20)], "k long, g string, v long"), src)
     refresh_mv(spark, src, mv, spec)
-    assert version_meta(spark, mv)["applied_changelog_id"] == 9
+    meta = version_meta(spark, mv)
+    assert meta["applied_foreign_changelog_id"] == 9
+    # The source-version watermark advanced to src_v, UNpolluted by the
+    # foreign id — the chain walk's skip logic stays sound.
+    assert meta["applied_changelog_id"] == 2
     v_before = versions(spark, mv)[-1]
-    apply_changelog_mv(spark, mv, log, spec, changelog_id=9)  # retry
+    apply_changelog_mv(  # retry
+        spark, mv, log, spec, changelog_id=9, id_space="foreign"
+    )
     assert versions(spark, mv)[-1] == v_before  # no-op, not double-applied
     got = {
         r["g"]: (r["n"], r["s"]) for r in read_version(spark, mv).collect()
@@ -920,3 +930,168 @@ def test_refresh_full_mode_advances_changelog_watermark(spark, tmp_path):
         .collect()
     }
     assert got == want, "merge delta double-applied after full refresh"
+
+
+def test_dirty_recompute_drops_refresh_anchor(spark, tmp_path):
+    """ADVICE r12 (high): apply_changelog_mv's tying-delete recompute
+    aggregates dirty groups from the LIVE source; when unrefreshed
+    appends sit between the MV's refresh anchor and the source head,
+    those append rows are already baked into the recomputed groups —
+    carrying the anchor would let the next refresh_mv fold the same
+    appends as +1 images AGAIN (the chain walk skips only the merge
+    link), doubling n/sum on every dirty group. The fix drops the
+    anchor whenever the recompute ran (n_dirty > 0): the next refresh
+    goes full, which is always exact."""
+
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "v"),
+            Measure("mn", "min", "v"),
+        ),
+    )
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    publish_version(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20)], "k long, g string, v long"
+        ),
+        src,
+    )
+    refresh_mv(spark, src, mv, spec)
+    # An append the MV has NOT refreshed yet (v2).
+    append_version(
+        spark.createDataFrame([(3, "a", 5)], "k long, g string, v long"), src
+    )
+    # Merge (v3) deletes k=1 — v=10 TIES the MV's stored min, so the
+    # push's fold recomputes group 'a' from the live head (which
+    # includes the unrefreshed k=3 append).
+    out = merge_into_manifest(
+        spark,
+        src,
+        spark.createDataFrame([], "k long, g string, v long"),
+        ["k"],
+        deletes=spark.createDataFrame([(1,)], "k long"),
+        persist_changelog=True,
+    )
+    apply_changelog_mv(
+        spark,
+        mv,
+        out["changelog"],
+        spec,
+        source=read_version(spark, src),
+        changelog_id=out["version"],
+    )
+    meta = version_meta(spark, mv)
+    assert meta["n_dirty_groups"] == 1
+    assert "applied_src_version" not in meta  # anchor dropped
+    refresh_mv(spark, src, mv, spec)
+    got = {
+        r["g"]: (r["n"], r["s"], r["mn"])
+        for r in read_version(spark, mv).collect()
+    }
+    assert got == {"a": (2, 25, 5)}, "appended rows double-counted"
+
+
+def test_refresh_mv_refuses_contaminated_source_watermark(spark, tmp_path):
+    """ADVICE r12 (medium): a claimed source-version changelog id ahead
+    of the source head is provably foreign — honoring it would make the
+    chain walk skip EVERY persisted changelog link. refresh_mv refuses
+    loudly instead of silently losing deltas."""
+    import pytest
+
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    publish_version(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, v long"),
+        src,
+    )
+    refresh_mv(spark, src, mv, spec)
+    # A foreign id mis-declared as source-version space (the default).
+    log = spark.createDataFrame([("b", 5, 1)], "g string, v long, __w int")
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=9)
+    append_version(
+        spark.createDataFrame([(2, "a", 20)], "k long, g string, v long"), src
+    )
+    with pytest.raises(ValueError, match="ahead of the source"):
+        refresh_mv(spark, src, mv, spec)
+
+
+def test_foreign_and_source_watermarks_guard_independently(spark, tmp_path):
+    """The two id spaces must not compare against each other: a foreign
+    id 9 on an MV whose source is at v1 must not no-op the REAL
+    merge-at-v2 changelog push (id 2 in source-version space)."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.manifest import (
+        publish_version,
+        read_version,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        apply_changelog_mv,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src, mv = str(tmp_path / "src"), str(tmp_path / "mv")
+    publish_version(
+        spark.createDataFrame([(1, "a", 10)], "k long, g string, v long"),
+        src,
+    )
+    refresh_mv(spark, src, mv, spec)  # applied_changelog_id = 1
+    log = spark.createDataFrame([("b", 5, 1)], "g string, v long, __w int")
+    apply_changelog_mv(spark, mv, log, spec, changelog_id=9, id_space="foreign")
+    # Merge at v2 updates k=1's value 10 -> 15; the writer pushes its
+    # changelog with the source-version id 2. Guarded against the
+    # source-space watermark (1), NOT the foreign 9 — it must apply.
+    out = merge_into_manifest(
+        spark,
+        src,
+        spark.createDataFrame([(1, "a", 15)], "k long, g string, v long"),
+        ["k"],
+        persist_changelog=True,
+    )
+    apply_changelog_mv(
+        spark, mv, out["changelog"], spec, changelog_id=out["version"]
+    )
+    meta = version_meta(spark, mv)
+    assert meta["applied_changelog_id"] == 2
+    assert meta["applied_foreign_changelog_id"] == 9
+    got = {
+        r["g"]: (r["n"], r["s"])
+        for r in read_version(spark, mv).collect()
+    }
+    assert got == {"a": (1, 15), "b": (1, 5)}, "merge push falsely no-opped"
