@@ -62,6 +62,7 @@ from european_public_data_pipeline_spark.pipeline.fs_util import (
 )
 from european_public_data_pipeline_spark.pipeline.manifest import (
     ConcurrentPublishError,
+    PurgeInFlightError,
     _changelog_stage_dir,
     _commit,
     _path_key,
@@ -404,7 +405,7 @@ def merge_into_manifest(
                 else None
             ),
         )
-    except ConcurrentPublishError:
+    except (ConcurrentPublishError, PurgeInFlightError):
         # _commit already reclaimed OUR staged data dir; the staged
         # changelog is equally ours-and-unreferenced — reclaim it too.
         if cl_dir is not None:

@@ -54,6 +54,14 @@ class ConcurrentPublishError(RuntimeError):
     """Another publisher committed this version first."""
 
 
+class PurgeInFlightError(RuntimeError):
+    """A purge tombstone is pending while this commit tried to land a
+    merge-on-read delete sidecar or persisted changelog — payloads that
+    carry row/key VALUES a purge plan's file remap can never rewrite.
+    Retry after the purge completes; callers clean their staged
+    sidecar/changelog files exactly as for ConcurrentPublishError."""
+
+
 def _write_json(
     spark: SparkSession, path_str: str, payload: dict, *, overwrite: bool
 ) -> None:
@@ -168,6 +176,18 @@ def _read_files(spark: SparkSession, m: dict, files: list | None = None) -> Data
     return spark.read.parquet(*fl)
 
 
+def _schema_names(spark: SparkSession, m: dict, fl: list) -> list[str]:
+    """The version's column names: from the recorded manifest schema
+    when present, else one footer read (legacy schema-less tables are
+    homogeneous by construction — see ``_read_files``)."""
+    sj = m.get("schema")
+    if sj:
+        from pyspark.sql.types import StructType
+
+        return StructType.fromJson(json.loads(sj)).names
+    return spark.read.parquet(fl[0]).schema.names if fl else []
+
+
 def _delete_entries(m: dict) -> list[dict]:
     """The manifest's merge-on-read delete sidecars, oldest first — the
     two Iceberg-v2 flavors:
@@ -244,6 +264,50 @@ def _read_files_live(
 
     entries = _delete_entries(m)
     fl = m["files"] if files is None else files
+    if file_col is not None:
+        # Same reserved-name hazard class as _pos_capture's __pf/__pr:
+        # a source column named like the capture column would make the
+        # select below yield two same-named columns — every downstream
+        # reference ambiguous (the COW merge's counting scan passes
+        # "__f" here).
+        if file_col in set(_schema_names(spark, m, fl)):
+            raise ValueError(
+                f"file_col={file_col!r} collides with a source column; "
+                f"rename the source column — the per-file capture would "
+                f"otherwise produce ambiguous references"
+            )
+    if not fl:
+        # An empty live read (every candidate pruned) with sidecars
+        # present would otherwise crash below (min() of zero buckets);
+        # without sidecars _read_files would crash on a zero-path scan.
+        # Derive the schema the way a non-empty read would and keep the
+        # caller-visible shape (capture columns included, typed NULL —
+        # zero rows, so no physical identity exists to capture).
+        sj = m.get("schema")
+        if sj:
+            from pyspark.sql.types import StructType
+
+            base = spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj))
+            )
+        elif m["files"]:
+            base = _read_files(spark, m, [m["files"][0]]).where(F.lit(False))
+        else:
+            raise ValueError(
+                "_read_files_live: version references no files and "
+                "records no schema — nothing to derive an empty read from"
+            )
+        if keep_positions:
+            base = base.select(
+                F.lit(None).cast("string").alias("__pf"),
+                F.lit(None).cast("long").alias("__pr"),
+                "*",
+            )
+        if file_col is not None:
+            base = base.select(
+                F.lit(None).cast("string").alias(file_col), "*"
+            )
+        return base
     if not entries:
         base = _read_files(spark, m, fl)
         if keep_positions:
@@ -428,6 +492,10 @@ def _purge_plans(spark: SparkSession, table_path: str) -> list[dict]:
                 continue  # racing delete of a plan past its TTL
             raise
         if "remap" in plan:
+            # Identity stable across the pending- -> completed- rename
+            # (the uuid part): the erasure fence compares the plan sets
+            # it saw before and after the manifest write.
+            plan["__plan_id"] = nm.split("-", 1)[1]
             plans.append(plan)
     # Chains must apply in completion order (a later purge's plan remaps
     # the previous one's rewrite targets): completed plans sort by their
@@ -670,6 +738,34 @@ def _commit(
                     f"staged data reclaimed — re-read the current manifest "
                     f"and retry the append"
                 )
+    # Erasure fence (ADVICE r12): purge_rows refuses tables that carry
+    # MOR sidecars or persisted changelogs, but that check-then-act
+    # races THIS commit landing one mid-purge — a sidecar's key tuples
+    # and a changelog's row images hold table values BY VALUE, which a
+    # purge plan's file remap can never rewrite, so the purged values
+    # would survive invisibly. A commit ADDS such a payload when its
+    # extra_payload persists a changelog or its carried delete entries
+    # include one minted at THIS version (inherited entries all predate
+    # it — and a table that had any would have refused the purge
+    # upfront anyway). Refuse while a pending tombstone exists; the
+    # post-write re-check below closes the residual fence->write gap.
+    adds_erasure = bool((extra_payload or {}).get("changelog_files")) or any(
+        int(e.get("version", -1)) == n
+        for e in (carried_delete_entries or [])
+    )
+    pre_plan_ids: set[str] = set()
+    if adds_erasure:
+        plans0 = _purge_plans(spark, table_path)
+        pre_plan_ids = {p["__plan_id"] for p in plans0}
+        if any("completed_at" not in p for p in plans0):
+            if data_dir is not None:
+                fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            raise PurgeInFlightError(
+                f"commit to {table_path} carries a merge-on-read delete "
+                f"sidecar or persisted changelog while a purge is in "
+                f"flight — its values would survive the purge invisibly; "
+                f"retry after the purge completes"
+            )
     payload = {
         "version": n,
         "files": list(carried_files) + staged,
@@ -781,6 +877,39 @@ def _commit(
                 f"post-commit purge fence saw new purge plans on 10 "
                 f"consecutive passes — do NOT re-append; re-run purge_rows "
                 f"once the purge storm settles to re-verify version {n}"
+            )
+    if adds_erasure:
+        # Post-write half of the erasure fence: a purge whose ENTIRE
+        # cycle ran inside the fence->write gap (tombstone written after
+        # the pre-check, retired before this one) shows up as a plan id
+        # the pre-check never saw; a purge still in flight shows up
+        # pending. Either way its plan was computed without this
+        # commit's sidecar/changelog values, so the erasure is
+        # incomplete — surface it loudly with the remediation named
+        # (the commit itself LANDED; a blind retry would double-apply).
+        try:
+            plans1 = _purge_plans(spark, table_path)
+        except Exception as exc:
+            raise RuntimeError(
+                f"commit to {table_path} LANDED as version {n}, but the "
+                f"erasure fence could not re-read purge plans — do NOT "
+                f"retry the write; verify no purge raced it before "
+                f"trusting the erasure"
+            ) from exc
+        hazard = [
+            p for p in plans1
+            if "completed_at" not in p or p["__plan_id"] not in pre_plan_ids
+        ]
+        if hazard:
+            raise RuntimeError(
+                f"commit to {table_path} LANDED as version {n}, but a "
+                f"purge ran concurrently and its plan never saw this "
+                f"commit's delete sidecar/persisted changelog — purged "
+                f"values may survive in them. Do NOT retry the write; "
+                f"run compact() and expire_versions() past the sidecar-"
+                f"carrying history (persisted changelogs are dropped by "
+                f"the purge itself), then re-run purge_rows with the "
+                f"original values to complete the erasure"
             )
     return n
 
@@ -2348,6 +2477,41 @@ def purge_rows(
         _apply_purge_plan(
             spark, table_path, rewritten, removed_per_file, tombstone
         )
+        # Re-verify (ADVICE r12): the upfront sidecar/changelog checks
+        # are check-then-act — a concurrent delete_rows_mor or
+        # merge(persist_changelog=True) that slipped past _commit's
+        # erasure fence can have landed AFTER them, carrying purged
+        # values by value where the file remap cannot reach. Persisted
+        # changelogs this purge can erase itself (idempotent drop, a
+        # few passes bound racing writers); sidecars need a fold this
+        # single-writer purge must not perform — refuse loudly instead
+        # of declaring the erasure complete.
+        for _ in range(3):
+            if not any(
+                _read_json(
+                    spark, f"{table_path}/manifest/{v:08d}.json"
+                ).get("changelog_files")
+                for v in versions(spark, table_path)
+            ):
+                break
+            _drop_persisted_changelogs(spark, table_path)
+        mor_after = [
+            v
+            for v in versions(spark, table_path)
+            if _read_json(
+                spark, f"{table_path}/manifest/{v:08d}.json"
+            ).get("delete_files")
+        ]
+        if mor_after:
+            raise RuntimeError(
+                f"purge of {table_path} removed the matched DATA rows, "
+                f"but versions {mor_after} committed merge-on-read "
+                f"delete sidecars concurrently — their key tuples may "
+                f"retain purged values. Run compact() (folds the head's "
+                f"sidecars) and expire_versions() past the sidecar-"
+                f"carrying history, then re-run purge_rows with the "
+                f"original values to complete the erasure"
+            )
 
     return {
         "files_rewritten": sum(1 for v in rewritten.values() if v),

@@ -67,6 +67,7 @@ from european_public_data_pipeline_spark.pipeline.fs_util import (
 )
 from european_public_data_pipeline_spark.pipeline.manifest import (
     ConcurrentPublishError,
+    PurgeInFlightError,
     _changelog_stage_dir,
     _commit,
     _path_key,
@@ -225,7 +226,7 @@ def delete_rows_mor(
             carried_delete_entries=entries,
             carried_file_added=file_added,
         )
-    except ConcurrentPublishError:
+    except (ConcurrentPublishError, PurgeInFlightError):
         delete_path(spark, sidecar_dir)
         if cl_dir is not None:
             delete_path(spark, cl_dir)
@@ -382,7 +383,7 @@ def delete_where_mor(
             carried_delete_entries=entries,
             carried_file_added=file_added,
         )
-    except ConcurrentPublishError:
+    except (ConcurrentPublishError, PurgeInFlightError):
         delete_path(spark, sidecar_dir)
         if cl_dir is not None:
             delete_path(spark, cl_dir)

@@ -442,3 +442,124 @@ def test_mor_position_capture_refuses_reserved_names(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="reserve column names"):
         delete_where_mor(spark, t, "k > 5")
+
+
+def test_live_read_empty_file_list_with_sidecars(spark, tmp_path):
+    """ADVICE r12: an empty candidate list while delete sidecars exist
+    crashed _read_files_live (min() of zero buckets). Every capture
+    shape must come back empty with the caller-visible schema."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    delete_rows_mor(spark, t, _dk(spark, 5), ["k"])
+    m = M._read_json(spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json")
+    plain = M._read_files_live(spark, m, files=[])
+    assert plain.count() == 0 and plain.columns == ["k", "v"]
+    cap = M._read_files_live(spark, m, files=[], file_col="__f")
+    assert cap.count() == 0 and cap.columns == ["__f", "k", "v"]
+    pos = M._read_files_live(spark, m, files=[], keep_positions=True)
+    assert pos.count() == 0 and pos.columns == ["__pf", "__pr", "k", "v"]
+
+
+def test_live_read_refuses_file_col_collision(spark, tmp_path):
+    """ADVICE r12: a source column named like the per-file capture
+    column (the COW merge passes __f) must refuse loudly — the capture
+    select would otherwise yield ambiguous duplicate references."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(20).select(
+        F.col("id").alias("k"), F.col("id").alias("__f")
+    )
+    M.publish_version(df, t)
+    m = M._read_json(spark, f"{t}/manifest/00000001.json")
+    with pytest.raises(ValueError, match="collides with a source column"):
+        M._read_files_live(spark, m, file_col="__f")
+    with pytest.raises(ValueError, match="collides with a source column"):
+        merge_into_manifest(
+            spark,
+            t,
+            spark.range(1).select(
+                F.col("id").alias("k"), F.col("id").alias("__f")
+            ),
+            ["k"],
+        )
+
+
+def test_erasure_fence_refuses_mor_commit_during_purge(spark, tmp_path):
+    """ADVICE r12 (purge race, writer side): a pending purge tombstone
+    must refuse a sidecar commit outright — the sidecar's key tuples
+    would retain purged values the plan can never remap. The staged
+    sidecar files are reclaimed on refusal."""
+    import glob
+    import json
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    os.makedirs(f"{t}/purge", exist_ok=True)
+    with open(f"{t}/purge/pending-feedfeedfeed.json", "w") as fh:
+        json.dump({"remap": {}, "removed": {}}, fh)
+    with pytest.raises(M.PurgeInFlightError, match="purge is in flight"):
+        delete_rows_mor(spark, t, _dk(spark, 5), ["k"])
+    # No sidecar bytes leaked, no sidecar entry committed.
+    assert not glob.glob(f"{t}/**/*delete*/*.parquet", recursive=True)
+    m = M._read_json(spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json")
+    assert not m.get("delete_files")
+    # Plan retired -> the fence opens again.
+    os.remove(f"{t}/purge/pending-feedfeedfeed.json")
+    crc = f"{t}/purge/.pending-feedfeedfeed.json.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    assert delete_rows_mor(spark, t, _dk(spark, 5), ["k"])["rows_deleted"] == 1
+
+
+def test_erasure_fence_flags_purge_that_raced_the_write(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (purge race, post-write half): a purge whose whole
+    cycle ran inside the fence->write gap surfaces as a completed plan
+    the pre-check never saw — the commit LANDS but raises loudly with
+    the compact+re-purge remediation."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    real = M._purge_plans
+
+    def raced(spark_, table_path):
+        # Invisible until the manifest write lands (the fence->write
+        # gap), visible as a COMPLETED plan right after — the purge's
+        # whole cycle ran inside the gap.
+        if not os.path.exists(f"{t}/manifest/00000002.json"):
+            return []
+        return [{"remap": {}, "removed": {}, "completed_at": 1.0,
+                 "__plan_id": "cafe.json"}]
+
+    monkeypatch.setattr(M, "_purge_plans", raced)
+    with pytest.raises(RuntimeError, match="LANDED.*purge ran concurrently"):
+        delete_rows_mor(spark, t, _dk(spark, 5), ["k"])
+    monkeypatch.setattr(M, "_purge_plans", real)
+    # The commit itself landed (the error says do-not-retry, not undo).
+    assert M.read_version(spark, t).count() == 399
+
+
+def test_purge_reverifies_for_raced_sidecars(spark, tmp_path, monkeypatch):
+    """ADVICE r12 (purge race, purge side): a sidecar that landed after
+    purge_rows' upfront checks (simulated by committing one inside the
+    plan-application step, with the writer-side fence blinded) must make
+    the purge refuse to declare the erasure complete."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    real_apply = M._apply_purge_plan
+    real_plans = M._purge_plans
+
+    def apply_and_race(spark_, table_path, remap, removed, tombstone):
+        real_apply(spark_, table_path, remap, removed, tombstone)
+        # The racing writer: lands a MOR sidecar with the erasure fence
+        # blinded (the unseen-tombstone window).
+        monkeypatch.setattr(M, "_purge_plans", lambda *a: [])
+        try:
+            delete_rows_mor(spark_, table_path, _dk(spark_, 7), ["k"])
+        finally:
+            monkeypatch.setattr(M, "_purge_plans", real_plans)
+
+    monkeypatch.setattr(M, "_apply_purge_plan", apply_and_race)
+    with pytest.raises(RuntimeError, match="sidecars concurrently"):
+        M.purge_rows(spark, t, "k", [3])
