@@ -100,6 +100,34 @@ def _in_partitions(partition_col: str, touched: list) -> F.Column:
     return cond
 
 
+def resolve_latest_wins(
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    caller: str,
+) -> DataFrame:
+    """Resolve duplicate merge keys inside one update batch: per key the
+    row with the greatest ``order_col`` (a version/event-time column)
+    wins — one window shuffle on the key. Ties on (keys, order_col)
+    still raise: the winner would be nondeterministic, which is the bug
+    this resolver exists to prevent, not to hide. Shared by the batch
+    merges (``merge_by_key``, ``upsert_rows_mor``) and the streaming CDC
+    sinks, whose ``availableNow`` trigger routinely coalesces a backlog
+    holding several revisions of one key into a single micro-batch."""
+    w_u = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    ranked = updates.withColumn("_urn", F.row_number().over(w_u)).withColumn(
+        "_utie",
+        F.count(F.lit(1)).over(Window.partitionBy(*keys, order_col)),
+    )
+    if ranked.filter((F.col("_urn") == 1) & (F.col("_utie") > 1)).limit(1).count():
+        raise ValueError(
+            f"{caller}: updates contain rows tied on "
+            f"({', '.join(keys)}, {order_col}); the winner would "
+            "be nondeterministic — use a unique ordering column"
+        )
+    return ranked.filter(F.col("_urn") == 1).drop("_urn", "_utie")
+
+
 def merge_by_key(
     spark: SparkSession,
     target_path: str,
@@ -136,20 +164,9 @@ def merge_by_key(
     column, expected unique per key — equal values still raise).
     """
     if dedupe_updates_by:
-        w_u = Window.partitionBy(*keys).orderBy(F.col(dedupe_updates_by).desc())
-        ranked = updates.withColumn("_urn", F.row_number().over(w_u)).withColumn(
-            "_utie",
-            F.count(F.lit(1)).over(
-                Window.partitionBy(*keys, dedupe_updates_by)
-            ),
+        updates = resolve_latest_wins(
+            updates, keys, dedupe_updates_by, "merge_by_key"
         )
-        if ranked.filter((F.col("_urn") == 1) & (F.col("_utie") > 1)).limit(1).count():
-            raise ValueError(
-                f"merge_by_key: updates contain rows tied on "
-                f"({', '.join(keys)}, {dedupe_updates_by}); the winner would "
-                "be nondeterministic — use a unique ordering column"
-            )
-        updates = ranked.filter(F.col("_urn") == 1).drop("_urn", "_utie")
     else:
         # One aggregation job (map-side combined, short-circuits at the
         # first duplicate) instead of two full materializations of

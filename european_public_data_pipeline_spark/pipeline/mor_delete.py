@@ -73,6 +73,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     _path_key,
     _read_files_live,
     _read_json,
+    _stage_dir,
     prune_candidates,
     prune_files,
     read_changelog,
@@ -391,6 +392,267 @@ def delete_where_mor(
     out["version"] = version
     out["rows_deleted"] = int(matched)
     out["sidecar_files"] = len(sidecar_files)
+    if persist_changelog:
+        out["changelog"] = read_changelog(spark, table_path, version)
+    return out
+
+
+def upsert_rows_mor(
+    spark: SparkSession,
+    table_path: str,
+    updates: DataFrame,
+    keys: list[str],
+    persist_changelog: bool = False,
+    dedupe_updates_by: str | None = None,
+) -> dict:
+    """Merge-on-read UPSERT — the Iceberg MOR MERGE shape: ONE commit
+    carrying an equality-delete sidecar for the matched keys PLUS an
+    appended file of the batch's new row images. Matched target rows
+    die at scan time (the sidecar, applied by ``_read_files_live``'s
+    broadcast anti join, covers only files added BEFORE this commit —
+    the appended images are recorded at THIS version, so they live);
+    unmatched keys are plain inserts (no sidecar entry needed — their
+    tuples match nothing, and keeping them out keeps the broadcast rent
+    minimal); everything folds into clean files at the next ``compact``.
+
+    This is the trickle-UPDATE complement to ``delete_rows_mor``: a CDC
+    batch of 1k scattered keys against a 100 TB table costs O(batch)
+    written bytes (one KB-scale sidecar + one small parquet of images)
+    where the COW ``merge_into_manifest`` rewrites every touched file —
+    the most common lakehouse write at scale made metadata-priced.
+    COW remains the right shape for bounded clustered batches (its
+    rewrite re-clusters as it goes and adds no scan rent). Reference
+    anchor: the gold stage's delete-then-append idempotent load
+    (``/root/reference/src/db/load_hicp_to_sql.py:54-62``) IS
+    delete-sidecar + append, at partition granularity.
+
+    Semantics mirrored from the COW merge: NULL merge keys refused
+    loudly; duplicate keys WITHIN the batch refused unless
+    ``dedupe_updates_by=<ordering column>`` resolves them latest-wins
+    (ties still raise); a key deleted by an EARLIER sidecar and
+    re-upserted here is a plain insert (the live counting scan no
+    longer sees the dead row). Batches past the sidecar cap are refused
+    — the sidecar is broadcast on every read until the next compact;
+    bulk upserts belong to the COW merge.
+
+    ``persist_changelog`` materializes the Delta-CDF delta — matched
+    rows' old images at weight -1 plus ALL new images at +1 — so
+    ``refresh_mv``'s chain walk folds this commit at O(delta + |MV|).
+    The commit is ``op="overwrite"`` (prior rows are NOT all preserved),
+    which is exactly how the chain walk classifies it: foldable with a
+    persisted changelog, full-recompute hazard without.
+
+    Returns ``{"version", "rows_updated", "rows_inserted",
+    "files_pruned", "files_scanned", "sidecar_files", "changelog"?}``;
+    an empty batch commits nothing."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed manifests at {table_path}")
+    t_read = time.time()
+    head = vs[-1]
+    m = _read_json(spark, f"{table_path}/manifest/{head:08d}.json")
+    carried_schema = m.get("schema")
+    if carried_schema is None and m["files"]:
+        carried_schema = spark.read.parquet(m["files"][0]).schema.json()
+
+    if dedupe_updates_by:
+        from european_public_data_pipeline_spark.pipeline.merge import (
+            resolve_latest_wins,
+        )
+
+        updates = resolve_latest_wins(
+            updates, keys, dedupe_updates_by, "upsert_rows_mor"
+        )
+    refuse_null_keys(updates, keys, "upsert_rows_mor: update batch")
+    # The batch is read several times (key collect, image write,
+    # changelog write) and may carry expensive or non-deterministic
+    # lineage — pin it once. localCheckpoint also severs the streaming
+    # micro-batch lineage the CDC sink hands us.
+    updates = updates.localCheckpoint()
+
+    # ONE bounded collect answers three needs: the per-key row counts
+    # expose intra-batch duplicates (refused — nondeterministic winner),
+    # the distinct tuples drive zone-map pruning, and their count is the
+    # sidecar-cap check.
+    cap = _SIDECAR_CAP
+    key_rows = (
+        updates.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .limit(cap + 1)
+        .collect()
+    )
+    if not key_rows:
+        return {
+            "version": head,
+            "rows_updated": 0,
+            "rows_inserted": 0,
+            "files_pruned": 0,
+            "files_scanned": 0,
+            "sidecar_files": 0,
+        }
+    if len(key_rows) > cap:
+        raise ValueError(
+            f"upsert_rows_mor: update batch exceeds {cap} distinct key "
+            "tuples — a sidecar this large would force a huge broadcast "
+            "on EVERY read until the next compact; use "
+            "merge_into_manifest (copy-on-write rewrite) for bulk "
+            "upserts"
+        )
+    dups = [r for r in key_rows if r["__n"] > 1]
+    if dups:
+        raise ValueError(
+            f"upsert_rows_mor: update batch carries duplicate key "
+            f"tuples (first offenders: "
+            + ", ".join(
+                str(tuple(r[k] for k in keys)) for r in dups[:3]
+            )
+            + ") — pass dedupe_updates_by=<ordering column> or resolve "
+            "upstream; an arbitrary winner would be nondeterministic"
+        )
+    candidates = prune_candidates(m, keys, key_tuples=key_rows)
+    probe_keys = updates.select(*keys).distinct()
+
+    # Which target rows does the batch replace? One PRUNED live scan
+    # (earlier sidecars applied — a row already dead is an insert, not
+    # a match), semi-joined against the broadcast batch keys. The
+    # per-key aggregate is bounded by the batch's key count (<= cap),
+    # so collecting it is driver-safe, and it answers both the exact
+    # row accounting and the matched-key set the sidecar needs.
+    matched_rows = 0
+    matched_key_rows: list = []
+    old_images = None
+    if candidates:
+        hit = _read_files_live(spark, m, candidates).join(
+            F.broadcast(probe_keys), on=keys, how="left_semi"
+        )
+        if persist_changelog:
+            # The matched rows feed two consumers (the aggregate and
+            # the -1 old images) — persist the semi-joined set (batch-
+            # bounded) so the candidate files are scanned once.
+            hit = hit.persist()
+        try:
+            matched_key_rows = (
+                hit.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).collect()
+            )
+            matched_rows = sum(int(r["__n"]) for r in matched_key_rows)
+            if persist_changelog and matched_rows:
+                old_images = hit
+            n_next = head + 1
+            jvm, fs, _ = hadoop_fs(spark, table_path)
+            cl_dir = None
+            extra_payload = None
+            if persist_changelog:
+                cl_dir = _changelog_stage_dir(table_path, n_next)
+                new_images = updates.select(
+                    "*", F.lit(1).alias("__w")
+                )
+                delta = (
+                    old_images.select("*", F.lit(-1).alias("__w"))
+                    .unionByName(new_images, allowMissingColumns=True)
+                    if old_images is not None
+                    else new_images
+                )
+                delta.coalesce(4).write.mode("overwrite").parquet(cl_dir)
+        finally:
+            if persist_changelog:
+                hit.unpersist()
+    else:
+        n_next = head + 1
+        jvm, fs, _ = hadoop_fs(spark, table_path)
+        cl_dir = None
+        extra_payload = None
+        if persist_changelog:
+            cl_dir = _changelog_stage_dir(table_path, n_next)
+            updates.select("*", F.lit(1).alias("__w")).coalesce(4).write.mode(
+                "overwrite"
+            ).parquet(cl_dir)
+    if cl_dir is not None:
+        cl_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        extra_payload = {
+            "changelog_files": cl_files,
+            "changelog_weight_col": "__w",
+        }
+
+    entries = list(m.get("delete_files") or [])
+    sidecar_dir = None
+    if matched_rows:
+        # Sidecar of MATCHED keys only — inserts match nothing and
+        # would be pure broadcast rent on every read until compact.
+        sidecar_dir = (
+            f"{table_path}/deletes/v{n_next:08d}-{uuid.uuid4().hex[:12]}"
+        )
+        spark.createDataFrame(
+            [tuple(r[k] for k in keys) for r in matched_key_rows],
+            updates.select(*keys).schema,
+        ).coalesce(1).write.mode("overwrite").parquet(sidecar_dir)
+        sidecar_files = sorted(
+            str(st.getPath().toString())
+            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
+            if st.getPath().getName().endswith(".parquet")
+        )
+        entries.append(
+            {"version": n_next, "files": sidecar_files, "keys": list(keys)}
+        )
+
+    # Stage the new images — the ONLY data write, O(batch) bytes.
+    data_dir = _stage_dir(table_path, n_next)
+    updates.coalesce(4).write.mode("overwrite").parquet(data_dir)
+
+    # file_added must ride along whenever ANY sidecar exists: without an
+    # entry the staged images would read as version 0 and every sidecar
+    # — including this commit's own — would apply to them, killing the
+    # upserted rows at scan.
+    file_added = None
+    if entries:
+        file_added = m.get("file_added") or {
+            _path_key(f): 0 for f in m["files"]
+        }
+
+    carried_stats = None
+    stat_cols: set[str] = set()
+    if m.get("file_stats"):
+        carried_stats = dict(m["file_stats"])
+        stat_cols = {
+            c for per_file in m["file_stats"].values() for c in per_file
+        }
+    try:
+        version = _commit(
+            spark,
+            table_path,
+            n_next,
+            data_dir,
+            carried_files=tuple(m["files"]),
+            carried_rows=int(m["row_count"]) - int(matched_rows),
+            meta=m.get("meta"),
+            stats_cols=tuple(sorted(stat_cols)),
+            carried_stats=carried_stats,
+            carried_schema=carried_schema,
+            carried_read_at=t_read,
+            op="overwrite",
+            extra_payload=extra_payload,
+            carried_delete_entries=entries or None,
+            carried_file_added=file_added,
+        )
+    except (ConcurrentPublishError, PurgeInFlightError):
+        # _commit reclaimed OUR staged data dir; the sidecar and staged
+        # changelog are equally ours-and-unreferenced.
+        if sidecar_dir is not None:
+            delete_path(spark, sidecar_dir)
+        if cl_dir is not None:
+            delete_path(spark, cl_dir)
+        raise
+    out = {
+        "version": version,
+        "rows_updated": int(matched_rows),
+        "rows_inserted": len(key_rows) - len(matched_key_rows),
+        "files_pruned": len(m["files"]) - len(candidates),
+        "files_scanned": len(candidates),
+        "sidecar_files": 1 if matched_rows else 0,
+    }
     if persist_changelog:
         out["changelog"] = read_changelog(spark, table_path, version)
     return out

@@ -563,3 +563,177 @@ def test_purge_reverifies_for_raced_sidecars(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(M, "_apply_purge_plan", apply_and_race)
     with pytest.raises(RuntimeError, match="sidecars concurrently"):
         M.purge_rows(spark, t, "k", [3])
+
+
+def _ups(spark, *pairs):
+    return spark.createDataFrame(list(pairs), "k long, v long")
+
+
+def test_mor_upsert_end_state_and_fold(spark, tmp_path):
+    """MOR MERGE in one commit: matched keys die via an equality
+    sidecar, new images append, unmatched keys are plain inserts;
+    chained upserts stack; time travel sees the pre-upsert rows; a
+    clustered compact folds everything into clean files."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)  # k: 0..399, v = k*10, 8 files
+    out = upsert_rows_mor(
+        spark, t, _ups(spark, (5, 555), (105, 1055), (1000, 10000)), ["k"]
+    )
+    assert out["rows_updated"] == 2 and out["rows_inserted"] == 1
+    assert out["sidecar_files"] == 1 and out["files_pruned"] >= 1
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[5] == 555 and got[105] == 1055 and got[1000] == 10000
+    assert len(got) == 401
+    m = M._read_json(spark, f"{t}/manifest/{out['version']:08d}.json")
+    assert m["row_count"] == 401 and m["op"] == "overwrite"
+    # Time travel: pre-upsert version unchanged.
+    v1 = {r["k"]: r["v"] for r in M.read_version(spark, t, 1).collect()}
+    assert len(v1) == 400 and v1[5] == 50
+    # A second upsert of the SAME key replaces this commit's image too
+    # (its file was added at v2 < the new sidecar's version).
+    out2 = upsert_rows_mor(spark, t, _ups(spark, (5, 556)), ["k"])
+    assert out2["rows_updated"] == 1 and out2["rows_inserted"] == 0
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[5] == 556 and len(got) == 401
+    # Compact folds both sidecars; end state survives clean.
+    M.compact(spark, t, target_files=4, cluster_by="k")
+    m_c = M._read_json(
+        spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+    )
+    assert not m_c.get("delete_files")
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[5] == 556 and got[1000] == 10000 and len(got) == 401
+    # Upserts keep working on the folded table.
+    out3 = upsert_rows_mor(spark, t, _ups(spark, (1000, 1)), ["k"])
+    assert out3["rows_updated"] == 1
+    assert M.read_version(spark, t).filter("k = 1000").collect()[0]["v"] == 1
+
+
+def test_mor_upsert_dup_keys_and_latest_wins(spark, tmp_path):
+    """Intra-batch duplicate keys refuse loudly without an ordering
+    column; with dedupe_updates_by the greatest value wins and ties
+    still raise (nondeterministic winner)."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=50, files=2)
+    dup = spark.createDataFrame(
+        [(5, 100, 1), (5, 200, 2)], "k long, v long, rev long"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        upsert_rows_mor(spark, t, dup, ["k"])
+    out = upsert_rows_mor(spark, t, dup, ["k"], dedupe_updates_by="rev")
+    assert out["rows_updated"] == 1
+    assert M.read_version(spark, t).filter("k = 5").collect()[0]["v"] == 200
+    tie = spark.createDataFrame(
+        [(6, 100, 1), (6, 200, 1)], "k long, v long, rev long"
+    )
+    with pytest.raises(ValueError, match="tied"):
+        upsert_rows_mor(spark, t, tie, ["k"], dedupe_updates_by="rev")
+
+
+def test_mor_upsert_reinserts_dead_key_and_null_refusal(spark, tmp_path):
+    """A key an earlier sidecar killed is an INSERT to the upsert (the
+    live counting scan no longer sees it); NULL keys refuse loudly."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
+    )
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=50, files=2)
+    delete_rows_mor(spark, t, _dk(spark, 5), ["k"])
+    out = upsert_rows_mor(spark, t, _ups(spark, (5, 999)), ["k"])
+    assert out["rows_updated"] == 0 and out["rows_inserted"] == 1
+    assert M.read_version(spark, t).filter("k = 5").collect()[0]["v"] == 999
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        upsert_rows_mor(
+            spark,
+            t,
+            spark.createDataFrame([(None, 1)], "k long, v long"),
+            ["k"],
+        )
+
+
+def test_mor_upsert_commit_writes_o_batch_bytes(spark, tmp_path):
+    """The write-amplification claim for UPDATES: a batch of keys
+    spread across every file costs one KB-scale sidecar plus a small
+    image file, while the COW merge rewrites all 8 files."""
+    from european_public_data_pipeline_spark.pipeline.cow_merge import (
+        merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
+    )
+
+    def data_bytes(p):
+        total = 0
+        for root, _d, files in os.walk(f"{p}/data"):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+
+    t = str(tmp_path / "tbl")
+    _seed(spark, t)
+    before = data_bytes(t)
+    spread = _ups(spark, *[(k, k) for k in range(0, 400, 50)])
+    out = upsert_rows_mor(spark, t, spread, ["k"])
+    assert out["rows_updated"] == 8
+    mor_delta = data_bytes(t) - before
+    assert 0 < mor_delta < 64 * 1024  # one small image file, no rewrite
+    t2 = str(tmp_path / "tbl2")
+    _seed(spark, t2)
+    before2 = data_bytes(t2)
+    cow = merge_into_manifest(spark, t2, spread, keys=["k"])
+    assert cow["files_rewritten"] == 8
+    assert data_bytes(t2) - before2 > mor_delta  # real rewrite
+
+
+def test_mor_upsert_changelog_keeps_mv_incremental(spark, tmp_path):
+    """upsert_rows_mor(persist_changelog=True) emits -1 old / +1 new
+    images — refresh_mv folds the upsert like a persisted merge
+    changelog, at parity with recompute."""
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(Measure("n", "count"), Measure("s", "sum", "v")),
+    )
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    df = spark.range(40).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(4)).alias("g"),
+        (F.col("id") * 10).alias("v"),
+    )
+    M.publish_version(df, src, stats_cols=("k",))
+    refresh_mv(spark, src, mv, spec)
+    ups = spark.createDataFrame(
+        [(1, 1, 10000), (2, 2, 20000), (100, 0, 7)], "k long, g long, v long"
+    )
+    out = upsert_rows_mor(spark, src, ups, ["k"], persist_changelog=True)
+    assert out["rows_updated"] == 2 and out["rows_inserted"] == 1
+    refresh_mv(spark, src, mv, spec)
+    assert M.version_meta(spark, mv)["refresh_mode"] == "changelog"
+    got = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, src)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want
