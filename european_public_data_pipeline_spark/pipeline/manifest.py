@@ -1148,6 +1148,86 @@ def compact(
     return n
 
 
+def maintain(
+    spark: SparkSession,
+    table_path: str,
+    max_delete_entries: int = 4,
+    max_small_files: int = 32,
+    small_file_bytes: int = 8 * 1024 * 1024,
+    target_files: int = 8,
+    cluster_by: str | None = None,
+) -> dict:
+    """Threshold-driven table hygiene — the Iceberg-maintenance-actions
+    / Delta-auto-compaction analog the trickle-write paths need: every
+    merge-on-read commit adds a broadcast anti join to EVERY subsequent
+    read and every small append adds a file group, and both degrade
+    monotonically until someone folds them. This hook is that someone:
+    schedule it after trickle batches (or on a timer) and it compacts
+    ONLY when a meter trips, so the table's scan cost is bounded by the
+    thresholds instead of by operator vigilance.
+
+    Meters (driver-side metadata only on the no-op path — manifest JSON
+    plus one filesystem status per data file when the small-file check
+    is enabled; no Spark job):
+
+    - ``max_delete_entries``: distinct MOR sidecar COMMITS on the head
+      (each is one broadcast anti join per read — the measured rent in
+      PLANS.md; the entry count, not the sidecar row count, is what
+      multiplies per-read work).
+    - ``max_small_files`` / ``small_file_bytes``: files under the byte
+      threshold (object-store listings and task scheduling degrade with
+      file count; many appends or MOR upserts accrue small image files).
+
+    When any meter trips, runs ONE clustered ``compact`` (``cluster_by``
+    passes through — pass the table's layout key to keep zone-map
+    pruning selective; the fold also clears every sidecar and rebuilds
+    stats/Bloom sidecars). Returns ``{"action": "compact"|"none",
+    "reason", "delete_entries", "small_files", "version"?}`` — callers
+    log it; a no-op costs metadata reads only, so an hourly schedule is
+    safe at any table size."""
+    vs = versions(spark, table_path)
+    if not vs:
+        raise FileNotFoundError(f"nothing to maintain at {table_path}")
+    m = _read_json(spark, f"{table_path}/manifest/{vs[-1]:08d}.json")
+    n_entries = len(_delete_entries(m))
+    small = 0
+    if max_small_files is not None and m["files"]:
+        jvm, fs, _ = hadoop_fs(spark, table_path)
+        for f in m["files"]:
+            try:
+                st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(f))
+            except Exception:
+                continue  # racing rewrite: the compact below re-lists
+            if int(st.getLen()) < small_file_bytes:
+                small += 1
+    out = {"delete_entries": n_entries, "small_files": small}
+    reasons = []
+    if max_delete_entries is not None and n_entries > max_delete_entries:
+        reasons.append(
+            f"{n_entries} delete sidecar commits > {max_delete_entries} "
+            f"(each is a broadcast anti join on every read)"
+        )
+    if max_small_files is not None and small > max_small_files:
+        reasons.append(
+            f"{small} files under {small_file_bytes} bytes > "
+            f"{max_small_files}"
+        )
+    if not reasons:
+        out.update(
+            action="none",
+            reason=(
+                f"within thresholds ({n_entries} sidecar commits, "
+                f"{small} small files)"
+            ),
+        )
+        return out
+    v = compact(
+        spark, table_path, target_files=target_files, cluster_by=cluster_by
+    )
+    out.update(action="compact", reason="; ".join(reasons), version=v)
+    return out
+
+
 def _is_lossless_widen(old, new) -> bool:
     """Whether every value of ``old`` is exactly representable in
     ``new`` — the only casts ``widen_column`` sanctions. Integral types

@@ -101,34 +101,72 @@ def upsert_stream_manifest(
     checkpoint_path: str,
     keys: list[str],
     persist_changelog: bool = True,
+    dedupe_updates_by: str | None = None,
+    mode: str = "cow",
     await_termination: bool = True,
 ):
     """Streaming CDC upsert into a VERSIONED-MANIFEST table — the
-    lakehouse upgrade of ``upsert_stream``: each micro-batch is a
-    copy-on-write ``merge_into_manifest`` commit (zone-map pruned,
-    O(touched files + batch), snapshot-isolated, time-travelable), and
-    with ``persist_changelog`` every commit materializes its row-level
-    delta, so a downstream MV maintained by ``refresh_mv`` keeps
-    folding at O(delta + |MV|) across the stream's merges instead of
-    full-recomputing per commit — the end-to-end CDC shape: stream ->
+    lakehouse upgrade of ``upsert_stream``: each micro-batch lands as
+    ONE commit (zone-map pruned, snapshot-isolated, time-travelable),
+    and with ``persist_changelog`` every commit materializes its
+    row-level delta, so a downstream MV maintained by ``refresh_mv``
+    keeps folding at O(delta + |MV|) across the stream's merges instead
+    of full-recomputing per commit — the end-to-end CDC shape: stream ->
     merge commits -> persisted CDF -> scheduled pull refresh.
+
+    ``mode`` picks the write shape per the table's workload:
+    ``"cow"`` (default) is ``merge_into_manifest`` — rewrite the
+    touched files, right for bounded batches against a clustered table
+    (no scan rent accrues); ``"mor"`` is ``upsert_rows_mor`` — one
+    KB-scale delete sidecar + one small image file per micro-batch,
+    O(batch) written bytes regardless of how scattered the keys are,
+    which is what an hourly trickle of 1k CDC keys against a 100 TB
+    table needs (COW would rewrite ~1k files per batch). MOR batches
+    accrue a broadcast-anti-join scan rent until the next ``compact``
+    (see ``maintain`` for the threshold-driven fold).
+
+    ``dedupe_updates_by=<ordering column>`` resolves several revisions
+    of one key WITHIN a micro-batch latest-wins BEFORE the merge —
+    routine under ``availableNow``, which coalesces a whole backlog
+    into one batch; without it duplicate keys are refused by the merge
+    (crashing the stream is the alternative, not silently picking a
+    winner). Ties on the ordering column still raise.
 
     Exactly-once composition: the checkpoint deduplicates INPUT (a
     restarted query never re-reads committed files), and a batch
     retried after a mid-commit crash re-merges the same rows onto the
     same keys — the end state is identical and the extra version's
     changelog folds to a net-zero delta (each key's -1 old image equals
-    its +1 new image). Empty micro-batches commit nothing. Duplicate
-    keys WITHIN one micro-batch are refused by the merge (resolve to
-    one revision per key upstream, e.g. a latest-wins window per
-    batch)."""
+    its +1 new image). Empty micro-batches commit nothing."""
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
     from european_public_data_pipeline_spark.pipeline.cow_merge import (
         merge_into_manifest,
+    )
+    from european_public_data_pipeline_spark.pipeline.merge import (
+        resolve_latest_wins,
+    )
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        upsert_rows_mor,
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # idle trigger: no version, no empty changelog
+        if mode == "mor":
+            upsert_rows_mor(
+                batch_df.sparkSession,
+                table_path,
+                batch_df,
+                keys=keys,
+                persist_changelog=persist_changelog,
+                dedupe_updates_by=dedupe_updates_by,
+            )
+            return
+        if dedupe_updates_by:
+            batch_df = resolve_latest_wins(
+                batch_df, keys, dedupe_updates_by, "upsert_stream_manifest"
+            )
         merge_into_manifest(
             batch_df.sparkSession,
             table_path,

@@ -737,3 +737,50 @@ def test_mor_upsert_changelog_keeps_mv_incremental(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_maintain_folds_sidecar_pressure_and_small_files(spark, tmp_path):
+    """The lakehouse-hygiene hook: trickle deletes accrue one broadcast
+    anti join per commit until compact — maintain() watches the meter
+    and folds when it trips, returning what it did and why; below the
+    thresholds it is a metadata-only no-op. Small-file pressure from
+    trickle appends trips the other meter."""
+    t = str(tmp_path / "tbl")
+    _seed(spark, t, n=200, files=4)
+    # Three trickle deletes: below the 4-entry threshold -> no-op.
+    for k in (5, 6, 7):
+        delete_rows_mor(spark, t, _dk(spark, k), ["k"])
+    r = M.maintain(spark, t, max_delete_entries=4, max_small_files=None)
+    assert r["action"] == "none" and r["delete_entries"] == 3
+    # Two more trip it: one clustered compact folds everything.
+    for k in (8, 9):
+        delete_rows_mor(spark, t, _dk(spark, k), ["k"])
+    r = M.maintain(
+        spark, t, max_delete_entries=4, max_small_files=None,
+        target_files=4, cluster_by="k",
+    )
+    assert r["action"] == "compact" and "anti join" in r["reason"]
+    m = M._read_json(
+        spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+    )
+    assert not m.get("delete_files")  # scan rent back to baseline
+    got = {row["k"] for row in M.read_version(spark, t).collect()}
+    assert got == set(range(200)) - {5, 6, 7, 8, 9}
+    # Meters reset: the next probe is a no-op again.
+    r = M.maintain(spark, t, max_delete_entries=4, max_small_files=None)
+    assert r["action"] == "none" and r["delete_entries"] == 0
+    # Small-file pressure: trickle appends under the byte threshold.
+    for i in range(6):
+        M.append_version(
+            spark.createDataFrame([(1000 + i, 1)], "k long, v long"), t
+        )
+    r = M.maintain(
+        spark, t, max_delete_entries=None, max_small_files=5,
+        small_file_bytes=1024 * 1024, target_files=2,
+    )
+    assert r["action"] == "compact" and "files under" in r["reason"]
+    assert len(
+        M._read_json(
+            spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+        )["files"]
+    ) <= 2

@@ -649,3 +649,104 @@ def test_upsert_stream_manifest_cdc_and_replay_idempotence(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_upsert_stream_manifest_mor_mode_intra_batch_latest_wins(
+    spark, tmp_path
+):
+    """ADVICE r12: one availableNow micro-batch carrying TWO revisions
+    of a key (a coalesced backlog — routine) must land the later
+    revision via dedupe_updates_by instead of crashing the stream; and
+    mode='mor' lands each batch as a sidecar+images commit (no data
+    file rewritten), with the persisted changelog still folding into
+    the MV. Without dedupe_updates_by the duplicate still refuses."""
+    from european_public_data_pipeline_spark.pipeline import manifest as M
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+    from european_public_data_pipeline_spark.streaming.sinks import (
+        upsert_stream_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    mv = str(tmp_path / "mv")
+    feed = str(tmp_path / "feed")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.pmod(F.col("id"), F.lit(4)).alias("g"),
+        (F.col("id") * 10).cast("double").alias("v"),
+        F.lit(0).cast("long").alias("rev"),
+    )
+    M.publish_version(
+        base.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t,
+        stats_cols=("k",),
+    )
+    m1_files = set(
+        M._read_json(spark, f"{t}/manifest/00000001.json")["files"]
+    )
+    spec = MVSpec(
+        group_keys=("g",),
+        measures=(
+            Measure("n", "count"),
+            Measure("s", "sum", "CAST(ROUND(v * 100) AS BIGINT)"),
+        ),
+    )
+    refresh_mv(spark, t, mv, spec)
+    # ONE feed write = one availableNow batch with two revisions of
+    # k=7 (rev 1 then rev 2) plus an insert.
+    spark.createDataFrame(
+        [(7, 3, 1.0, 1), (7, 3, 2.0, 2), (2000, 0, 9.0, 1)],
+        "k long, g long, v double, rev long",
+    ).coalesce(1).write.parquet(feed)
+
+    def run(ckpt, **kw):
+        upsert_stream_manifest(
+            spark.readStream.schema(
+                "k long, g long, v double, rev long"
+            ).parquet(feed),
+            t,
+            ckpt,
+            keys=["k"],
+            **kw,
+        )
+
+    # Without latest-wins the duplicate refuses (stream surfaces it).
+    with pytest.raises(Exception, match="duplicate key"):
+        run(str(tmp_path / "ckpt0"), mode="mor")
+    # With it: the later revision lands, as a MOR commit.
+    run(str(tmp_path / "ckpt1"), mode="mor", dedupe_updates_by="rev")
+    got = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got[7] == 2.0 and got[2000] == 9.0 and len(got) == 101
+    m_now = M._read_json(
+        spark, f"{t}/manifest/{M.current_version(spark, t):08d}.json"
+    )
+    # MOR shape: every original data file carried untouched, one
+    # sidecar entry for the matched key.
+    assert m1_files <= set(m_now["files"])
+    assert len(m_now.get("delete_files") or []) == 1
+    # The persisted changelog keeps the MV fold incremental and exact.
+    refresh_mv(spark, t, mv, spec)
+    assert M.version_meta(spark, mv)["refresh_mode"] == "changelog"
+    got_mv = {
+        r["g"]: (r["n"], r["s"]) for r in M.read_version(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["n"], r["s"])
+        for r in M.read_version(spark, t)
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(v * 100) AS BIGINT)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got_mv == want
+    # COW mode with the same dedupe also lands latest-wins (the other
+    # half of the advice): replay over a fresh checkpoint, end state
+    # already correct -> idempotent.
+    run(str(tmp_path / "ckpt2"), dedupe_updates_by="rev")
+    got2 = {r["k"]: r["v"] for r in M.read_version(spark, t).collect()}
+    assert got2 == got
