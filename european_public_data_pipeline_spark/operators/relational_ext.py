@@ -4388,3 +4388,180 @@ def q135_streaming_cdc_upsert_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kb")
     )
+
+
+@register(
+    "q136_mor_upsert_merge",
+    category="scan",
+    doc="Merge-on-read UPSERT (pipeline/mor_delete.py upsert_rows_mor — "
+    "the Iceberg MOR MERGE shape): each commit carries an equality-"
+    "delete sidecar for its matched keys PLUS one small appended file "
+    "of new images, so a scattered CDC batch against a 100 TB table "
+    "writes O(batch) bytes where q130's COW merge rewrites every "
+    "touched file (the write-amplification pin lives in "
+    "test_mor_delete.py::test_mor_upsert_commit_writes_o_batch_bytes). "
+    "The builder chains the full trickle-write lifecycle: upsert A "
+    "(+100 bumps on k%19 keys + far-key inserts) -> MOR delete of "
+    "k%23 keys -> upsert B that RE-INSERTS the even deleted keys at a "
+    "sentinel balance and re-updates surviving k%19*3 keys to an "
+    "absolute +300 image — all three commits persist Delta-CDF "
+    "changelogs, and ONE refresh_mv folds them in a single "
+    "'changelog'-mode pass (count/sum/min/max measures, exercising "
+    "insert-image extrema and the tying-delete recompute). The builder "
+    "pins the MOR shape (every v1 data file carried untouched through "
+    "all three commits), v1 time-travel intactness, and MV-vs-table "
+    "parity, then a clustered compact folds sidecars + images into "
+    "clean files and the aggregate is read from the FOLDED table. "
+    "Oracle: DuckDB recomputes the end state directly.",
+    oracle="""
+WITH mx AS (SELECT MAX(c_custkey) AS mk FROM customer),
+final AS (
+  SELECT c_custkey AS k,
+         CASE WHEN c_custkey % 19 = 0 AND c_custkey % 3 = 0
+              THEN CAST(c_acctbal + 300 AS DOUBLE)
+              WHEN c_custkey % 19 = 0
+              THEN CAST(c_acctbal + 100 AS DOUBLE)
+              ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+  FROM customer WHERE c_custkey % 23 <> 0
+  UNION ALL
+  SELECT c_custkey AS k, CAST(7777 AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 23 = 0 AND c_custkey % 2 = 0
+  UNION ALL
+  SELECT c_custkey + 2 * (SELECT mk FROM mx) AS k,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer WHERE c_custkey % 29 = 0
+)
+SELECT CAST(k % 8 AS BIGINT) AS kb,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c,
+       CAST(MIN(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS min_bal_c,
+       CAST(MAX(CAST(ROUND(bal * 100) AS BIGINT)) AS BIGINT) AS max_bal_c,
+       CAST('changelog' AS VARCHAR) AS refresh_mode,
+       TRUE AS v1_intact,
+       TRUE AS mor_shape,
+       TRUE AS mv_matches
+FROM final
+GROUP BY 1
+ORDER BY kb
+""",
+)
+def q136_mor_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from european_public_data_pipeline_spark.pipeline import manifest
+    from european_public_data_pipeline_spark.pipeline.mor_delete import (
+        delete_rows_mor,
+        upsert_rows_mor,
+    )
+    from european_public_data_pipeline_spark.pipeline.mv_refresh import (
+        _META_MODE,
+        Measure,
+        MVSpec,
+        refresh_mv,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.pmod(F.col("c_custkey"), F.lit(8)).alias("kb"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    path = _scratch_table_path("morup_customer", sf_dir)
+    mv = _scratch_table_path("morup_mv", sf_dir)
+    spec = MVSpec(
+        group_keys=("kb",),
+        measures=(
+            Measure("n", "count"),
+            Measure("sum_bal_c", "sum", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("min_bal_c", "min", "CAST(ROUND(bal * 100) AS BIGINT)"),
+            Measure("max_bal_c", "max", "CAST(ROUND(bal * 100) AS BIGINT)"),
+        ),
+    )
+    manifest.publish_version(
+        c.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        stats_cols=("k",),
+    )                                                           # v1
+    n_base = manifest.read_version(spark, path).count()
+    m1_files = set(
+        manifest._read_json(spark, f"{path}/manifest/00000001.json")["files"]
+    )
+    refresh_mv(spark, path, mv, spec)                           # full build
+    mx = c.agg(F.max("k")).collect()[0][0]
+    # Upsert A (v2): +100 bumps on k%19 keys + far-key inserts.
+    up_a = c.filter(F.col("k") % 19 == 0).withColumn(
+        "bal", F.col("bal") + 100
+    ).unionByName(
+        c.filter(F.col("k") % 29 == 0).select(
+            (F.col("k") + 2 * mx).alias("k"),
+            F.pmod(F.col("k") + 2 * mx, F.lit(8)).alias("kb"),
+            "bal",
+        )
+    )
+    o_a = upsert_rows_mor(spark, path, up_a, ["k"], persist_changelog=True)
+    # MOR delete (v3): k%23 keys (original key space only).
+    delete_rows_mor(
+        spark,
+        path,
+        c.filter(F.col("k") % 23 == 0).select("k"),
+        ["k"],
+        persist_changelog=True,
+    )
+    # Upsert B (v4): RE-INSERT the even deleted keys at a sentinel
+    # balance; re-update surviving k%19*3 keys to an ABSOLUTE +300
+    # image (deterministic regardless of A's bump).
+    up_b = c.filter(
+        (F.col("k") % 23 == 0) & (F.col("k") % 2 == 0)
+    ).withColumn("bal", F.lit(7777.0)).unionByName(
+        c.filter(
+            (F.col("k") % 19 == 0)
+            & (F.col("k") % 3 == 0)
+            & (F.col("k") % 23 != 0)
+        ).withColumn("bal", F.col("bal") + 300)
+    )
+    o_b = upsert_rows_mor(spark, path, up_b, ["k"], persist_changelog=True)
+    m4 = manifest._read_json(
+        spark, f"{path}/manifest/{o_b['version']:08d}.json"
+    )
+    mor_shape = (
+        m1_files <= set(m4["files"])             # v1 files never rewritten
+        and o_a["rows_updated"] > 0
+        and o_b["rows_inserted"] > 0             # re-inserts were inserts
+        and len(m4.get("delete_files") or []) >= 2
+    )
+    v1_intact = manifest.read_version(spark, path, 1).count() == n_base
+    refresh_mv(spark, path, mv, spec)  # ONE pass folds all three changelogs
+    mode = manifest.version_meta(spark, mv).get(_META_MODE, "?")
+    manifest.compact(spark, path, target_files=8, cluster_by="k")  # v5: fold
+    agg = (
+        manifest.read_version(spark, path)
+        .groupBy(F.pmod(F.col("k"), F.lit(8)).alias("kb"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("bal") * 100).cast("bigint")
+            ).alias("sum_bal_c"),
+            F.min(
+                F.round(F.col("bal") * 100).cast("bigint")
+            ).alias("min_bal_c"),
+            F.max(
+                F.round(F.col("bal") * 100).cast("bigint")
+            ).alias("max_bal_c"),
+        )
+    )
+    mv_rows = {
+        r["kb"]: (r["n"], r["sum_bal_c"], r["min_bal_c"], r["max_bal_c"])
+        for r in manifest.read_version(spark, mv).collect()
+    }
+    agg_rows = {
+        r["kb"]: (r["n"], r["sum_bal_c"], r["min_bal_c"], r["max_bal_c"])
+        for r in agg.collect()
+    }
+    mv_matches = mv_rows == agg_rows
+    return (
+        agg.select(
+            "kb", "n", "sum_bal_c", "min_bal_c", "max_bal_c",
+            F.lit(mode).alias("refresh_mode"),
+            F.lit(v1_intact).alias("v1_intact"),
+            F.lit(mor_shape).alias("mor_shape"),
+            F.lit(mv_matches).alias("mv_matches"),
+        )
+        .orderBy("kb")
+    )
