@@ -753,18 +753,38 @@ def _commit(
         int(e.get("version", -1)) == n
         for e in (carried_delete_entries or [])
     )
+    # The writer's exposure window starts at its MANIFEST READ, not at
+    # this fence: the sidecar keys / changelog images were computed from
+    # the pre-purge snapshot during the seconds-long staging phase, so a
+    # purge that COMPLETED inside the read->fence gap is just as fatal
+    # as a pending one — its plan never saw values that are about to be
+    # committed. Anchor on carried_read_at; a caller that did not record
+    # one gets the conservative treatment (any visible plan is a
+    # hazard).
+    read_anchor = carried_read_at if carried_read_at is not None else 0.0
+
+    def _erasure_hazards(plans: list[dict]) -> list[dict]:
+        return [
+            p for p in plans
+            if "completed_at" not in p
+            or float(p["completed_at"]) > read_anchor
+        ]
+
     pre_plan_ids: set[str] = set()
     if adds_erasure:
         plans0 = _purge_plans(spark, table_path)
         pre_plan_ids = {p["__plan_id"] for p in plans0}
-        if any("completed_at" not in p for p in plans0):
+        if _erasure_hazards(plans0):
             if data_dir is not None:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
             raise PurgeInFlightError(
                 f"commit to {table_path} carries a merge-on-read delete "
                 f"sidecar or persisted changelog while a purge is in "
-                f"flight — its values would survive the purge invisibly; "
-                f"retry after the purge completes"
+                f"flight or completed during this commit's staging "
+                f"window — its values were computed from the pre-purge "
+                f"snapshot and would survive the erasure invisibly; "
+                f"re-read the current manifest, rebuild the batch, and "
+                f"retry"
             )
     payload = {
         "version": n,
@@ -898,7 +918,9 @@ def _commit(
             ) from exc
         hazard = [
             p for p in plans1
-            if "completed_at" not in p or p["__plan_id"] not in pre_plan_ids
+            if "completed_at" not in p
+            or p["__plan_id"] not in pre_plan_ids
+            or float(p["completed_at"]) > read_anchor
         ]
         if hazard:
             raise RuntimeError(
@@ -2566,15 +2588,30 @@ def purge_rows(
         # few passes bound racing writers); sidecars need a fold this
         # single-writer purge must not perform — refuse loudly instead
         # of declaring the erasure complete.
-        for _ in range(3):
-            if not any(
+        def _changelogs_present() -> bool:
+            return any(
                 _read_json(
                     spark, f"{table_path}/manifest/{v:08d}.json"
                 ).get("changelog_files")
                 for v in versions(spark, table_path)
-            ):
+            )
+
+        for _ in range(3):
+            if not _changelogs_present():
                 break
             _drop_persisted_changelogs(spark, table_path)
+        if _changelogs_present():
+            # Same loud-refusal contract as the sidecar branch below: a
+            # writer storm that re-lands a persisted changelog after
+            # every drop pass must not let the purge declare the erasure
+            # complete while row images staged pre-purge survive.
+            raise RuntimeError(
+                f"purge of {table_path} removed the matched DATA rows, "
+                f"but persisted changelogs kept re-appearing across 3 "
+                f"drop passes (writers racing the purge) — re-run "
+                f"purge_rows once the writers settle to finish erasing "
+                f"them"
+            )
         mor_after = [
             v
             for v in versions(spark, table_path)

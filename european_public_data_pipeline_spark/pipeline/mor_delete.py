@@ -86,6 +86,16 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
 _SIDECAR_CAP = 262144
 
 
+def _list_parquet(jvm, fs, d: str) -> list[str]:
+    """Sorted parquet paths under a staged directory (sidecar,
+    changelog) — the one listing idiom every writer here shares."""
+    return sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
 def delete_rows_mor(
     spark: SparkSession,
     table_path: str,
@@ -182,24 +192,15 @@ def delete_rows_mor(
             delete_path(spark, cl_dir)  # staged images of nothing
         return out
     if cl_dir is not None:
-        cl_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
         extra_payload = {
-            "changelog_files": cl_files,
+            "changelog_files": _list_parquet(jvm, fs, cl_dir),
             "changelog_weight_col": "__w",
         }
 
     sidecar_dir = f"{table_path}/deletes/v{n:08d}-{uuid.uuid4().hex[:12]}"
     # KB-scale by design: one file of distinct key tuples.
     dkeys.coalesce(1).write.mode("overwrite").parquet(sidecar_dir)
-    sidecar_files = sorted(
-        str(st.getPath().toString())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
-        if st.getPath().getName().endswith(".parquet")
-    )
+    sidecar_files = _list_parquet(jvm, fs, sidecar_dir)
     entries = list(m.get("delete_files") or []) + [
         {"version": n, "files": sidecar_files, "keys": list(keys)}
     ]
@@ -343,24 +344,13 @@ def delete_where_mor(
             matches.drop("__pf", "__pr").select(
                 "*", F.lit(-1).alias("__w")
             ).coalesce(4).write.mode("overwrite").parquet(cl_dir)
-            cl_files = sorted(
-                str(st.getPath().toString())
-                for st in fs.listStatus(
-                    jvm.org.apache.hadoop.fs.Path(cl_dir)
-                )
-                if st.getPath().getName().endswith(".parquet")
-            )
             extra_payload = {
-                "changelog_files": cl_files,
+                "changelog_files": _list_parquet(jvm, fs, cl_dir),
                 "changelog_weight_col": "__w",
             }
     finally:
         matches.unpersist()
-    sidecar_files = sorted(
-        str(st.getPath().toString())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
-        if st.getPath().getName().endswith(".parquet")
-    )
+    sidecar_files = _list_parquet(jvm, fs, sidecar_dir)
     entries = list(m.get("delete_files") or []) + [
         {"version": n, "files": sidecar_files, "kind": "position"}
     ]
@@ -455,6 +445,14 @@ def upsert_rows_mor(
     if carried_schema is None and m["files"]:
         carried_schema = spark.read.parquet(m["files"][0]).schema.json()
 
+    # Pin the batch BEFORE any validation: the batch is read several
+    # times (the guards below, key collect, image write, changelog
+    # write) and may carry expensive or NON-DETERMINISTIC lineage — a
+    # guard that validated one evaluation while a different evaluation
+    # got committed would be worse than no guard (a NULL key could pass
+    # refuse_null_keys yet land in the sidecar). localCheckpoint also
+    # severs the streaming micro-batch lineage the CDC sink hands us.
+    updates = updates.localCheckpoint()
     if dedupe_updates_by:
         from european_public_data_pipeline_spark.pipeline.merge import (
             resolve_latest_wins,
@@ -464,11 +462,6 @@ def upsert_rows_mor(
             updates, keys, dedupe_updates_by, "upsert_rows_mor"
         )
     refuse_null_keys(updates, keys, "upsert_rows_mor: update batch")
-    # The batch is read several times (key collect, image write,
-    # changelog write) and may carry expensive or non-deterministic
-    # lineage — pin it once. localCheckpoint also severs the streaming
-    # micro-batch lineage the CDC sink hands us.
-    updates = updates.localCheckpoint()
 
     # ONE bounded collect answers three needs: the per-key row counts
     # expose intra-batch duplicates (refused — nondeterministic winner),
@@ -518,9 +511,13 @@ def upsert_rows_mor(
     # per-key aggregate is bounded by the batch's key count (<= cap),
     # so collecting it is driver-safe, and it answers both the exact
     # row accounting and the matched-key set the sidecar needs.
+    n_next = head + 1
+    jvm, fs, _ = hadoop_fs(spark, table_path)
+    cl_dir = None
+    extra_payload = None
     matched_rows = 0
     matched_key_rows: list = []
-    old_images = None
+    new_images = updates.select("*", F.lit(1).alias("__w"))
     if candidates:
         hit = _read_files_live(spark, m, candidates).join(
             F.broadcast(probe_keys), on=keys, how="left_semi"
@@ -535,45 +532,25 @@ def upsert_rows_mor(
                 hit.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n")).collect()
             )
             matched_rows = sum(int(r["__n"]) for r in matched_key_rows)
-            if persist_changelog and matched_rows:
-                old_images = hit
-            n_next = head + 1
-            jvm, fs, _ = hadoop_fs(spark, table_path)
-            cl_dir = None
-            extra_payload = None
             if persist_changelog:
                 cl_dir = _changelog_stage_dir(table_path, n_next)
-                new_images = updates.select(
-                    "*", F.lit(1).alias("__w")
-                )
                 delta = (
-                    old_images.select("*", F.lit(-1).alias("__w"))
+                    hit.select("*", F.lit(-1).alias("__w"))
                     .unionByName(new_images, allowMissingColumns=True)
-                    if old_images is not None
+                    if matched_rows
                     else new_images
                 )
                 delta.coalesce(4).write.mode("overwrite").parquet(cl_dir)
         finally:
             if persist_changelog:
                 hit.unpersist()
-    else:
-        n_next = head + 1
-        jvm, fs, _ = hadoop_fs(spark, table_path)
-        cl_dir = None
-        extra_payload = None
-        if persist_changelog:
-            cl_dir = _changelog_stage_dir(table_path, n_next)
-            updates.select("*", F.lit(1).alias("__w")).coalesce(4).write.mode(
-                "overwrite"
-            ).parquet(cl_dir)
+    elif persist_changelog:
+        # No candidate file can hold a batch key: pure inserts.
+        cl_dir = _changelog_stage_dir(table_path, n_next)
+        new_images.coalesce(4).write.mode("overwrite").parquet(cl_dir)
     if cl_dir is not None:
-        cl_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
         extra_payload = {
-            "changelog_files": cl_files,
+            "changelog_files": _list_parquet(jvm, fs, cl_dir),
             "changelog_weight_col": "__w",
         }
 
@@ -589,13 +566,12 @@ def upsert_rows_mor(
             [tuple(r[k] for k in keys) for r in matched_key_rows],
             updates.select(*keys).schema,
         ).coalesce(1).write.mode("overwrite").parquet(sidecar_dir)
-        sidecar_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(sidecar_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
         entries.append(
-            {"version": n_next, "files": sidecar_files, "keys": list(keys)}
+            {
+                "version": n_next,
+                "files": _list_parquet(jvm, fs, sidecar_dir),
+                "keys": list(keys),
+            }
         )
 
     # Stage the new images — the ONLY data write, O(batch) bytes.

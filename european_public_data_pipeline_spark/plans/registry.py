@@ -457,6 +457,20 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q135_streaming_cdc_upsert_mv",
     "q111_purge_then_read",
     "q122_vacuum_orphans",
+    # _commit (erasure fence, runs on EVERY commit) and _read_files_live
+    # (empty-read branch, file_col refusal) changed — the documented
+    # round discipline: manifest commit/read-path changes implicate the
+    # whole lakehouse scan family, which re-earns its verdict.
+    "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan",
+    "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning",
+    "q112_clustered_compact_scan",
+    "q115_wap_gated_publish",
+    "q117_bloom_stale_sidecar_purge",
+    "q119_retention_expire_versions",
+    "q120_manifest_schema_evolution",
+    "q123_widen_column_rewrite",
 )
 
 
