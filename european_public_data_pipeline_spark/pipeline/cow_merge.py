@@ -63,6 +63,7 @@ from european_public_data_pipeline_spark.pipeline.fs_util import (
 from european_public_data_pipeline_spark.pipeline.manifest import (
     ConcurrentPublishError,
     PurgeInFlightError,
+    _list_parquet,
     _changelog_stage_dir,
     _commit,
     _path_key,
@@ -344,11 +345,7 @@ def merge_into_manifest(
             changelog_df = changelog_df.coalesce(4)
         changelog_df.write.mode("overwrite").parquet(cl_dir)
         jvm, fs, _ = hadoop_fs(spark, cl_dir)
-        cl_files = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(cl_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
+        cl_files = _list_parquet(jvm, fs, cl_dir)
         extra_payload = {
             "changelog_files": cl_files,
             "changelog_weight_col": "__w",

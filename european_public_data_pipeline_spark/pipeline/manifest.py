@@ -50,6 +50,17 @@ from pyspark.sql import DataFrame, SparkSession
 from european_public_data_pipeline_spark.pipeline.fs_util import hadoop_fs
 
 
+def _list_parquet(jvm, fs, d: str) -> list[str]:
+    """Sorted parquet paths directly under a staged directory — the one
+    listing idiom every writer shares (staged batches, MOR sidecars,
+    persisted changelogs, purge rewrites)."""
+    return sorted(
+        str(st.getPath().toString())
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
+        if st.getPath().getName().endswith(".parquet")
+    )
+
+
 class ConcurrentPublishError(RuntimeError):
     """Another publisher committed this version first."""
 
@@ -453,6 +464,14 @@ def _file_stats(spark: SparkSession, data_dir: str, stats_cols: tuple) -> dict:
 # the KB-sized plans are reclaimed by the next purge_rows run after it.
 COMPLETED_PLAN_TTL_S = 3600.0
 
+# Cross-driver clock-skew allowance for the erasure fence: a purge
+# plan's completed_at (purge driver's clock) within this many seconds
+# BEFORE a writer's manifest-read time (writer's clock) still counts as
+# "completed inside the staging window". Bounded by ordinary NTP drift;
+# a commit refused inside the allowance of a rare purge just retries
+# with a fresh read.
+PURGE_CLOCK_SKEW_S = 60.0
+
 
 def _purge_plans(spark: SparkSession, table_path: str) -> list[dict]:
     """Remap-carrying purge plans currently visible under
@@ -612,11 +631,7 @@ def _commit(
     rewrite and the state resets."""
     jvm, fs, _ = hadoop_fs(spark, table_path)
     if data_dir is not None:
-        staged = sorted(
-            str(st.getPath().toString())
-            for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(data_dir))
-            if st.getPath().getName().endswith(".parquet")
-        )
+        staged = _list_parquet(jvm, fs, data_dir)
     else:
         if carried_schema is None:
             raise ValueError(
@@ -756,25 +771,31 @@ def _commit(
     # The writer's exposure window starts at its MANIFEST READ, not at
     # this fence: the sidecar keys / changelog images were computed from
     # the pre-purge snapshot during the seconds-long staging phase, so a
-    # purge that COMPLETED inside the read->fence gap is just as fatal
+    # purge that COMPLETED inside the read->gap is just as fatal
     # as a pending one — its plan never saw values that are about to be
     # committed. Anchor on carried_read_at; a caller that did not record
     # one gets the conservative treatment (any visible plan is a
-    # hazard).
+    # hazard). completed_at is stamped by the PURGE driver's clock while
+    # carried_read_at comes from the writer's — a raw comparison is only
+    # sound on one shared clock, so the boundary carries a skew
+    # allowance: any plan that completed less than the allowance before
+    # the read (or any time after it) is treated as a hazard. The cost
+    # is benign — a sidecar/changelog commit whose read fell within the
+    # allowance of a rare purge retries once with a fresh read; the
+    # pending-tombstone half needs no clocks at all.
     read_anchor = carried_read_at if carried_read_at is not None else 0.0
 
-    def _erasure_hazards(plans: list[dict]) -> list[dict]:
-        return [
-            p for p in plans
-            if "completed_at" not in p
-            or float(p["completed_at"]) > read_anchor
-        ]
+    def _is_erasure_hazard(p: dict) -> bool:
+        return (
+            "completed_at" not in p
+            or float(p["completed_at"]) >= read_anchor - PURGE_CLOCK_SKEW_S
+        )
 
     pre_plan_ids: set[str] = set()
     if adds_erasure:
         plans0 = _purge_plans(spark, table_path)
         pre_plan_ids = {p["__plan_id"] for p in plans0}
-        if _erasure_hazards(plans0):
+        if any(_is_erasure_hazard(p) for p in plans0):
             if data_dir is not None:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
             raise PurgeInFlightError(
@@ -918,9 +939,7 @@ def _commit(
             ) from exc
         hazard = [
             p for p in plans1
-            if "completed_at" not in p
-            or p["__plan_id"] not in pre_plan_ids
-            or float(p["completed_at"]) > read_anchor
+            if p["__plan_id"] not in pre_plan_ids or _is_erasure_hazard(p)
         ]
         if hazard:
             raise RuntimeError(
@@ -2556,12 +2575,7 @@ def purge_rows(
             )
             out_dir = f"{table_path}/data/purge-{uuid.uuid4().hex[:12]}"
             kept.coalesce(1).write.mode("overwrite").parquet(out_dir)
-            new_files = sorted(
-                str(st.getPath().toString())
-                for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(out_dir))
-                if st.getPath().getName().endswith(".parquet")
-            )
-            rewritten[f] = new_files[0]
+            rewritten[f] = _list_parquet(jvm, fs, out_dir)[0]
 
     if removed_per_file:
         # Tombstone BEFORE remapping — and it carries the WHOLE plan, so
@@ -2596,22 +2610,23 @@ def purge_rows(
                 for v in versions(spark, table_path)
             )
 
-        for _ in range(3):
-            if not _changelogs_present():
-                break
+        drops = 0
+        while _changelogs_present():
+            if drops == 3:
+                # Same loud-refusal contract as the sidecar branch
+                # below: a writer storm that re-lands a persisted
+                # changelog after every drop pass must not let the
+                # purge declare the erasure complete while row images
+                # staged pre-purge survive.
+                raise RuntimeError(
+                    f"purge of {table_path} removed the matched DATA "
+                    f"rows, but persisted changelogs kept re-appearing "
+                    f"across {drops} drop passes (writers racing the "
+                    f"purge) — re-run purge_rows once the writers "
+                    f"settle to finish erasing them"
+                )
             _drop_persisted_changelogs(spark, table_path)
-        if _changelogs_present():
-            # Same loud-refusal contract as the sidecar branch below: a
-            # writer storm that re-lands a persisted changelog after
-            # every drop pass must not let the purge declare the erasure
-            # complete while row images staged pre-purge survive.
-            raise RuntimeError(
-                f"purge of {table_path} removed the matched DATA rows, "
-                f"but persisted changelogs kept re-appearing across 3 "
-                f"drop passes (writers racing the purge) — re-run "
-                f"purge_rows once the writers settle to finish erasing "
-                f"them"
-            )
+            drops += 1
         mor_after = [
             v
             for v in versions(spark, table_path)

@@ -70,6 +70,7 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
     PurgeInFlightError,
     _changelog_stage_dir,
     _commit,
+    _list_parquet,
     _path_key,
     _read_files_live,
     _read_json,
@@ -84,16 +85,6 @@ from european_public_data_pipeline_spark.pipeline.manifest import (
 # Sidecars are broadcast on EVERY read until the next compact (see
 # _read_files_live) — both MOR writers bound them to this many rows.
 _SIDECAR_CAP = 262144
-
-
-def _list_parquet(jvm, fs, d: str) -> list[str]:
-    """Sorted parquet paths under a staged directory (sidecar,
-    changelog) — the one listing idiom every writer here shares."""
-    return sorted(
-        str(st.getPath().toString())
-        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(d))
-        if st.getPath().getName().endswith(".parquet")
-    )
 
 
 def delete_rows_mor(
@@ -458,9 +449,14 @@ def upsert_rows_mor(
             resolve_latest_wins,
         )
 
+        # Re-pin the deduped result: downstream reads it ~6 times (the
+        # guards, key collect, probe scan, changelog and data writes) —
+        # without this pin each would re-run the dedupe window shuffle.
+        # Determinism is already guaranteed by the pinned INPUT plus the
+        # tie refusal, so the second checkpoint is purely a cost move.
         updates = resolve_latest_wins(
             updates, keys, dedupe_updates_by, "upsert_rows_mor"
-        )
+        ).localCheckpoint()
     refuse_null_keys(updates, keys, "upsert_rows_mor: update batch")
 
     # ONE bounded collect answers three needs: the per-key row counts
