@@ -111,21 +111,25 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, "doc_id long, shingle string")
 
 
-def minhash_sig(hashed_shingles: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): the 16 portable universal-hash minhash
-    components from a (doc_id, hv) hashed-shingle relation.
+def minhash_sig(hashed_shingles: DataFrame, with_size: bool = False) -> DataFrame:
+    """(doc_id, m0..m15[, n_shingles]): the 16 portable universal-hash
+    minhash components from a (doc_id, hv) hashed-shingle relation.
 
     ONE definition shared by d04/d14/d23 and
     ``streaming/dedup_admission`` — the persisted admission index must
     stay band-compatible bit-for-bit with the batch operators and their
-    oracles, so the construction must never fork.
+    oracles, so the construction must never fork. ``with_size`` rides the
+    shingle-set cardinality along in the SAME aggregation pass: callers
+    that need both the signature and |set| (d04's Jaccard verification)
+    get them for one doc_id shuffle instead of two.
     """
-    return hashed_shingles.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-            for i, (a, b) in enumerate(_AB)
-        ]
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(_AB)
+    ]
+    if with_size:
+        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
+    return hashed_shingles.groupBy("doc_id").agg(*aggs)
 
 
 def sig_bands(sig: DataFrame) -> DataFrame:
@@ -157,7 +161,9 @@ def sig_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+def _jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs given (doc_id, shingle).
 
     Relational intersection count: candidates joined back to the shingle
@@ -165,8 +171,15 @@ def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     packing per-doc shingle arrays and intersecting per pair — measured
     ~30% slower here: the O(|a|*|b|) per-pair set intersection beats the
     join only when candidates vastly outnumber shingle rows.)
+
+    ``sizes`` overrides the per-doc cardinality relation (doc_id,
+    n_shingles) when the caller already has it (e.g. d04 rides it along
+    in the signature aggregation); the n1/n2 joins reference it TWICE, so
+    an uncached default recomputes the count aggregation per side — pass
+    a cached/derived relation to pay for it once.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
     s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
@@ -270,16 +283,16 @@ def posting_list_pairs(grouped: DataFrame, chunk: int = POSTING_CHUNK) -> DataFr
     redistribution is bytes-bounded by B²·chunk ids per hot shingle, not
     by the corpus.
     """
-    short = grouped.filter(F.size("ds") <= chunk)
-    long_ = grouped.filter(F.size("ds") > chunk)
-
-    short_pairs = (
-        short.select(F.explode("ds").alias("d1"), "ds")
-        .select("d1", F.explode("ds").alias("d2"))
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-    )
-
+    # ONE path for every list length: a short list is the degenerate
+    # B = 1 case (a single (0, 0) slice pair), so the short/long split the
+    # r12 code carried is unnecessary — and because it filtered ``grouped``
+    # twice, it executed the posting-list collect_list aggregation (a full
+    # shuffle + ObjectHashAggregate over the shingle relation) TWICE, once
+    # per branch (r13 before-plan). The unified slice path runs it once;
+    # the price is that short lists now ride the slice-pair exchange too,
+    # which redistributes the (already grouped, corpus-bounded) posting
+    # rows — bytes comparable to the aggregation shuffle the split paid
+    # a second time.
     ds_sorted = F.sort_array("ds")
     nb = F.ceil(F.size("ds") / F.lit(chunk)).cast("int")
     slices = F.transform(
@@ -295,8 +308,8 @@ def posting_list_pairs(grouped: DataFrame, chunk: int = POSTING_CHUNK) -> DataFr
             ),
         )
     )
-    long_pairs = (
-        long_.select("shingle", slices.alias("cs"), F.explode(idx_pairs).alias("ij"))
+    return (
+        grouped.select("shingle", slices.alias("cs"), F.explode(idx_pairs).alias("ij"))
         .select(
             "shingle",
             F.col("ij.i").alias("ci"),
@@ -319,7 +332,6 @@ def posting_list_pairs(grouped: DataFrame, chunk: int = POSTING_CHUNK) -> DataFr
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
     )
-    return short_pairs.unionByName(long_pairs)
 
 
 @register(
@@ -348,7 +360,9 @@ ORDER BY d1, d2
 """,
 )
 def d03_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # scatter: the Python shingling kernel (mapInPandas) otherwise runs on
+    # the unsplittable single-row-group scan's one task (0.58x measured).
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     return exact_jaccard_pairs(docs)
 
 
@@ -377,7 +391,9 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("isect"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Referenced twice (n1/n2) — cached so the per-doc count aggregation
+    # over the shingle relation runs once, not once per join side.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).cache()
     n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.col("isect").cast("double") / (F.col("n1") + F.col("n2") - F.col("isect"))
@@ -454,12 +470,20 @@ ORDER BY d1, d2
     oracle=_minhash_sig_sql(),
 )
 def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # scatter: parallelizes the shingling kernel feeding the cached shingle
+    # relation (and the cache inherits the 32-way layout for every reuse).
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     # Shingles feed signature building AND candidate verification (twice)
-    # AND the size aggregate — one cached materialization instead of four.
+    # — one cached materialization instead of three.
     sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
-    bands = sig_bands(minhash_sig(h))
+    # The signature relation is referenced four times (band self-join sides
+    # b1/b2, size joins n1/n2). Riding |shingle set| along in the signature
+    # aggregation and caching the doc-cardinality result collapses what the
+    # r13 before-plan executed as FOUR full aggregation passes over the
+    # shingle relation (sig x2 + sizes x2) into one.
+    sig = minhash_sig(h, with_size=True).cache()
+    bands = sig_bands(sig)
     b1 = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_sig")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_sig")
     cand = (
@@ -469,7 +493,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        _jaccard_on_pairs(cand, sh)
+        _jaccard_on_pairs(cand, sh, sizes=sig.select("doc_id", "n_shingles"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("d1", "d2")
     )
@@ -2151,7 +2175,13 @@ def repeated_span_islands(base: DataFrame) -> DataFrame:
     detection and execution cannot drift; composes the same
     ``positioned_span_grams`` / ``span_islands_from_hits`` pieces d27's
     incremental loop detects with."""
-    pos = positioned_span_grams(base)
+    # ``pos`` feeds the hot-gram count AND the hit semi-join: uncached,
+    # the tokenize + md5-per-position pass (the expensive part — one md5
+    # per corpus token) runs twice (r13 before-plan). Materializing it
+    # once is the ExactSubstr trade Lee et al. make explicitly: the
+    # positioned-gram relation is corpus-token-sized, but recomputing it
+    # costs a full second tokenize+hash pass at any scale.
+    pos = positioned_span_grams(base).cache()
     hot = pos.groupBy("h").count().filter(F.col("count") >= SPAN_TAU).select("h")
     hits = pos.join(hot, "h", "left_semi").select(
         "doc_id", "s", (F.col("s") + (SPAN_K - 1)).alias("e")
@@ -2193,7 +2223,9 @@ ORDER BY m.doc_id
 """,
 )
 def d25_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # scatter: one md5 per corpus token position otherwise runs single-task
+    # on the unsplittable scan (0.76x measured, OPTIMIZATION_r13.md).
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     base = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     ).withColumn("doc_tokens", F.size("w"))
@@ -2269,7 +2301,8 @@ ORDER BY a.doc_id
 """,
 )
 def d26_span_excision_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # scatter: same positioned-gram md5 kernel as d25 (see there).
+    docs = load_table(spark, sf_dir, "documents", scatter=True)
     base = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
     ).withColumn("doc_tokens", F.size("w"))

@@ -64,7 +64,9 @@ ORDER BY l_returnflag, l_linestatus
 """,
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # scatter: the serialized scan+partial-decimal-agg first stage is the
+    # whole query; parallelizing it measured 0.57x (OPTIMIZATION_r13.md).
+    li = load_table(spark, sf_dir, "lineitem", scatter=True)
     disc_factor = F.lit(1) - dec("l_discount", 4, 2)
     tax_factor = F.lit(1) + dec("l_tax", 4, 2)
     return (
@@ -157,7 +159,10 @@ def q04_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key. Same result (one customer per order); at 100 TB this is the
     # difference between shuffling the fact table once on a long vs.
     # carrying dimension strings through the aggregation.
-    li = load_table(spark, sf_dir, "lineitem")
+    # scatter lineitem: the per-order partial decimal aggregation is the
+    # dominant stage and runs on the unsplittable single-row-group scan
+    # otherwise (0.69x measured). orders/customer join 20 rows — no need.
+    li = load_table(spark, sf_dir, "lineitem", scatter=True)
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     per_order = (

@@ -147,7 +147,9 @@ def q26_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.to_date(F.lit("1995-03-15"))
     )
-    l = load_table(spark, sf_dir, "lineitem").filter(
+    # scatter: parallelizes the date-filtered scan + decimal partial agg
+    # (0.82x measured, OPTIMIZATION_r13.md).
+    l = load_table(spark, sf_dir, "lineitem", scatter=True).filter(
         F.col("l_shipdate") > F.to_date(F.lit("1995-03-15"))
     )
     return (

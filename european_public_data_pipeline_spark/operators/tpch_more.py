@@ -53,6 +53,9 @@ def q36_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.to_date(F.lit("1995-01-01")))
         & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
     )
+    # No scatter: the date-filtered orders side auto-broadcasts, so the
+    # fact side is never shuffled for the join — a scatter exchange here
+    # measured 1.13x (pure overhead, OPTIMIZATION_r13.md).
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")

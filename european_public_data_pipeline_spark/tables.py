@@ -29,17 +29,92 @@ TABLE_NAMES = (
 # Small dimension tables that should always be broadcast in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
+# Natural distribution key per fact table: the column the hot joins/windows
+# cluster on. Scattering by a real key (instead of round-robin) is
+# deterministic under task retry (no sort-before-repartition pass, see
+# SPARK-38388 / optimization guide §2.5) and pre-aligns the table with its
+# most common join — lineitem⋈orders on the order key then needs no
+# exchange on either side, the bucketed-table effect of guide §2.4.
+_SCATTER_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# A parquet row group is unsplittable, so a small single-file table scans as
+# ONE task and serializes every pre-exchange operator (scan, partial
+# aggregation, mapInPandas kernels) onto one core regardless of cluster
+# size — the guide §2.5 "input skew" case, with its prescribed remedy:
+# repartition immediately after the read. Inputs bigger than this arrive
+# as many files/row groups (any warehouse-scale table), where the scan
+# parallelizes by itself and the scatter must not add an exchange.
+#
+# The scatter is OPT-IN per call site, not blanket: the exchange costs a
+# real stage (scheduling + AQE re-plan + shuffle of the projected rows)
+# PER SUBTREE REFERENCE, and an r13 idle A/B showed blanket scattering
+# regresses every query whose first stage is cheap or whose plan
+# references the table several times uncached (t17 2.7x, s02 2.1x,
+# q18 2.2x worse), while queries whose pre-exchange stage does heavy
+# per-row work win big (q01 0.57x, d03 0.58x, q04 0.69x, d25 0.76x).
+# Callers ask for it exactly where the serialized first stage is the
+# measured bottleneck: decimal aggregation over lineitem, tokenize/md5/
+# mapInPandas kernels over documents.
+_SCATTER_MAX_BYTES = 256 * 1024 * 1024
+_input_bytes_memo: dict[str, int | None] = {}
+
+
+def _local_input_bytes(path: str) -> int | None:
+    """Total bytes of a local file/directory input; None when the path is
+    not locally stat-able (object store / HDFS — i.e. production scale)."""
+    import os
+
+    p = path[7:] if path.startswith("file://") else path
+    try:
+        if os.path.isfile(p):
+            return os.path.getsize(p)
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(p)
+                for f in files
+            )
+    except OSError:
+        return None
+    return None
+
+
+def _scatter(spark: SparkSession, df: DataFrame, path: str, name: str) -> DataFrame:
+    """Redistribute an under-parallelized small-file scan across the
+    cluster (no-op for broadcast dims and for inputs big enough to split)."""
+    if name not in _SCATTER_KEYS:
+        return df
+    if path not in _input_bytes_memo:
+        _input_bytes_memo[path] = _local_input_bytes(path)
+    nbytes = _input_bytes_memo[path]
+    if nbytes is None or nbytes > _SCATTER_MAX_BYTES:
+        return df
+    return df.repartition(
+        spark.sparkContext.defaultParallelism, _SCATTER_KEYS[name]
+    )
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, scatter: bool = False
+) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    path = table_path(sf_dir, name)
     if name == "events":
-        return _load_events(spark, table_path(sf_dir, name))
-    return spark.read.parquet(table_path(sf_dir, name))
+        df = _load_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    return _scatter(spark, df, path, name) if scatter else df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
