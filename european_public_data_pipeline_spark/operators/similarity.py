@@ -214,10 +214,16 @@ def _sql_bucket(emb: str) -> str:
 
 
 def bucket_expr(vec: F.Column) -> F.Column:
-    """4-bit LSH bucket: sign bits of the hyperplane projections."""
+    """4-bit LSH bucket: sign bits of the hyperplane projections.
+
+    Each plane's literal vector is created with ONE ``F.lit(list)`` call:
+    the previous per-component ``F.array(*[F.lit(c) ...])`` form cost 256
+    py4j round trips and measured 0.4s of driver time PER BUILD (s02's
+    dominant builder cost, OPTIMIZATION_r13.md) for an identical literal.
+    """
     out = None
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in PLANES[p]])
+        plane = F.lit(PLANES[p])
         proj = dot_fold(vec, plane)
         term = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
         out = term if out is None else out + term
@@ -1790,7 +1796,7 @@ def s15_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()  # feeds the probe build, the bucket join, and both rescore sides
     margin_structs = []
     for p in range(N_PLANES):
-        plane = F.array(*[F.lit(c) for c in PLANES[p]])
+        plane = F.lit(PLANES[p])  # one py4j call per plane (see bucket_expr)
         margin_structs.append(
             F.struct(
                 F.abs(dot_fold(F.col("vec"), plane)).alias("m"),

@@ -104,17 +104,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+# Lazy-PLAN memo, not a result cache: ``spark.read.parquet`` costs
+# ~0.1s of driver work per call (py4j round trips + footer/schema read +
+# file-index setup), and a 6-table star query pays it six times PER
+# BUILD. The memoized object is an immutable lazy DataFrame — every
+# action on plans derived from it still reads the parquet bytes; nothing
+# about query RESULTS is stored. Keyed by the live session object so a
+# stopped session's stale JVM references can never be served to a new one.
+_df_memo: dict[tuple, DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, scatter: bool = False
 ) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = table_path(sf_dir, name)
+    key = (spark, path, scatter)
+    if key in _df_memo:
+        return _df_memo[key]
     if name == "events":
         df = _load_events(spark, path)
     else:
         df = spark.read.parquet(path)
-    return _scatter(spark, df, path, name) if scatter else df
+    if scatter:
+        df = _scatter(spark, df, path, name)
+    _df_memo[key] = df
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

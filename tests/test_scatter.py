@@ -45,6 +45,7 @@ def test_scatter_noop_above_size_cutoff(spark, sf_small, monkeypatch):
     # exchange (real multi-file inputs split on their own).
     monkeypatch.setattr(tables, "_SCATTER_MAX_BYTES", 0)
     monkeypatch.setattr(tables, "_input_bytes_memo", {})
+    monkeypatch.setattr(tables, "_df_memo", {})
     df = load_table(spark, sf_small, "lineitem", scatter=True)
     assert "Exchange" not in _plan(df)
 
