@@ -4,10 +4,21 @@
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (collect on aggregates / count on wide
-outputs) after a warm-up pass of the scan layer; timings are wall-clock per
-query on a shared session, which is how the engine would run in production
-(session reuse, JIT/codegen warm).
+Each query is executed to completion through the no-op sink
+(``df.write.format("noop")``, optimization guide §1.4) after a warm-up
+pass of the scan layer; timings are wall-clock per query on a shared
+session, which is how the engine would run in production (session reuse,
+JIT/codegen warm).
+
+Measurement-methodology fix (round 13, documented in OPTIMIZATION_r13.md):
+rounds 1-12 timed ``collect()`` for narrow outputs and ``count()`` for wide
+ones. ``collect`` charges queries for single-threaded driver row-pickling
+the computation doesn't have (q22's 95k-row collect measured 2.29s vs
+0.69s of actual computation at sf0.1), and ``count`` lets the optimizer
+prune columns, under-measuring wide outputs. The noop sink computes every
+column of every row and discards it — guide §1.4's prescribed timing
+action. Cross-round comparisons must use the shared methodology:
+OPTIMIZATION_r13.md records this round's numbers under BOTH actions.
 """
 
 from __future__ import annotations
@@ -77,12 +88,10 @@ def main() -> None:
     def run_once(spec) -> float:
         t0 = time.perf_counter()
         df = spec.builder(spark, sf_dir)
-        # Execute fully: small aggregate outputs are collected, wide outputs
-        # are counted (forces full evaluation without driver transfer).
-        if len(df.columns) <= 16:
-            df.collect()
-        else:
-            df.count()
+        # Execute fully: the noop sink materializes every column of every
+        # row and discards it (guide §1.4) — times the computation, not
+        # the driver transfer of the result set.
+        df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
     # Three timed passes, INTERLEAVED (pass 1 all queries, pass 2 all,
