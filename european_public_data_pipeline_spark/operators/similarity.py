@@ -167,11 +167,21 @@ def gemm_candidate_pairs(
     return bp.mapInPandas(gen, "v1 long, v2 long")
 
 
-def exact_cosine_on_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
+def exact_cosine_on_pairs(
+    cand: DataFrame, e: DataFrame, carry_a: tuple[str, ...] = ()
+) -> DataFrame:
     """Bit-exact cosine for candidate (v1, v2) pairs: broadcast the small
-    candidate set, join embeddings back, evaluate the deterministic dot_fold."""
+    candidate set, join embeddings back, evaluate the deterministic dot_fold.
+
+    ``carry_a`` rides extra v1-side columns (e.g. s02's bucket) through the
+    rescore join so the caller doesn't pay a THIRD join against ``e`` just
+    to re-attach them.
+    """
     ea = e.select(
-        F.col("vec_id").alias("v1"), F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a")
+        F.col("vec_id").alias("v1"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+        *carry_a,
     )
     eb = e.select(
         F.col("vec_id").alias("v2"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
@@ -183,6 +193,7 @@ def exact_cosine_on_pairs(cand: DataFrame, e: DataFrame) -> DataFrame:
         .select(
             "v1",
             "v2",
+            *carry_a,
             (dot_fold(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
                 "cosine"
             ),
@@ -322,8 +333,9 @@ def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()  # feeds candidate gen, exact rescore (twice), and bucket lookup
     cand = gemm_candidate_pairs(e, 0.35, group_col="bucket")
     return (
-        exact_cosine_on_pairs(cand, e)
-        .join(e.select(F.col("vec_id").alias("v1"), "bucket"), "v1")
+        # bucket rides the v1-side rescore join (carry_a) instead of a
+        # third join against e just to re-attach it.
+        exact_cosine_on_pairs(cand, e, carry_a=("bucket",))
         .select("v1", "v2", "bucket", "cosine")
         .filter(F.col("cosine") >= 0.35)
         .orderBy("v1", "v2")

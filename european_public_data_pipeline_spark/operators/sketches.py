@@ -279,11 +279,13 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.functions.exact import dec
 
     li = load_table(spark, sf_dir, "lineitem")
+    # Referenced twice (bitmap build + the exact join) — cached so the
+    # orders scan+filter runs once, not once per consumer.
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.to_date(F.lit("1995-01-01")))
         & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
-    )
+    ).cache()
 
     def probes(col: str) -> list:
         return [

@@ -471,6 +471,23 @@ _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
     "q119_retention_expire_versions",
     "q120_manifest_schema_evolution",
     "q123_widen_column_rewrite",
+    # Round-13 OPTIMIZATION pass: post-scan scatter (q01/q04/q26 lineitem,
+    # d03/d04/d25/d26 documents), posting_list_pairs unified slice path
+    # (d03 + d22's exact audit), d04's fused sig+size aggregation, d25/d26's
+    # materialized positioned-gram relation, s02's carried-bucket rescore,
+    # q81's cached filtered-orders side. Results are oracle-identical (all
+    # re-proven vs DuckDB locally); the plans changed, so they re-earn
+    # driver verdicts.
+    "q01_pricing_summary",
+    "q04_top_revenue_orders",
+    "q26_shipping_priority",
+    "d03_ngram_jaccard_pairs",
+    "d04_minhash_lsh_pairs",
+    "d22_lsh_recall_audit",
+    "d25_repeated_span_removal",
+    "d26_span_excision_apply",
+    "s02_lsh_bucket_pairs",
+    "q81_bloom_pruned_join",
 )
 
 
