@@ -120,13 +120,17 @@ def load_table(
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = table_path(sf_dir, name)
+    if name == "events":
+        # Not memoized: the events loader dispatches on the file's physical
+        # ts encoding and (re)sets ``nanosAsLong`` accordingly — a contract
+        # per CALL, not per plan (tests/test_events_loader.py pins it), so
+        # serving a cached plan would skip the conf dispatch.
+        df = _load_events(spark, path)
+        return _scatter(spark, df, path, name) if scatter else df
     key = (spark, path, scatter)
     if key in _df_memo:
         return _df_memo[key]
-    if name == "events":
-        df = _load_events(spark, path)
-    else:
-        df = spark.read.parquet(path)
+    df = spark.read.parquet(path)
     if scatter:
         df = _scatter(spark, df, path, name)
     _df_memo[key] = df
