@@ -112,6 +112,7 @@ def table_path(sf_dir: str, name: str) -> str:
 # about query RESULTS is stored. Keyed by the live session object so a
 # stopped session's stale JVM references can never be served to a new one.
 _df_memo: dict[tuple, DataFrame] = {}
+_events_memo: dict[tuple, tuple[DataFrame, bool]] = {}
 
 
 def load_table(
@@ -120,14 +121,26 @@ def load_table(
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     path = table_path(sf_dir, name)
-    if name == "events":
-        # Not memoized: the events loader dispatches on the file's physical
-        # ts encoding and (re)sets ``nanosAsLong`` accordingly — a contract
-        # per CALL, not per plan (tests/test_events_loader.py pins it), so
-        # serving a cached plan would skip the conf dispatch.
-        df = _load_events(spark, path)
-        return _scatter(spark, df, path, name) if scatter else df
     key = (spark, path, scatter)
+    if name == "events":
+        # The events loader dispatches on the file's physical ts encoding
+        # and (re)sets ``nanosAsLong`` accordingly — a contract per CALL,
+        # not per plan (tests/test_events_loader.py pins it). The memo
+        # therefore stores whether the plan reads INT64 TIMESTAMP(NANOS)
+        # and re-asserts the conf on a hit exactly as a fresh load would;
+        # a µs-typed plan leaves the conf untouched, also as a fresh load
+        # would.
+        hit = _events_memo.get(key)
+        if hit is not None:
+            df, needs_nanos = hit
+            if needs_nanos:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            return df
+        df, needs_nanos = _load_events(spark, path)
+        if scatter:
+            df = _scatter(spark, df, path, name)
+        _events_memo[key] = (df, needs_nanos)
+        return df
     if key in _df_memo:
         return _df_memo[key]
     df = spark.read.parquet(path)
@@ -137,8 +150,11 @@ def load_table(
     return df
 
 
-def _load_events(spark: SparkSession, path: str) -> DataFrame:
-    """Load events with a dtype-robust ``ts`` column.
+def _load_events(spark: SparkSession, path: str) -> tuple[DataFrame, bool]:
+    """Load events with a dtype-robust ``ts`` column; returns (df,
+    needs_nanos) where the flag marks a plan that reads INT64
+    TIMESTAMP(NANOS) and therefore requires ``nanosAsLong`` set while it
+    executes (the memo above re-asserts it on cache hits).
 
     The physical encoding of ``events.ts`` has changed between testdata
     generations — parquet INT64 TIMESTAMP(NANOS) in earlier drops,
@@ -208,11 +224,11 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
                 spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), True
     if isinstance(ts_type, T.TimestampNTZType):
-        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType())), False
     if isinstance(ts_type, T.TimestampType):
-        return df
+        return df, False
     raise TypeError(f"unsupported events.ts dtype: {ts_type}")
 
 
