@@ -24,10 +24,17 @@ from european_public_data_pipeline_spark.plans.metrics import (
 # (query, max shuffle bytes at sf0.01, max Exchange nodes)
 BUDGETS = [
     ("q02_filter_project", 0, 0),  # scan+filter+project: nothing shuffles
-    ("q01_pricing_summary", 20_000, 2),  # partial/final agg pair only
+    # q01/q26 budgets re-measured for the r13 post-scan scatter: the
+    # unsplittable single-row-group input is deliberately shipped ONCE
+    # (projected columns only — 806K/837K measured at sf0.01) so the
+    # partial aggregation parallelizes (OPTIMIZATION_r13.md, guide §2.5).
+    # The budget still catches the regressions that matter: losing column
+    # pruning through the scatter exchange (~2x the bytes) or losing the
+    # map-side combine (the agg exchange ships raw rows again, ~+800K).
+    ("q01_pricing_summary", 1_200_000, 3),  # scatter + partial/final agg
     ("q05_region_customer_rollup", 10_000, 2),  # dims broadcast; agg pair
     ("q36_local_supplier_volume", 10_000, 2),  # 6-table star, one agg
-    ("q26_shipping_priority", 50_000, 2),  # broadcast star + top-10 agg
+    ("q26_shipping_priority", 1_200_000, 3),  # scatter + broadcast star + top-10 agg
     ("q79_cms_heavy_hitters", 50_000, 4),  # sketch cells are constant-size
     ("q81_bloom_pruned_join", 200_000, 5),  # only Bloom survivors shuffle
     # MV maintenance: both partials map-side combine to #priorities rows,
