@@ -161,48 +161,44 @@ def sig_bands(sig: DataFrame) -> DataFrame:
     )
 
 
-def _jaccard_on_pairs(
-    pairs: DataFrame, sh: DataFrame, sizes: DataFrame | None = None
-) -> DataFrame:
+def _jaccard_on_pairs(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact Jaccard for candidate (d1, d2) pairs given (doc_id, shingle).
 
-    Relational intersection count: candidates joined back to the shingle
-    relation on each side, grouped per pair. (An array_intersect variant —
-    packing per-doc shingle arrays and intersecting per pair — measured
-    ~30% slower here: the O(|a|*|b|) per-pair set intersection beats the
-    join only when candidates vastly outnumber shingle rows.)
+    Pair-id melt: each candidate pair becomes two (d1, d2, doc_id) rows —
+    one per member — and the shingle relation is referenced ONCE, keyed
+    by doc_id (guide §2.3: ship each shingle row once, tagged with the
+    pair it serves). The r13 shape joined ``sh`` back per pair SIDE,
+    which physically broadcast the ENTIRE shingle relation twice (one
+    driver collect + ship per side, r13 d04 plan nodes 31/37); the melt
+    streams ``sh`` from cache once against the pair-bounded build side.
 
-    ``sizes`` overrides the per-doc cardinality relation (doc_id,
-    n_shingles) when the caller already has it (e.g. d04 rides it along
-    in the signature aggregation); the n1/n2 joins reference it TWICE, so
-    an uncached default recomputes the count aggregation per side — pass
-    a cached/derived relation to pay for it once.
+    The melted join also makes the size joins unnecessary: a pair's
+    matched rows number ``tot = |sh(d1)| + |sh(d2)| = n1 + n2`` (shingles
+    are per-doc distinct by construction) and the distinct shingles among
+    them number ``u = |union|``, so ``isect = tot - u`` and
+    ``jaccard = isect / union = (tot - u) / u`` — one aggregation, no
+    (doc_id, n_shingles) relation, no n1/n2 joins. Same integers, same
+    single double division as the r13 formula, so hash-identical output
+    for every pair with isect >= 1; pairs with NO shared shingle now
+    surface with jaccard 0.0 instead of dropping out of the inner
+    shingle-match join — both callers threshold at >= 0.8, so the
+    registered results are unchanged (oracle re-proven).
+
+    The build side is hint-broadcast: it is two fixed-width rows per
+    candidate pair — LSH-bucket-occupancy-bounded, the relation the whole
+    banding design exists to keep small. If a deployment's candidate set
+    ever outgrew the broadcast cap, dropping the hint degrades to one
+    doc_id-keyed shuffle of ``sh`` — still one pass.
     """
-    if sizes is None:
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("d2"), "shingle")
-    inter = (
-        pairs.join(s1, "d1").join(s2, ["d2", "shingle"])
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("isect"))
+    melted = pairs.select(
+        "d1", "d2", F.explode(F.array("d1", "d2")).alias("doc_id")
     )
-    n1 = sizes.select(F.col("doc_id").alias("d1"), F.col("n_shingles").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("d2"), F.col("n_shingles").alias("n2"))
-    # n1/n2 are corpus-cardinality — join strategy left to AQE: broadcast
-    # at test scale, shuffle join against the (already small) candidate
-    # pair set at 100 TB.
-    return (
-        inter.join(n1, "d1")
-        .join(n2, "d2")
-        .select(
-            "d1",
-            "d2",
-            (
-                F.col("isect").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("isect"))
-            ).alias("jaccard"),
-        )
+    joined = sh.join(F.broadcast(melted), "doc_id")
+    return joined.groupBy("d1", "d2").agg(
+        (
+            (F.count(F.lit(1)) - F.count_distinct(F.col("shingle"))).cast("double")
+            / F.count_distinct(F.col("shingle"))
+        ).alias("jaccard")
     )
 
 
@@ -477,12 +473,13 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # — one cached materialization instead of three.
     sh = shingles(docs).cache()
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
-    # The signature relation is referenced four times (band self-join sides
-    # b1/b2, size joins n1/n2). Riding |shingle set| along in the signature
-    # aggregation and caching the doc-cardinality result collapses what the
-    # r13 before-plan executed as FOUR full aggregation passes over the
-    # shingle relation (sig x2 + sizes x2) into one.
-    sig = minhash_sig(h, with_size=True).cache()
+    # The signature relation feeds the band self-join twice (b1/b2);
+    # cached so the 16-way minhash aggregation over the shingle relation
+    # runs once. (The r13 shape also rode |shingle set| along for the
+    # verification's n1/n2 size joins — the melted ``_jaccard_on_pairs``
+    # derives both sizes from the verification join itself, so the sizes
+    # ride-along is gone.)
+    sig = minhash_sig(h).cache()
     bands = sig_bands(sig)
     b1 = bands.select(F.col("doc_id").alias("d1"), "band_id", "band_sig")
     b2 = bands.select(F.col("doc_id").alias("d2"), "band_id", "band_sig")
@@ -493,7 +490,7 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return (
-        _jaccard_on_pairs(cand, sh, sizes=sig.select("doc_id", "n_shingles"))
+        _jaccard_on_pairs(cand, sh)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .orderBy("d1", "d2")
     )
