@@ -1527,27 +1527,37 @@ def perplexity_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = sur.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_toks"),
         F.expr("sum(m) div count(1)").alias("score"),
-    ).cache()  # feeds the histogram, the doc count, AND the final bucketing
+    ).cache()  # feeds the histogram AND the final bucketing
     hist = scored.groupBy("score").agg(F.count(F.lit(1)).alias("cnt"))
+    # The doc total n = sum(cnt) is read off the SAME window pass as the
+    # cumulative counts (same partition spec + ordering, an extra frame in
+    # the one WindowExec) — the r13 shape aggregated the scored cache a
+    # second time for it and broadcast the 1-row result, two extra stages
+    # of pure scheduling floor on a query whose tail is stage-count-bound
+    # (profiled: the post-scored stages cost as much as the whole
+    # compute at sf0.1).
     w_cum = Window.orderBy("score").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum))
-    nn = scored.agg(F.count(F.lit(1)).alias("n"))
-    th = (
-        cum.crossJoin(F.broadcast(nn))
-        .agg(
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr("(n + 2) div 3"), F.col("score")
-                )
-            ).alias("t1"),
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("score")
-                )
-            ).alias("t2"),
-        )
+    w_all = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "score",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    th = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 2) div 3"), F.col("score")
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("score")
+            )
+        ).alias("t2"),
     )
     bucket = (
         F.when(F.col("score") <= F.col("t1"), "head")
