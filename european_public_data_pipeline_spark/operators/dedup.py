@@ -808,18 +808,16 @@ ORDER BY v1, v2
 )
 def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.operators.similarity import (
-        exact_cosine_on_pairs,
-        gemm_candidate_pairs,
-        norm,
+        gemm_cosine_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # e feeds candidate generation and the two rescore joins; cache it so
-    # the 64-term norm expression runs once per vector.
-    e = emb.select("vec_id", "embedding", norm().alias("nrm")).cache()
-    cand = gemm_candidate_pairs(e, COSINE_THRESHOLD)
+    # Referenced exactly once (the pack aggregation): the exact cosine
+    # rides out of the GEMM kernel, so the r13 cache, the JVM norm fold
+    # and the two rescore joins are gone.
+    e = emb.select("vec_id", "embedding")
     return (
-        exact_cosine_on_pairs(cand, e)
+        gemm_cosine_pairs(e, COSINE_THRESHOLD)
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
         .orderBy("v1", "v2")
     )

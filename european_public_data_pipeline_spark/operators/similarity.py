@@ -74,7 +74,7 @@ def dot_fold(a: F.Column, b: F.Column) -> F.Column:
     FASTER here than an unrolled 64-term codegen chain — every distinct
     unrolled expression costs seconds of Janino compilation, while all
     high-row-count dot products go through the blocked-GEMM candidate path
-    (gemm_candidate_pairs) anyway. Folds only ever run on corpus-sized
+    (gemm_cosine_pairs) anyway. Folds only ever run on corpus-sized
     projections and candidate-sized rescores.
     """
     return F.aggregate(
@@ -93,25 +93,47 @@ N_BLOCKS = 8  # GEMM block-pair fan-out for all-pairs candidate generation
 GEMM_MARGIN = 1e-6  # numpy-vs-exact cosine slack in the candidate prefilter
 
 
-def gemm_candidate_pairs(
-    e: DataFrame, threshold: float, group_col: str | None = None
+def gemm_cosine_pairs(
+    e: DataFrame,
+    threshold: float,
+    group_col: str | None = None,
+    group_dtype: str = "int",
 ) -> DataFrame:
-    """All-pairs (or per-group) cosine candidates via blocked matrix multiply.
+    """All-pairs (or per-group) exact cosine pairs via blocked matrix multiply.
 
     The naive quadratic join materializes O(n^2) rows each carrying two
     64-dim arrays — the memory traffic, not the arithmetic, dominates. This
     instead packs vectors into blocks (``collect_list``), joins block pairs
     (a tiny relation), and runs one normalized GEMM per block pair inside
-    ``mapInPandas``, emitting only (v1, v2) ids whose numpy cosine clears
-    ``threshold - GEMM_MARGIN``. Callers MUST rescore candidates with the
-    exact ``dot_fold`` expression and re-apply the threshold: numpy's BLAS
-    summation order differs from the sequential fold by ~1e-13, so the
-    margin guarantees recall while the rescore restores bit-exactness.
+    ``mapInPandas``. Pairs whose numpy cosine clears
+    ``threshold - GEMM_MARGIN`` are then rescored IN THE SAME KERNEL with
+    the exact sequential left-fold (both vectors are already in hand), and
+    the exact cosine is emitted: numpy's BLAS summation order differs from
+    the sequential fold by ~1e-13, so the margin guarantees recall while
+    the in-kernel fold restores bit-exactness. IEEE-754 binary64 ``*``/``+``
+    and ``sqrt`` are identically rounded in CPython, the JVM and DuckDB,
+    and multiplication commutes bit-exactly, so fold(a,b)/(na*nb) here is
+    bit-identical to the ``dot_fold`` expression and the oracle's
+    ``list_reduce`` regardless of pair orientation (pinned by
+    tests/test_gemm_exact.py).
+
+    Callers still re-apply ``>= threshold``; margin-zone pairs below the
+    true threshold are emitted with their exact cosine and filtered there.
+
+    The r13 shape emitted candidate ids only and rescored through two
+    joins against the (therefore cached) embedding relation — two more
+    cache scans, a candidate broadcast and two joins per query, removed
+    here along with the cache itself: the embedding relation is now
+    referenced exactly once (the pack aggregation).
+
+    With ``group_col`` the pairing is per group (e.g. s02's LSH bucket) and
+    the group value rides the output (declare its Spark type via
+    ``group_dtype``).
 
     This is the scale shape for exact all-pairs similarity: block-pair
     tasks are embarrassingly parallel, each is a dense GEMM (the fastest
     primitive available), and nothing quadratic is ever shuffled — only
-    packed blocks (n rows total) and surviving candidates move.
+    packed blocks (n rows total) and surviving pairs move.
     """
     group = group_col if group_col is not None else F.lit(0).alias("_g")
     packed = (
@@ -127,22 +149,34 @@ def gemm_candidate_pairs(
     )
     bp = pa.join(pb, "g").filter(F.col("bi") <= F.col("bj"))
     cut = threshold - GEMM_MARGIN
+    with_group = group_col is not None
 
     def gen(batches):
+        import math
+
         import numpy as np
         import pandas as pd
 
         def unpack(vs):
             ids = np.fromiter((r["vec_id"] for r in vs), dtype=np.int64, count=len(vs))
-            mat = np.asarray([r["embedding"] for r in vs], dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            return ids, mat
+            # float32 -> float64 widening is exact.
+            raw = np.asarray([r["embedding"] for r in vs], dtype=np.float64)
+            mat = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+            return ids, mat, raw
+
+        def fold(u, v):
+            acc = 0.0
+            for x, y in zip(u, v):
+                acc += x * y
+            return acc
 
         for pdf in batches:
-            out_v1, out_v2 = [], []
-            for bi, bj, vs_a, vs_b in zip(pdf["bi"], pdf["bj"], pdf["vs_a"], pdf["vs_b"]):
-                ia, ma = unpack(vs_a)
-                ib, mb = unpack(vs_b)
+            out_v1, out_v2, out_g, out_cos = [], [], [], []
+            for g, bi, bj, vs_a, vs_b in zip(
+                pdf["g"], pdf["bi"], pdf["bj"], pdf["vs_a"], pdf["vs_b"]
+            ):
+                ia, ma, ra = unpack(vs_a)
+                ib, mb, rb = unpack(vs_b)
                 sim = ma @ mb.T
                 ii, jj = np.nonzero(sim >= cut)
                 v1, v2 = ia[ii], ib[jj]
@@ -150,55 +184,46 @@ def gemm_candidate_pairs(
                     # same block: matrix holds both (i,j) and (j,i) plus the
                     # diagonal — keep each unordered pair once
                     keep = v1 < v2
-                    v1, v2 = v1[keep], v2[keep]
+                    v1, v2, ii, jj = v1[keep], v2[keep], ii[keep], jj[keep]
                 else:
                     # distinct blocks: each unordered pair appears once but
-                    # id order is arbitrary (hash blocks) — canonicalize
+                    # id order is arbitrary (hash blocks) — canonicalize ids
+                    # (the cosine commutes bit-exactly, no vector swap needed)
                     v1, v2 = np.minimum(v1, v2), np.maximum(v1, v2)
+                # Exact sequential-fold rescore of the (few) survivors.
+                # .tolist() yields Python floats so the fold runs on plain
+                # IEEE binary64; vectors are converted (and their norms
+                # folded) lazily, once per PARTICIPATING vector, not per
+                # block row.
+                vecs_a: dict = {}
+                vecs_b: dict = {} if bi != bj else vecs_a
+                for i, j in zip(ii, jj):
+                    ua = vecs_a.get(i)
+                    if ua is None:
+                        u = ra[i].tolist()
+                        ua = vecs_a[i] = (u, math.sqrt(fold(u, u)))
+                    vb = vecs_b.get(j)
+                    if vb is None:
+                        v = rb[j].tolist()
+                        vb = vecs_b[j] = (v, math.sqrt(fold(v, v)))
+                    out_cos.append(fold(ua[0], vb[0]) / (ua[1] * vb[1]))
                 out_v1.append(v1)
                 out_v2.append(v2)
-            yield pd.DataFrame(
-                {
-                    "v1": np.concatenate(out_v1) if out_v1 else [],
-                    "v2": np.concatenate(out_v2) if out_v2 else [],
-                }
-            )
+                if with_group:
+                    out_g.extend([g] * len(v1))
+            data = {
+                "v1": np.concatenate(out_v1) if out_v1 else [],
+                "v2": np.concatenate(out_v2) if out_v2 else [],
+            }
+            if with_group:
+                data["g"] = out_g
+            data["cosine"] = out_cos
+            yield pd.DataFrame(data)
 
-    return bp.mapInPandas(gen, "v1 long, v2 long")
-
-
-def exact_cosine_on_pairs(
-    cand: DataFrame, e: DataFrame, carry_a: tuple[str, ...] = ()
-) -> DataFrame:
-    """Bit-exact cosine for candidate (v1, v2) pairs: broadcast the small
-    candidate set, join embeddings back, evaluate the deterministic dot_fold.
-
-    ``carry_a`` rides extra v1-side columns (e.g. s02's bucket) through the
-    rescore join so the caller doesn't pay a THIRD join against ``e`` just
-    to re-attach them.
-    """
-    ea = e.select(
-        F.col("vec_id").alias("v1"),
-        F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-        *carry_a,
-    )
-    eb = e.select(
-        F.col("vec_id").alias("v2"), F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b")
-    )
-    return (
-        F.broadcast(cand)
-        .join(ea, "v1")
-        .join(eb, "v2")
-        .select(
-            "v1",
-            "v2",
-            *carry_a,
-            (dot_fold(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))).alias(
-                "cosine"
-            ),
-        )
-    )
+    schema = "v1 long, v2 long, cosine double"
+    if with_group:
+        schema = f"v1 long, v2 long, g {group_dtype}, cosine double"
+    return bp.mapInPandas(gen, schema)
 
 
 def _sql_dot(a: str, b: str) -> str:
@@ -325,18 +350,18 @@ ORDER BY v1, v2
 )
 def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # Referenced exactly once (the pack aggregation): the exact cosine and
+    # the bucket both ride out of the GEMM kernel, so the r13 cache + the
+    # two rescore joins (and the per-vector norm fold feeding them) are
+    # gone.
     e = emb.select(
         "vec_id",
         "embedding",
-        norm().alias("nrm"),
         bucket_expr(F.col("embedding")).alias("bucket"),
-    ).cache()  # feeds candidate gen, exact rescore (twice), and bucket lookup
-    cand = gemm_candidate_pairs(e, 0.35, group_col="bucket")
+    )
+    pairs = gemm_cosine_pairs(e, 0.35, group_col="bucket", group_dtype="int")
     return (
-        # bucket rides the v1-side rescore join (carry_a) instead of a
-        # third join against e just to re-attach it.
-        exact_cosine_on_pairs(cand, e, carry_a=("bucket",))
-        .select("v1", "v2", "bucket", "cosine")
+        pairs.select("v1", "v2", F.col("g").alias("bucket"), "cosine")
         .filter(F.col("cosine") >= 0.35)
         .orderBy("v1", "v2")
     )
