@@ -30,6 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -367,9 +368,13 @@ def exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
     document relation — factored out so audits (d22) can run the
     quadratic truth over a deterministic document SAMPLE at scale while
     d03 itself stays the full-corpus exact baseline."""
-    # The shingle set feeds the self-join twice plus the size aggregate;
-    # cache it so tokenize/explode/distinct runs once, not three times.
-    sh = shingles(docs).cache()
+    # The shingle set feeds the posting-list grouping AND the size
+    # aggregate; materialize it so the tokenize/shingle kernel runs once.
+    # Explicit level: corpus-token-sized relation — serialized in memory
+    # (~half the deserialized footprint for strings, measured
+    # time-neutral at sf0.1), spills to local disk at 100 TB rather than
+    # evicting and recomputing the Python kernel pass.
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     # Inverted-index pair generation: group the posting list per shingle
     # (ONE shuffle of the shingle relation — the naive self-join shuffles it
     # twice), drop single-document shingles (most of a diverse corpus; they
@@ -469,9 +474,11 @@ def d04_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scatter: parallelizes the shingling kernel feeding the cached shingle
     # relation (and the cache inherits the 32-way layout for every reuse).
     docs = load_table(spark, sf_dir, "documents", scatter=True)
-    # Shingles feed signature building AND candidate verification (twice)
-    # — one cached materialization instead of three.
-    sh = shingles(docs).cache()
+    # Shingles feed signature building AND the melted candidate
+    # verification — one materialization instead of two kernel passes.
+    # Corpus-token-sized: serialized in memory, disk spill at scale (see
+    # exact_jaccard_pairs).
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
     # The signature relation feeds the band self-join twice (b1/b2);
     # cached so the 16-way minhash aggregation over the shingle relation
@@ -1134,7 +1141,9 @@ ORDER BY c.d1, c.d2
 def d14_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = MINHASH_BANDS * MINHASH_ROWS
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    # Corpus-token-sized: serialized in memory, disk spill at scale (see
+    # exact_jaccard_pairs).
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
     sig = minhash_sig(h)
     bands = sig_bands(sig)
@@ -1961,7 +1970,9 @@ ORDER BY d1, d2
 )
 def d23_incremental_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = shingles(docs).cache()
+    # Corpus-token-sized: serialized in memory, disk spill at scale (see
+    # exact_jaccard_pairs).
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
     h = sh.withColumn("hv", base_hash28(F.col("shingle")))
     bands = sig_bands(minhash_sig(h))
     is_batch = F.col("doc_id") % 10 == 0
@@ -2175,8 +2186,15 @@ def repeated_span_islands(base: DataFrame) -> DataFrame:
     # per corpus token) runs twice (r13 before-plan). Materializing it
     # once is the ExactSubstr trade Lee et al. make explicitly: the
     # positioned-gram relation is corpus-token-sized, but recomputing it
-    # costs a full second tokenize+hash pass at any scale.
-    pos = positioned_span_grams(base).cache()
+    # costs a full second tokenize+hash pass at any scale. The level is
+    # explicit: MEMORY_AND_DISK keeps blocks SERIALIZED in memory (about
+    # half the footprint of the deserialized cache() default for a
+    # string relation; measured time-neutral at sf0.1) and spills
+    # overflow partitions to local disk instead of failing or evicting —
+    # at 100 TB this materialization is cluster-memory-scale and WILL
+    # spill; disk-backed blocks re-read at disk bandwidth, still far
+    # cheaper than the second md5 pass.
+    pos = positioned_span_grams(base).persist(StorageLevel.MEMORY_AND_DISK)
     hot = pos.groupBy("h").count().filter(F.col("count") >= SPAN_TAU).select("h")
     hits = pos.join(hot, "h", "left_semi").select(
         "doc_id", "s", (F.col("s") + (SPAN_K - 1)).alias("e")

@@ -279,13 +279,18 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from european_public_data_pipeline_spark.functions.exact import dec
 
     li = load_table(spark, sf_dir, "lineitem")
-    # Referenced twice (bitmap build + the exact join) — cached so the
-    # orders scan+filter runs once, not once per consumer.
+    # Referenced twice (bitmap build + the exact join) — deliberately NOT
+    # cached: both consumers read a pruned, filter-pushed orders scan, and
+    # under a cold cache the write + two reads measured no better than the
+    # two scans (r14 A/B, 1.28 vs 1.26 s). Scanning the creation side
+    # twice is the guide §3.2 price of the Bloom pattern; a cache of the
+    # filtered relation would hold it in cluster memory at 100 TB for no
+    # measured local win.
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderpriority") == "1-URGENT")
         & (F.col("o_orderdate") >= F.to_date(F.lit("1995-01-01")))
         & (F.col("o_orderdate") < F.to_date(F.lit("1996-01-01")))
-    ).cache()
+    )
 
     def probes(col: str) -> list:
         return [
