@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1060,7 +1061,18 @@ ORDER BY score_micro DESC, doc_id
 )
 def t17_bm25_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(tokens()).alias("dl"))
+    # dl feeds BOTH the corpus stats aggregate and the per-doc norm join;
+    # uncached, each reference re-tokenizes every document (the dominant
+    # cost), so the corpus was tokenized 3x per run (dl x2 + tok).  Caching
+    # the doc-cardinality (doc_id, int) relation makes it once for dl and
+    # once for tok: measured 1.000 -> 0.949 s min-of-5 cold (sf0.1, noop).
+    # Scatter and caching the exploded tok relation both measured WORSE
+    # (1.35x / 1.39x) -- the explode is cheap, the tokenize is not.
+    # MEMORY_AND_DISK serialized: ~16 B/doc, spills gracefully at corpus
+    # scale; lifecycle is LRU eviction on the shared session (see PLANS.md).
+    dl = docs.select("doc_id", F.size(tokens()).alias("dl")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
