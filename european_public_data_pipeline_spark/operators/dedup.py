@@ -274,11 +274,12 @@ def posting_list_pairs(grouped: DataFrame, chunk: int = POSTING_CHUNK) -> DataFr
     its OWN row, redistributed across the cluster before the pair
     explosion — the classic triangle partitioning of a self-join. Exactly
     the same pairs come out (sortedness makes cross-slice pairs already
-    ordered); per-task work is ≤ chunk² pairs. Short lists (the vast
-    majority) keep the original zero-extra-shuffle row-local path; only
-    the few long-list slice rows ride the extra exchange, so the
-    redistribution is bytes-bounded by B²·chunk ids per hot shingle, not
-    by the corpus.
+    ordered); per-task work is ≤ chunk² pairs. Every list rides the one
+    unified slice path: a short list (the vast majority) is the
+    degenerate B = 1 case, a single (0, 0) slice-pair row through the
+    same redistribution exchange, whose bytes are the (already grouped,
+    corpus-bounded) posting rows — the price of executing the
+    posting-list aggregation once instead of once per length branch.
     """
     # ONE path for every list length: a short list is the degenerate
     # B = 1 case (a single (0, 0) slice pair), so the short/long split the

@@ -425,69 +425,69 @@ _DRIVER_GREEN_R12 = frozenset({
     "t12_corpus_head_mass",
 })
 
-# Round 12 went 50/50 — nothing failed on last driver contact.
+# Round 13: 50/50 green — the round-13 modified set (the optimization
+# pass's plan-changed queries q01/q04/q26/d03/d04/d22/d25/d26/s02/q81,
+# the inherited-build lakehouse family q106-q135, and q136) re-earned
+# verdicts, and stale r8/r9-era names (q02-q12 block, p04/p05) refreshed.
+_DRIVER_GREEN_R13 = frozenset({
+    "q110_incremental_mv_refresh", "q116_mv_refresh_rewrite_hazard",
+    "q121_declarative_mv_second_shape", "q124_streaming_mv_maintenance",
+    "q125_changelog_applied_mv", "q126_lifecycle_grand_tour",
+    "q127_mv_safe_compaction", "q128_changelog_minmax_targeted",
+    "q129_read_appended_through_compact", "q130_cow_merge_manifest",
+    "q131_merge_emitted_changelog_mv", "q132_persisted_changelog_refresh",
+    "q133_mor_delete_scan", "q134_mor_position_delete",
+    "q135_streaming_cdc_upsert_mv", "q111_purge_then_read",
+    "q122_vacuum_orphans", "q106_zonemap_pruned_scan",
+    "q107_incremental_version_scan", "q108_bloom_point_lookup",
+    "q109_zorder_dual_pruning", "q112_clustered_compact_scan",
+    "q115_wap_gated_publish", "q117_bloom_stale_sidecar_purge",
+    "q119_retention_expire_versions", "q120_manifest_schema_evolution",
+    "q123_widen_column_rewrite", "q01_pricing_summary",
+    "q04_top_revenue_orders", "q26_shipping_priority",
+    "d03_ngram_jaccard_pairs", "d04_minhash_lsh_pairs",
+    "d22_lsh_recall_audit", "d25_repeated_span_removal",
+    "d26_span_excision_apply", "s02_lsh_bucket_pairs",
+    "q81_bloom_pruned_join", "q136_mor_upsert_merge",
+    "p04_surgical_curation_report", "p05_corpus_datacard",
+    "q02_filter_project", "q03_revenue_forecast",
+    "q05_region_customer_rollup", "q06_priority_exists_semi",
+    "q07_segment_anti", "q08_monthly_revenue_mom",
+    "q09_rolling_3m_revenue", "q10_top3_orders_per_customer",
+    "q11_nation_setops", "q12_cube_qty",
+})
+
+# Round 13 went 50/50 — nothing failed on last driver contact.
 _DRIVER_FAILED_LAST: tuple[str, ...] = ()
 
 # Implementation or oracle modified after the query's latest green verdict
-# (round-13 changes to already-green queries land here as they happen):
+# (round-14 changes to already-green queries land here as they happen):
 _MODIFIED_SINCE_VERDICT: tuple[str, ...] = (
-    # Round 13: mv_refresh.py's changelog fold no longer carries the
-    # refresh anchor when a dirty-group recompute consulted a source
-    # ahead of the applied watermark, and _chain_changelog refuses
-    # foreign-space applied-changelog ids; manifest.py gained the
-    # empty-live-files short-circuit, the __f reserved-name refusal,
-    # the purge re-verify fence, and merge-on-read UPSERT sidecars;
-    # cow_merge.py routes mode="mor" merges; the streaming CDC sink
-    # gained intra-batch latest-wins dedupe and mode="mor". Queries
-    # riding those engines re-earn verdicts.
-    "q110_incremental_mv_refresh",
-    "q116_mv_refresh_rewrite_hazard",
-    "q121_declarative_mv_second_shape",
-    "q124_streaming_mv_maintenance",
-    "q125_changelog_applied_mv",
-    "q126_lifecycle_grand_tour",
-    "q127_mv_safe_compaction",
-    "q128_changelog_minmax_targeted",
-    "q129_read_appended_through_compact",
-    "q130_cow_merge_manifest",
-    "q131_merge_emitted_changelog_mv",
-    "q132_persisted_changelog_refresh",
-    "q133_mor_delete_scan",
-    "q134_mor_position_delete",
-    "q135_streaming_cdc_upsert_mv",
-    "q111_purge_then_read",
-    "q122_vacuum_orphans",
-    # _commit (erasure fence, runs on EVERY commit) and _read_files_live
-    # (empty-read branch, file_col refusal) changed — the documented
-    # round discipline: manifest commit/read-path changes implicate the
-    # whole lakehouse scan family, which re-earns its verdict.
-    "q106_zonemap_pruned_scan",
-    "q107_incremental_version_scan",
-    "q108_bloom_point_lookup",
-    "q109_zorder_dual_pruning",
-    "q112_clustered_compact_scan",
-    "q115_wap_gated_publish",
-    "q117_bloom_stale_sidecar_purge",
-    "q119_retention_expire_versions",
-    "q120_manifest_schema_evolution",
-    "q123_widen_column_rewrite",
-    # Round-13 OPTIMIZATION pass: post-scan scatter (q01/q04/q26 lineitem,
-    # d03/d04/d25/d26 documents), posting_list_pairs unified slice path
-    # (d03 + d22's exact audit), d04's fused sig+size aggregation, d25/d26's
-    # materialized positioned-gram relation, s02's carried-bucket rescore,
-    # q81's cached filtered-orders side. Results are oracle-identical (all
-    # re-proven vs DuckDB locally); the plans changed, so they re-earn
-    # driver verdicts.
-    "q01_pricing_summary",
-    "q04_top_revenue_orders",
-    "q26_shipping_priority",
+    # Round-14 OPTIMIZATION pass: the candidate-pair Jaccard verification
+    # melted into one pass over the shingle relation (_jaccard_on_pairs —
+    # d04 and d23; d03/d22 ride exact_jaccard_pairs whose sh persist level
+    # changed), the exact cosine rescore folded into the GEMM kernel
+    # (gemm_cosine_pairs — d06, s02), perplexity_scored's doc total read
+    # off the histogram window pass (t22, p04), t17's cached doc-length
+    # relation, q81's dropped filtered-orders cache, and the explicit
+    # MEMORY_AND_DISK storage levels on the corpus-scale caches
+    # (shingles/positioned-gram relations — d03/d04/d14/d22/d23/d25/d26/
+    # d28). Results are oracle-identical (re-proven vs DuckDB locally);
+    # the plans changed, so they re-earn driver verdicts.
     "d03_ngram_jaccard_pairs",
     "d04_minhash_lsh_pairs",
+    "d06_embedding_near_dup",
+    "d14_minhash_accuracy_audit",
     "d22_lsh_recall_audit",
+    "d23_incremental_lsh_probe",
     "d25_repeated_span_removal",
     "d26_span_excision_apply",
+    "d28_incremental_gram_index",
     "s02_lsh_bucket_pairs",
     "q81_bloom_pruned_join",
+    "t17_bm25_scoring",
+    "t22_perplexity_buckets",
+    "p04_surgical_curation_report",
 )
 
 
@@ -505,6 +505,7 @@ def _driver_order() -> list[str]:
         _DRIVER_GREEN_R4, _DRIVER_GREEN_R5, _DRIVER_GREEN_R6,
         _DRIVER_GREEN_R7, _DRIVER_GREEN_R8, _DRIVER_GREEN_R9,
         _DRIVER_GREEN_R10, _DRIVER_GREEN_R11, _DRIVER_GREEN_R12,
+        _DRIVER_GREEN_R13,
     )
     greens = frozenset().union(*rounds)
     never = [n for n in names if n not in head and n not in greens]

@@ -111,8 +111,27 @@ def table_path(sf_dir: str, name: str) -> str:
 # action on plans derived from it still reads the parquet bytes; nothing
 # about query RESULTS is stored. Keyed by the live session object so a
 # stopped session's stale JVM references can never be served to a new one.
+#
+# ASSUMPTION: a (session, path) pair's file listing is immutable for the
+# session's lifetime — true for the driver/bench contract (read-only
+# $SPARK_GRAFT_SF_DIR testdata). A harness that rewrites or appends to a
+# memoized path mid-session would be served the first load's file index
+# and size; such a harness must call ``clear_table_memo()`` after
+# mutating inputs. Entries are keyed by live session objects and live
+# for the process (bounded: #sessions x #tables x 2 scatter variants).
 _df_memo: dict[tuple, DataFrame] = {}
 _events_memo: dict[tuple, tuple[DataFrame, bool]] = {}
+
+
+def clear_table_memo() -> None:
+    """Drop every memoized reader plan (and input-size snapshot).
+
+    For harnesses that regenerate or append to a previously loaded
+    parquet path within one session; the next load_table re-lists files.
+    """
+    _df_memo.clear()
+    _events_memo.clear()
+    _input_bytes_memo.clear()
 
 
 def load_table(
