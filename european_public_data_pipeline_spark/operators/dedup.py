@@ -820,9 +820,10 @@ def d06_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # Referenced exactly once (the pack aggregation): the exact cosine
-    # rides out of the GEMM kernel, so the r13 cache, the JVM norm fold
-    # and the two rescore joins are gone.
+    # The exact cosine rides out of the GEMM kernel, so the r13 embedding
+    # cache, the JVM norm fold and the two rescore joins are gone; the
+    # kernel persists the PACKED relation so its self-join costs one
+    # corpus pass, not two.
     e = emb.select("vec_id", "embedding")
     return (
         gemm_cosine_pairs(e, COSINE_THRESHOLD)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import hashlib
 import struct
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -123,8 +124,13 @@ def gemm_cosine_pairs(
     The r13 shape emitted candidate ids only and rescored through two
     joins against the (therefore cached) embedding relation — two more
     cache scans, a candidate broadcast and two joins per query, removed
-    here along with the cache itself: the embedding relation is now
-    referenced exactly once (the pack aggregation).
+    here along with the caller-side cache. The PACKED relation is
+    persisted instead (serialized MEMORY_AND_DISK, same bytes as the
+    embeddings, ≤ N_BLOCKS·|groups| rows): its self-join references it
+    twice, so the cache halves the corpus passes — one scan + pack
+    aggregation, read twice — where uncached both join sides would
+    re-scan and re-aggregate the full embedding relation. Lifecycle is
+    LRU eviction on the shared session (the bench clears per sample).
 
     With ``group_col`` the pairing is per group (e.g. s02's LSH bucket) and
     the group value rides the output (declare its Spark type via
@@ -139,6 +145,7 @@ def gemm_cosine_pairs(
     packed = (
         e.groupBy((F.abs(F.hash("vec_id")) % N_BLOCKS).alias("blk"), group)
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     gname = group_col if group_col is not None else "_g"
     pa = packed.select(
@@ -350,10 +357,10 @@ ORDER BY v1, v2
 )
 def s02_lsh_bucket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # Referenced exactly once (the pack aggregation): the exact cosine and
-    # the bucket both ride out of the GEMM kernel, so the r13 cache + the
-    # two rescore joins (and the per-vector norm fold feeding them) are
-    # gone.
+    # The exact cosine and the bucket both ride out of the GEMM kernel, so
+    # the r13 embedding cache + the two rescore joins (and the per-vector
+    # norm fold feeding them) are gone; the kernel persists the PACKED
+    # relation so its self-join costs one corpus pass, not two.
     e = emb.select(
         "vec_id",
         "embedding",
