@@ -19,7 +19,7 @@ SF001 = "/root/testdata/sf0.01"
 # The external driver runs ``pytest tests/ -x -q`` with a wall-clock budget
 # the full 49-minute suite exceeds (its r13 verify was cut off at ~25% with
 # zero failures). pytest.ini therefore defaults to ``-m "not slow"`` — a
-# fast lane measured at ~12 min that still covers every operator's
+# fast lane measured at ~13 min that still covers every operator's
 # correctness: the full 232-query oracle-parity sweep stays in the fast
 # lane, and the slow set below holds only tests whose per-test cost
 # exceeded 5 s in a full ``--durations=0`` run (measurement fleets,
